@@ -1,0 +1,91 @@
+"""Readers over the harness parquet tables + idempotent sinks.
+
+Reference analogs:
+  - S3 table scan (`pd.read_sql_query`, app/services/trades.py:78) →
+    lazy `spark.read.parquet` so Catalyst pushes filters/projections
+    into the scan.
+  - S4 CSV scan with alias normalization (app/services/universe.py:31).
+  - S5 idempotent upsert (`INSERT OR IGNORE` keyed on (ticker, ts),
+    src/etl.py:46-65) → left-anti append (no unique indexes in Spark).
+
+Scale posture: `write_prices_partitioned` lays prices out
+`partitionBy(ts_year)` so the P5 time-range predicates become
+partition pruning at 100 TB; the anti-join dedup broadcasts the
+*incoming batch's key set* when small, never the existing table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of a harness table; filters/projections push down.
+
+    `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
+    default — read it as raw nanos (legacy conf, runtime-settable) and
+    truncate to microseconds exactly like DuckDB/Arrow do (integer div,
+    not float div), keeping NTZ (naive) semantics.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def read_csv_universe(spark: SparkSession, path: str, sep: str = ";") -> DataFrame:
+    """CSV securities-master scan (S4).
+
+    Mirrors app/services/universe.py:25-42: header aliases
+    (ticker→yf_symbol, name→name_display, list→segment) accepted,
+    missing required column raises.
+    """
+    df = (spark.read.option("sep", sep).option("header", True)
+          .option("encoding", "UTF-8").csv(path))
+    aliases = {"ticker": "yf_symbol", "name": "name_display", "list": "segment"}
+    for old, new in aliases.items():
+        if old in df.columns and new not in df.columns:
+            df = df.withColumnRenamed(old, new)
+    required = ("name_display", "yf_symbol")
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(f"universe CSV missing required columns: {missing}")
+    if "segment" not in df.columns:
+        df = df.withColumn("segment", F.lit(None).cast("string"))
+    return df
+
+
+def idempotent_append(existing: DataFrame, batch: DataFrame,
+                      keys: list[str]) -> DataFrame:
+    """S5 `INSERT OR IGNORE` as a left-anti join: rows of `batch` whose
+    key already exists in `existing` are dropped, then unioned.
+
+    In-batch duplicates collapse to one deterministic winner (min of all
+    non-key columns) so re-runs are idempotent, matching the unique
+    index `uq_prices` (src/etl.py:59).
+    """
+    others = [c for c in batch.columns if c not in keys]
+    dedup_batch = batch.groupBy(*keys).agg(
+        *[F.min(c).alias(c) for c in others]
+    ).select(*existing.columns)
+    fresh = dedup_batch.join(existing.select(*keys), on=keys, how="left_anti")
+    return existing.unionByName(fresh)
+
+
+def write_prices_partitioned(prices: DataFrame, path: str) -> None:
+    """Storage layout for the prices table at scale: partition by year
+    so P5 range predicates prune partitions; within a partition parquet
+    min/max stats skip row groups on ticker."""
+    (prices.withColumn("ts_year", F.year("ts"))
+     .repartition("ts_year")
+     .sortWithinPartitions("ticker", "ts")
+     .write.partitionBy("ts_year").mode("overwrite").parquet(path))

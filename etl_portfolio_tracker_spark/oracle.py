@@ -1,0 +1,62 @@
+"""DuckDB SQL twins of derive.py — shared CTE snippets prepended to
+every oracle query in `__spark_entry__.py::oracle_sql()`.
+
+These run ONLY in DuckDB (the driver registers the harness parquet
+files as views named region/nation/.../embeddings), so DuckDB dialect
+is fine.  They must stay semantically identical to derive.py.
+"""
+
+PRICES_CTE = """
+prices AS (
+    SELECT 'P' || l_partkey AS ticker,
+           CAST(l_shipdate AS DATE) AS ts,
+           MIN(l_extendedprice) AS close
+    FROM lineitem
+    GROUP BY 1, 2
+)
+"""
+
+TRADES_CTE = """
+trades AS (
+    SELECT event_id AS id,
+           'u' || user_id AS "user",
+           event_type AS ticker,
+           ts,
+           CASE WHEN event_id % 3 = 0 THEN 'SELL' ELSE 'BUY' END AS side,
+           1.0 + CAST(event_id % 10 AS DOUBLE) AS qty,
+           ABS(value) + 1.0 AS price,
+           CAST(event_id % 5 AS DOUBLE) * 0.25 AS fee
+    FROM events
+)
+"""
+
+TICK_PRICES_CTE = """
+tick_prices AS (
+    SELECT event_type AS ticker,
+           CAST(ts AS DATE) AS ts,
+           MIN(value) AS close
+    FROM events
+    GROUP BY 1, 2
+)
+"""
+
+UNIVERSE_CTE = """
+universe AS (
+    SELECT regexp_replace(trim(p_name), '\\s+', ' ', 'g') AS name_display,
+           p_brand AS yf_symbol,
+           p_type AS segment,
+           lower(concat_ws(' ',
+                 regexp_replace(trim(p_name), '\\s+', ' ', 'g'),
+                 p_brand,
+                 regexp_replace(p_brand, '\\.ST$', ''))) AS search_blob,
+           regexp_replace(trim(p_name), '\\s+', ' ', 'g')
+               || ' (' || p_brand || ')' AS display
+    FROM part
+)
+"""
+
+
+def with_domain(body: str, *ctes: str) -> str:
+    """Wrap an oracle query body with the requested domain CTEs."""
+    joined = ",\n".join(c.strip().rstrip() for c in ctes)
+    return f"WITH {joined}\n{body}"

@@ -1,0 +1,81 @@
+"""Golden-scenario tests from FIXTURES.md §2 for the relational core
+(the reference's own self-test sequences, portfolio.py:130-165)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_portfolio_tracker_spark import schemas
+from etl_portfolio_tracker_spark.operators import relational as R
+
+
+def ledger(spark, rows):
+    data = [
+        (i + 1, "demo", "TICK", dt.datetime(2025, 1, 1) + dt.timedelta(minutes=i),
+         side, float(qty), float(price), float(fee))
+        for i, (side, qty, price, fee) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, schema=schemas.TRADES)
+
+
+def test_positions_scenario_a(spark):
+    # BUY 10@200, SELL 4@220, BUY 6@210 → qty 12 (FIXTURES §2.1)
+    t = ledger(spark, [("BUY", 10, 200, 0), ("SELL", 4, 220, 0), ("BUY", 6, 210, 0)])
+    rows = R.positions(t).collect()
+    assert len(rows) == 1 and rows[0]["qty"] == 12.0
+
+
+def test_positions_drops_flat(spark):
+    t = ledger(spark, [("BUY", 5, 100, 0), ("SELL", 5, 110, 0)])
+    assert R.positions(t).count() == 0
+
+
+def test_cash_scenario_a(spark):
+    # cash = 1_000_000 − 2000 + 880 − 1260 = 997620 (FIXTURES §2.1)
+    t = ledger(spark, [("BUY", 10, 200, 0), ("SELL", 4, 220, 0), ("BUY", 6, 210, 0)])
+    rows = R.cash_balance(t).collect()
+    assert rows[0]["cash"] == 997620.0
+
+
+def test_current_qty(spark):
+    t = ledger(spark, [("BUY", 10, 200, 0), ("SELL", 5, 210, 0)])
+    assert R.current_qty(t, "demo", "TICK").collect()[0]["qty"] == 5.0
+    assert R.current_qty(t, "demo", "NOPE").collect()[0]["qty"] == 0.0
+
+
+def test_latest_and_asof_prices(spark):
+    p = spark.createDataFrame(
+        [("A", dt.date(2025, 1, 1), 10.0), ("A", dt.date(2025, 1, 5), 12.0),
+         ("B", dt.date(2025, 1, 3), 7.0)],
+        schema=schemas.PRICES)
+    last = {r["ticker"]: (r["last_close"], r["last_ts"]) for r in R.latest_prices(p).collect()}
+    assert last == {"A": (12.0, dt.date(2025, 1, 5)), "B": (7.0, dt.date(2025, 1, 3))}
+    asof = {r["ticker"]: r["last_close"] for r in R.asof_prices(p, "2025-01-03").collect()}
+    assert asof == {"A": 10.0, "B": 7.0}
+
+
+def test_overview_market_value(spark):
+    t = ledger(spark, [("BUY", 12, 205, 0)])
+    p = spark.createDataFrame([("TICK", dt.date(2025, 1, 2), 230.0)], schema=schemas.PRICES)
+    row = R.overview(t, p).collect()[0]
+    assert row["market_value"] == 12 * 230.0
+
+
+def test_trades_list_order(spark):
+    t = ledger(spark, [("BUY", 1, 10, 0), ("SELL", 1, 11, 0), ("BUY", 2, 12, 0)])
+    ids = [r["id"] for r in R.trades_list(t, "demo").collect()]
+    assert ids == [1, 2, 3]
+
+
+def test_idempotent_append(spark):
+    from etl_portfolio_tracker_spark.io import idempotent_append
+    p = spark.createDataFrame([("A", dt.date(2025, 1, 1), 10.0)], schema=schemas.PRICES)
+    batch = spark.createDataFrame(
+        [("A", dt.date(2025, 1, 1), 99.0),   # duplicate key → ignored
+         ("A", dt.date(2025, 1, 2), 11.0),
+         ("A", dt.date(2025, 1, 2), 11.5)],  # in-batch dup → min wins
+        schema=schemas.PRICES)
+    out = {(r["ticker"], r["ts"]): r["close"]
+           for r in idempotent_append(p, batch, ["ticker", "ts"]).collect()}
+    assert out == {("A", dt.date(2025, 1, 1)): 10.0,
+                   ("A", dt.date(2025, 1, 2)): 11.0}
