@@ -23,7 +23,12 @@ from etl_portfolio_tracker_spark.io import read_table
 from etl_portfolio_tracker_spark.oracle import (
     PRICES_CTE, TICK_PRICES_CTE, TRADES_CTE, UNIVERSE_CTE, with_domain,
 )
+from etl_portfolio_tracker_spark.operators import calendar as C
+from etl_portfolio_tracker_spark.operators import pivots as PV
 from etl_portfolio_tracker_spark.operators import relational as R
+from etl_portfolio_tracker_spark.operators import search as S
+from etl_portfolio_tracker_spark.operators import sessions as SE
+from etl_portfolio_tracker_spark.operators import windowed as WD
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -31,6 +36,9 @@ SF0001 = "/root/testdata/sf0.001"
 ASOF_ANCHOR = "1998-06-30"
 RANGE_START, RANGE_END = "1996-01-01", "1996-12-31"
 DEMO_USER = "u3"
+SEARCH_Q = "re"
+SEGMENTS = ["economy", "promo"]
+SPINE_MAX_PARTKEY = 20      # calendar/interp queries run on a ticker subset
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -93,6 +101,90 @@ def _q_max_ts_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.max_ts_anchor(derive.prices(spark, sf_dir))
 
 
+# shared spine CTE for the calendar oracles: dense ticker×day frame
+# over the bounded ticker subset (DuckDB twin of operators/calendar.py)
+_PSUBSET = ", ".join(f"'P{i}'" for i in range(1, SPINE_MAX_PARTKEY + 1))
+_SPINE_SQL = f"""
+    WITH {PRICES_CTE.strip().rstrip()},
+    sub AS (SELECT * FROM prices WHERE ticker IN ({_PSUBSET})),
+    bounds AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM sub),
+    days AS (SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS ts FROM bounds),
+    spine AS (SELECT t.ticker, d.ts, s.close
+              FROM (SELECT DISTINCT ticker FROM sub) t
+              CROSS JOIN days d
+              LEFT JOIN sub s ON s.ticker = t.ticker AND s.ts = d.ts)
+"""
+
+
+def _prices_subset(spark, sf_dir):
+    """Sparse price series for a bounded ticker set (calendar ops)."""
+    return derive.prices(spark, sf_dir).filter(
+        F.col("ticker").isin([f"P{i}" for i in range(1, SPINE_MAX_PARTKEY + 1)]))
+
+
+def _q_universe_search(spark, sf_dir):
+    return S.search_universe(derive.universe(spark, sf_dir), SEARCH_Q)
+
+
+def _q_segment_filter(spark, sf_dir):
+    return (S.segment_filter(derive.universe(spark, sf_dir), SEGMENTS)
+            .select("name_display", "yf_symbol", "segment"))
+
+
+def _q_cum_position_series(spark, sf_dir):
+    return WD.daily_position_series(derive.trades(spark, sf_dir))
+
+
+def _q_cash_series(spark, sf_dir):
+    return WD.cash_series(derive.trades(spark, sf_dir))
+
+
+def _q_daily_returns(spark, sf_dir):
+    return WD.daily_returns(derive.tick_prices(spark, sf_dir))
+
+
+def _q_twr_index(spark, sf_dir):
+    return WD.twr_index(derive.tick_prices(spark, sf_dir))
+
+
+def _q_normalize_index(spark, sf_dir):
+    return WD.normalize_to_100(derive.tick_prices(spark, sf_dir))
+
+
+def _q_first_holding_day(spark, sf_dir):
+    return WD.first_holding_day(derive.trades(spark, sf_dir))
+
+
+def _q_price_panel(spark, sf_dir):
+    return PV.price_panel(read_table(spark, sf_dir, "lineitem"))
+
+
+def _q_unpivot_panel(spark, sf_dir):
+    return PV.unpivot_panel(PV.price_panel(read_table(spark, sf_dir, "lineitem")))
+
+
+def _q_calendar_ffill(spark, sf_dir):
+    sp = C.calendar_spine(_prices_subset(spark, sf_dir))
+    return C.ffill(sp).select("ticker", "ts", "close_ffill")
+
+
+def _q_interpolate(spark, sf_dir):
+    sp = C.calendar_spine(_prices_subset(spark, sf_dir))
+    return C.interpolate(sp).select("ticker", "ts", "close_interp")
+
+
+def _q_hourly_rollup(spark, sf_dir):
+    return SE.hourly_rollup(read_table(spark, sf_dir, "events"))
+
+
+def _q_sessionize(spark, sf_dir):
+    return SE.sessionize(read_table(spark, sf_dir, "events"))
+
+
+def _q_props_extract(spark, sf_dir):
+    return SE.props_extract(read_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -105,6 +197,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trades_list": _q_trades_list,
         "price_range_scan": _q_price_range_scan,
         "max_ts_anchor": _q_max_ts_anchor,
+        "universe_search": _q_universe_search,
+        "segment_filter": _q_segment_filter,
+        "cum_position_series": _q_cum_position_series,
+        "cash_series": _q_cash_series,
+        "daily_returns": _q_daily_returns,
+        "twr_index": _q_twr_index,
+        "normalize_index": _q_normalize_index,
+        "first_holding_day": _q_first_holding_day,
+        "price_panel": _q_price_panel,
+        "unpivot_panel": _q_unpivot_panel,
+        "calendar_ffill": _q_calendar_ffill,
+        "interpolate": _q_interpolate,
+        "hourly_rollup": _q_hourly_rollup,
+        "sessionize": _q_sessionize,
+        "props_extract": _q_props_extract,
     }
 
 
@@ -180,4 +287,172 @@ def oracle_sql() -> dict[str, str]:
         """, PRICES_CTE),
         "max_ts_anchor": with_domain(
             "SELECT MAX(ts) AS anchor FROM prices", PRICES_CTE),
+        "universe_search": with_domain(f"""
+            SELECT name_display, yf_symbol, segment, display
+            FROM (
+                SELECT u.*,
+                       CASE WHEN starts_with(lower(name_display), '{SEARCH_Q}') THEN 1 ELSE 0 END AS nsw,
+                       CASE WHEN starts_with(lower(yf_symbol), '{SEARCH_Q}') THEN 1 ELSE 0 END AS ssw,
+                       CASE WHEN strpos(search_blob, '{SEARCH_Q}') = 0 THEN 9999
+                            ELSE strpos(search_blob, '{SEARCH_Q}') - 1 END AS pos
+                FROM universe u
+                WHERE strpos(search_blob, '{SEARCH_Q}') > 0
+            )
+            ORDER BY nsw DESC, ssw DESC, pos ASC, name_display ASC, yf_symbol ASC, segment ASC
+            LIMIT 50
+        """, UNIVERSE_CTE),
+        "segment_filter": with_domain(f"""
+            SELECT name_display, yf_symbol, segment
+            FROM universe
+            WHERE lower(segment) IN ({", ".join("'" + s + "'" for s in SEGMENTS)})
+        """, UNIVERSE_CTE),
+        "cum_position_series": with_domain("""
+            SELECT "user", ticker, d,
+                   SUM(qty_delta) OVER (PARTITION BY "user", ticker ORDER BY d
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty
+            FROM (SELECT "user", ticker, CAST(ts AS DATE) AS d,
+                         SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS qty_delta
+                  FROM trades GROUP BY 1, 2, 3)
+        """, TRADES_CTE),
+        "cash_series": with_domain(f"""
+            SELECT "user", d,
+                   CAST(flow_dec AS DOUBLE) AS cash_flow,
+                   CAST({R.START_CASH} + SUM(flow_dec) OVER (PARTITION BY "user" ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cash
+            FROM (SELECT "user", CAST(ts AS DATE) AS d,
+                         SUM(CAST(CASE WHEN side = 'SELL' THEN qty * price
+                                       ELSE -qty * price END - fee AS DECIMAL(38,10))) AS flow_dec
+                  FROM trades GROUP BY 1, 2)
+        """, TRADES_CTE),
+        "daily_returns": with_domain("""
+            SELECT ticker, ts,
+                   LAG(close) OVER w AS prev_close,
+                   CASE WHEN LAG(close) OVER w IS NULL OR LAG(close) OVER w = 0 THEN 0.0
+                        ELSE close / LAG(close) OVER w - 1 END AS ret
+            FROM tick_prices
+            WINDOW w AS (PARTITION BY ticker ORDER BY ts)
+        """, TICK_PRICES_CTE),
+        "twr_index": with_domain("""
+            SELECT ticker, ts, ret,
+                   ROUND(EXP(SUM(CASE WHEN ret <= -1 THEN NULL ELSE LN(1.0 + ret) END)
+                             OVER (PARTITION BY ticker ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100,
+                         6) AS twr_index
+            FROM (
+                SELECT ticker, ts,
+                       CASE WHEN LAG(close) OVER w IS NULL OR LAG(close) OVER w = 0 THEN 0.0
+                            ELSE close / LAG(close) OVER w - 1 END AS ret
+                FROM tick_prices
+                WINDOW w AS (PARTITION BY ticker ORDER BY ts)
+            )
+        """, TICK_PRICES_CTE),
+        "normalize_index": with_domain("""
+            SELECT ticker, ts,
+                   CASE WHEN base = 0 THEN NULL ELSE ROUND(close / base * 100, 6) END AS idx
+            FROM (
+                SELECT ticker, ts, close,
+                       FIRST_VALUE(close) OVER (PARTITION BY ticker ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS base
+                FROM tick_prices
+            )
+        """, TICK_PRICES_CTE),
+        "first_holding_day": with_domain("""
+            SELECT "user", MIN(d) AS first_day
+            FROM (
+                SELECT "user", d,
+                       SUM(qty_delta) OVER (PARTITION BY "user" ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM (SELECT "user", CAST(ts AS DATE) AS d,
+                             SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS qty_delta
+                      FROM trades GROUP BY 1, 2)
+            )
+            WHERE cum > 0
+            GROUP BY "user"
+        """, TRADES_CTE),
+        "price_panel": """
+            SELECT CAST(l_shipdate AS DATE) AS ts,
+                   MIN(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS "A",
+                   MIN(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) AS "N",
+                   MIN(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS "R"
+            FROM lineitem
+            GROUP BY 1
+        """,
+        "unpivot_panel": """
+            WITH panel AS (
+                SELECT CAST(l_shipdate AS DATE) AS ts,
+                       MIN(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS a,
+                       MIN(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) AS n,
+                       MIN(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS r
+                FROM lineitem GROUP BY 1
+            )
+            SELECT ts, 'A' AS flag, a AS close FROM panel WHERE a IS NOT NULL
+            UNION ALL
+            SELECT ts, 'N' AS flag, n AS close FROM panel WHERE n IS NOT NULL
+            UNION ALL
+            SELECT ts, 'R' AS flag, r AS close FROM panel WHERE r IS NOT NULL
+        """,
+        "calendar_ffill": _SPINE_SQL + """
+            SELECT ticker, ts,
+                   LAST_VALUE(close IGNORE NULLS) OVER (PARTITION BY ticker ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
+            FROM spine
+        """,
+        "interpolate": _SPINE_SQL + """
+            SELECT ticker, ts,
+                   CASE
+                       WHEN close IS NOT NULL THEN close
+                       WHEN prev_v IS NULL THEN next_v
+                       WHEN next_v IS NULL THEN prev_v
+                       ELSE CAST(CAST(prev_v AS DECIMAL(20,10))
+                                   * CAST(date_diff('day', ts, next_ts) AS DECIMAL(6,0))
+                                 + CAST(next_v AS DECIMAL(20,10))
+                                   * CAST(date_diff('day', prev_ts, ts) AS DECIMAL(6,0))
+                             AS DOUBLE)
+                            / CAST(date_diff('day', prev_ts, next_ts) AS DOUBLE)
+                   END AS close_interp
+            FROM (
+                SELECT ticker, ts, close,
+                       LAST_VALUE(close IGNORE NULLS) OVER wb AS prev_v,
+                       LAST_VALUE(CASE WHEN close IS NOT NULL THEN ts END IGNORE NULLS) OVER wb AS prev_ts,
+                       FIRST_VALUE(close IGNORE NULLS) OVER wf AS next_v,
+                       FIRST_VALUE(CASE WHEN close IS NOT NULL THEN ts END IGNORE NULLS) OVER wf AS next_ts
+                FROM spine
+                WINDOW wb AS (PARTITION BY ticker ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wf AS (PARTITION BY ticker ORDER BY ts
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+        """,
+        "hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "sessionize": """
+            SELECT user_id, session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM (
+                SELECT user_id, ts,
+                       SUM(CASE WHEN prev_ts IS NULL
+                                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM (SELECT user_id, event_id, ts,
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                      FROM events)
+            )
+            GROUP BY user_id, session_id
+        """,
+        "props_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+                   COUNT(*) AS n,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events
+            GROUP BY 1
+        """,
     }

@@ -1,0 +1,74 @@
+"""Calendar alignment: spine + forward-fill (J5/W9) and linear
+interpolation (W10) — the reference's `reindex(...).ffill()` and
+`pivot.interpolate(limit_direction="both")`
+(1_Dashboard.py:82, 106-127, 351).
+
+Spark-first design: the spine is `sequence(min_ts, max_ts)` exploded
+and cross-joined with the (small, distinct) ticker set, then a single
+window per ticker does ffill / interpolation — no pandas, no pivot, no
+driver-side loop. At 100 TB the spine join broadcasts the date range
+(tiny) and the window shuffles once on ticker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def calendar_spine(prices: DataFrame) -> DataFrame:
+    """Dense (ticker × every day in [global min ts, global max ts])
+    frame, left-joined with observed closes (null on gap days)."""
+    bounds = prices.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("ts"))
+    tickers = prices.select("ticker").distinct()
+    return (tickers.crossJoin(days)
+            .join(prices, ["ticker", "ts"], "left"))
+
+
+def ffill(spine: DataFrame, value_col: str = "close",
+          out_col: str = "close_ffill") -> DataFrame:
+    """W9 — per-ticker forward fill: last non-null over the preceding
+    frame (reference reindex(method='ffill'))."""
+    w = (W.partitionBy("ticker").orderBy("ts")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return spine.withColumn(out_col,
+                            F.last(value_col, ignorenulls=True).over(w))
+
+
+def interpolate(spine: DataFrame, value_col: str = "close",
+                out_col: str = "close_interp") -> DataFrame:
+    """W10 — per-ticker linear interpolation of nulls, edges filled
+    from the nearest non-null in either direction
+    (pandas interpolate(limit_direction='both'), 1_Dashboard.py:82).
+
+    value = (prev·(dd−d1) + next·d1) / dd  with d1 = ts − prev_ts,
+    dd = next_ts − prev_ts; leading gap → next, trailing gap → prev.
+    Pure window algebra — the composite from SURVEY §2.5 W10 — so it
+    stays JVM-side and scales.
+
+    The numerator is computed in exact DECIMAL arithmetic and only the
+    final division happens in double: `a + (b−a)·f` in floating point
+    is FMA-contractible and engines disagree in the last ulp, which
+    breaks cross-engine hash parity (observed vs DuckDB). Exact
+    numerator + one IEEE division is bit-identical everywhere.
+    """
+    wb = (W.partitionBy("ticker").orderBy("ts")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wf = (W.partitionBy("ticker").orderBy("ts")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    v = F.col(value_col)
+    obs_ts = F.when(v.isNotNull(), F.col("ts"))
+    prev_v = F.last(value_col, ignorenulls=True).over(wb)
+    prev_ts = F.last(obs_ts, ignorenulls=True).over(wb)
+    next_v = F.first(value_col, ignorenulls=True).over(wf)
+    next_ts = F.first(obs_ts, ignorenulls=True).over(wf)
+    d1 = F.datediff(F.col("ts"), prev_ts).cast("decimal(6,0)")
+    dd = F.datediff(next_ts, prev_ts).cast("decimal(6,0)")
+    num = (prev_v.cast("decimal(20,10)") * (dd - d1)
+           + next_v.cast("decimal(20,10)") * d1)
+    interp = (F.when(v.isNotNull(), v)
+              .when(prev_v.isNull(), next_v)            # leading edge
+              .when(next_v.isNull(), prev_v)            # trailing edge
+              .otherwise(num.cast("double") / dd.cast("double")))
+    return spine.withColumn(out_col, interp)
