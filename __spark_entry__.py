@@ -21,9 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from etl_portfolio_tracker_spark import derive
 from etl_portfolio_tracker_spark.io import read_table
 from etl_portfolio_tracker_spark.oracle import (
-    PRICES_CTE, TICK_PRICES_CTE, TRADES_CTE, UNIVERSE_CTE, with_domain,
+    FOLD_FINALS_SQL, PRICES_CTE, TICK_PRICES_CTE, TRADES_CTE, UNIVERSE_CTE,
+    with_domain,
 )
 from etl_portfolio_tracker_spark.operators import calendar as C
+from etl_portfolio_tracker_spark.operators import fold as FD
 from etl_portfolio_tracker_spark.operators import pivots as PV
 from etl_portfolio_tracker_spark.operators import relational as R
 from etl_portfolio_tracker_spark.operators import search as S
@@ -185,6 +187,23 @@ def _q_props_extract(spark, sf_dir):
     return SE.props_extract(read_table(spark, sf_dir, "events"))
 
 
+def _q_portfolio_fold(spark, sf_dir):
+    return FD.portfolio_fold(derive.trades(spark, sf_dir))
+
+
+def _q_avg_costs(spark, sf_dir):
+    return FD.avg_costs(derive.trades(spark, sf_dir))
+
+
+def _q_realized_pnl(spark, sf_dir):
+    return FD.realized_pnl(derive.trades(spark, sf_dir))
+
+
+def _q_overview_full(spark, sf_dir):
+    return FD.overview_full(derive.trades(spark, sf_dir),
+                            derive.tick_prices(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -212,6 +231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup": _q_hourly_rollup,
         "sessionize": _q_sessionize,
         "props_extract": _q_props_extract,
+        "portfolio_fold": _q_portfolio_fold,
+        "avg_costs": _q_avg_costs,
+        "realized_pnl": _q_realized_pnl,
+        "overview_full": _q_overview_full,
     }
 
 
@@ -454,5 +477,46 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events
             GROUP BY 1
+        """,
+        "portfolio_fold": FOLD_FINALS_SQL + """
+            SELECT "user", ticker, qty, avg_cost, realized FROM finals
+        """,
+        "avg_costs": FOLD_FINALS_SQL + """
+            SELECT "user", ticker, qty, avg_cost AS avg_buy_price
+            FROM finals WHERE qty > 0
+        """,
+        "realized_pnl": FOLD_FINALS_SQL + """
+            SELECT "user",
+                   CAST(ROUND(SUM(CAST(realized AS DECIMAL(38,10))), 4) AS DOUBLE) AS realized_pnl
+            FROM finals GROUP BY "user"
+        """,
+        "overview_full": FOLD_FINALS_SQL + """
+            , pos AS (
+                SELECT "user", ticker,
+                       SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS qty
+                FROM trades GROUP BY 1, 2
+                HAVING SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) <> 0
+            ),
+            tick_prices AS (
+                SELECT event_type AS ticker, CAST(ts AS DATE) AS ts, MIN(value) AS close
+                FROM events GROUP BY 1, 2
+            ),
+            lp AS (
+                SELECT ticker, arg_max(close, ts) AS last_close, MAX(ts) AS last_ts
+                FROM tick_prices GROUP BY ticker
+            )
+            SELECT p."user", p.ticker, p.qty,
+                   c.avg_cost AS avg_buy_price,
+                   lp.last_close,
+                   p.qty * lp.last_close AS market_value,
+                   p.qty * c.avg_cost AS invested,
+                   (lp.last_close - c.avg_cost) * p.qty AS unreal_pnl,
+                   CASE WHEN p.qty * c.avg_cost > 0
+                        THEN (lp.last_close - c.avg_cost) * p.qty / (p.qty * c.avg_cost) * 100
+                        END AS pnl_pct
+            FROM pos p
+            LEFT JOIN (SELECT * FROM finals WHERE qty > 0) c
+                   ON c."user" = p."user" AND c.ticker = p.ticker
+            LEFT JOIN lp ON lp.ticker = p.ticker
         """,
     }

@@ -56,6 +56,46 @@ universe AS (
 """
 
 
+# Recursive-CTE twin of operators/fold.py (W6/W7): steps every
+# (user, ticker) key through its trades in (ts, id) order, one
+# recursion level per trade rank. Left-associated arithmetic matches
+# the Python fold expression-for-expression so doubles are
+# bit-identical.
+FOLD_FINALS_SQL = f"""
+WITH RECURSIVE
+{TRADES_CTE.strip().rstrip()},
+tt AS (
+    SELECT *, row_number() OVER (PARTITION BY "user", ticker ORDER BY ts, id) AS rn
+    FROM trades
+),
+keys AS (SELECT "user", ticker, MAX(rn) AS n FROM tt GROUP BY 1, 2),
+fold AS (
+    SELECT "user", ticker, 0 AS rn,
+           CAST(0.0 AS DOUBLE) AS q, CAST(0.0 AS DOUBLE) AS avg,
+           CAST(0.0 AS DOUBLE) AS realized
+    FROM keys
+    UNION ALL
+    SELECT f."user", f.ticker, t.rn,
+           CASE WHEN t.side = 'BUY' THEN f.q + t.qty
+                WHEN f.q <= 0 THEN f.q
+                ELSE f.q - LEAST(t.qty, f.q) END,
+           CASE WHEN t.side = 'BUY'
+                THEN (f.q * f.avg + t.qty * t.price + t.fee) / (f.q + t.qty)
+                ELSE f.avg END,
+           CASE WHEN t.side = 'SELL' AND f.q > 0
+                THEN f.realized + (t.price - f.avg) * LEAST(t.qty, f.q)
+                ELSE f.realized END
+    FROM fold f
+    JOIN tt t ON t."user" = f."user" AND t.ticker = f.ticker AND t.rn = f.rn + 1
+),
+finals AS (
+    SELECT f."user", f.ticker, f.q AS qty, f.avg AS avg_cost, f.realized
+    FROM fold f
+    JOIN keys k ON k."user" = f."user" AND k.ticker = f.ticker AND f.rn = k.n
+)
+"""
+
+
 def with_domain(body: str, *ctes: str) -> str:
     """Wrap an oracle query body with the requested domain CTEs."""
     joined = ",\n".join(c.strip().rstrip() for c in ctes)
