@@ -25,7 +25,11 @@ from etl_portfolio_tracker_spark.oracle import (
     with_domain,
 )
 from etl_portfolio_tracker_spark.operators import calendar as C
+from etl_portfolio_tracker_spark.operators import dedup as DD
 from etl_portfolio_tracker_spark.operators import fold as FD
+from etl_portfolio_tracker_spark.operators import multimodal as MM
+from etl_portfolio_tracker_spark.operators import similarity as SIM
+from etl_portfolio_tracker_spark.operators import text as TX
 from etl_portfolio_tracker_spark.operators import pivots as PV
 from etl_portfolio_tracker_spark.operators import relational as R
 from etl_portfolio_tracker_spark.operators import search as S
@@ -118,6 +122,31 @@ _SPINE_SQL = f"""
 """
 
 
+# --- DuckDB twins of the tier-E text/dedup/similarity kernels ---------
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+_LANG_SCORES_SQL = ",\n".join(
+    f"LEN(list_filter(string_split({_NORM_SQL}, ' '), "
+    f"x -> list_contains([{', '.join(chr(39) + w + chr(39) for w in words)}], x))) AS score_{lang}"
+    for lang, words in sorted(TX.LANG_MARKERS.items()))
+_SHINGLES_SQL = f"""
+    WITH shingles AS (
+        SELECT DISTINCT doc_id, substr(text, i, {DD.SHINGLE_K}) AS shingle
+        FROM (SELECT doc_id, text,
+                     UNNEST(generate_series(1, LENGTH(text) - {DD.SHINGLE_K - 1})) AS i
+              FROM documents)
+    )
+"""
+_PE_SQL = """
+    WITH pe AS (
+        SELECT vec_id,
+               UNNEST(generate_series(1, LEN(embedding))) AS pos,
+               CAST(UNNEST(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+"""
+
+
 def _prices_subset(spark, sf_dir):
     """Sparse price series for a bounded ticker set (calendar ops)."""
     return derive.prices(spark, sf_dir).filter(
@@ -204,6 +233,69 @@ def _q_overview_full(spark, sf_dir):
                             derive.tick_prices(spark, sf_dir))
 
 
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def _q_token_stats(spark, sf_dir):
+    return TX.token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
+def _q_language_id(spark, sf_dir):
+    return TX.language_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return DD.exact_dedup(_docs(spark, sf_dir))
+
+
+JACCARD_DOC_LIMIT = 500  # exact-pairwise verifier runs on a bounded
+# subset: all-pairs Jaccard is O(n²) by nature (315 s at sf0.1 full
+# corpus); the full-corpus scale path is minhash_lsh + per-candidate
+# verification.
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_DOC_LIMIT))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    return DD.simhash(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    return SIM.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def _q_lsh_buckets(spark, sf_dir):
+    return SIM.lsh_buckets(_emb(spark, sf_dir))
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    return SIM.embedding_near_dup_pairs(_emb(spark, sf_dir))
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    return MM.media_meta(MM.docs_as_media(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -235,6 +327,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_costs": _q_avg_costs,
         "realized_pnl": _q_realized_pnl,
         "overview_full": _q_overview_full,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "language_id": _q_language_id,
+        "fingerprint": _q_fingerprint,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_buckets": _q_lsh_buckets,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "multimodal_meta": _q_multimodal_meta,
     }
 
 
@@ -518,5 +622,173 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM finals WHERE qty > 0) c
                    ON c."user" = p."user" AND c.ticker = p.ticker
             LEFT JOIN lp ON lp.ticker = p.ticker
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_raw,
+                   LEN(string_split({_NORM_SQL}, ' ')) AS n_ws_tokens,
+                   LEN(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   n_tokens, n_stopwords,
+                   CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / n_tokens END AS mean_word_len,
+                   CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens END AS stopword_ratio,
+                   CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+                   COALESCE(CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens END, 0.0) * 0.5
+                   + COALESCE(CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars END, 0.0) * 0.5 AS quality
+            FROM (
+                SELECT doc_id,
+                       LEN(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+                       LEN(list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> list_contains({_STOPWORDS_SQL}, x))) AS n_stopwords,
+                       LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       LENGTH(text) AS n_chars
+                FROM documents
+            )
+        """,
+        "language_id": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN best > 0 AND score_de = best THEN 'de'
+                        WHEN best > 0 AND score_en = best THEN 'en'
+                        WHEN best > 0 AND score_es = best THEN 'es'
+                        WHEN best > 0 AND score_fr = best THEN 'fr'
+                        ELSE 'und' END AS lang_pred,
+                   best AS best_score
+            FROM (
+                SELECT *, GREATEST(score_de, score_en, score_es, score_fr) AS best
+                FROM (
+                    SELECT doc_id, lang,
+                           {_LANG_SCORES_SQL}
+                    FROM documents
+                )
+            )
+        """,
+        "fingerprint": f"""
+            SELECT doc_id,
+                   md5(regexp_replace({_NORM_SQL}, '[^a-z0-9 ]', '', 'g')) AS fingerprint,
+                   LENGTH(regexp_replace({_NORM_SQL}, '[^a-z0-9 ]', '', 'g')) AS canon_len
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_md5,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "ngram_jaccard": _SHINGLES_SQL.replace(
+            "FROM documents",
+            f"FROM documents WHERE doc_id < {JACCARD_DOC_LIMIT}") + f"""
+            , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {DD.JACCARD_THRESHOLD}
+        """,
+        "minhash_lsh": _SHINGLES_SQL + f"""
+            , seeded AS (
+                SELECT doc_id, seed,
+                       MIN(md5(seed || ':' || shingle)) AS minhash
+                FROM shingles
+                CROSS JOIN (SELECT UNNEST(generate_series(0, {DD.MINHASH_SEEDS - 1})) AS seed)
+                GROUP BY doc_id, seed
+            ),
+            bands AS (
+                SELECT doc_id, seed // {DD.LSH_BAND_ROWS} AS band,
+                       md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+                FROM seeded
+                GROUP BY 1, 2
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+            FROM bands a JOIN bands b USING (band, band_key)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "simhash": f"""
+            WITH toks AS (
+                SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents
+            ),
+            weighted AS (
+                SELECT doc_id, j,
+                       CASE WHEN substr(md5(tok), j + 1, 1) IN
+                                 ('8','9','a','b','c','d','e','f')
+                            THEN 1 ELSE -1 END AS w
+                FROM toks
+                CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS j)
+            ),
+            bitsum AS (SELECT doc_id, j, SUM(w) AS s FROM weighted GROUP BY 1, 2)
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+            FROM bitsum GROUP BY doc_id
+        """,
+        "cosine_topk": _PE_SQL + """
+            , q AS (SELECT pos AS qpos, val AS qval FROM pe WHERE vec_id = 0),
+            dots AS (
+                SELECT vec_id,
+                       CAST(SUM(CAST(val * qval AS DECIMAL(38,10))) AS DOUBLE) AS dot
+                FROM pe JOIN q ON pe.pos = q.qpos
+                GROUP BY vec_id
+            ),
+            norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10))) AS DOUBLE)) AS norm
+                FROM pe GROUP BY vec_id
+            )
+            SELECT d.vec_id,
+                   ROUND(d.dot / (n.norm * qn.qnorm), 6) AS cos_sim
+            FROM dots d
+            JOIN norms n USING (vec_id)
+            CROSS JOIN (SELECT norm AS qnorm FROM norms WHERE vec_id = 0) qn
+            WHERE d.vec_id <> 0
+            ORDER BY cos_sim DESC, d.vec_id ASC
+            LIMIT 10
+        """,
+        "lsh_buckets": _PE_SQL + f"""
+            , sums AS (
+                SELECT vec_id, h,
+                       SUM(CAST(CAST((h * 37 + pos * 101) % 19 - 9 AS DOUBLE) * val
+                                AS DECIMAL(38,10))) AS s
+                FROM pe
+                CROSS JOIN (SELECT UNNEST(generate_series(0, {SIM.N_PLANES - 1})) AS h)
+                GROUP BY 1, 2
+            )
+            SELECT vec_id,
+                   SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << h ELSE 0 END) AS bucket
+            FROM sums GROUP BY vec_id
+        """,
+        "embedding_near_dup": _PE_SQL + f"""
+            , sums AS (
+                SELECT vec_id, h,
+                       SUM(CAST(CAST((h * 37 + pos * 101) % 19 - 9 AS DOUBLE) * val
+                                AS DECIMAL(38,10))) AS s
+                FROM pe
+                CROSS JOIN (SELECT UNNEST(generate_series(0, {SIM.N_PLANES - 1})) AS h)
+                GROUP BY 1, 2
+            ),
+            buckets AS (
+                SELECT vec_id,
+                       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << h ELSE 0 END) AS bucket
+                FROM sums GROUP BY vec_id
+            )
+            SELECT bucket, a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM buckets a JOIN buckets b USING (bucket)
+            WHERE a.vec_id < b.vec_id
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id,
+                   octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents
         """,
     }

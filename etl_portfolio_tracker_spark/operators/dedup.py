@@ -1,0 +1,152 @@
+"""Deduplication family for training-data pipelines (SURVEY §7 tier E):
+
+  exact        — hash-groupBy on content (or canonical fingerprint)
+  ngram-Jaccard— character-shingle overlap, exact pairwise verifier
+  MinHash+LSH  — shingle → K minhashes → B bands → bucket join;
+                 the scale path: candidate generation without O(n²)
+  SimHash      — 16-bit sign-of-weighted-sum fingerprint; near-dups
+                 share the value (or differ in few bits)
+
+Portability: every hash is md5 (identical in any engine), so the
+DuckDB oracles reproduce results bit-for-bit. At 100 TB the flow is
+shingle-explode (map) → min-agg per (doc, seed) (one shuffle) →
+band-key groupBy (one shuffle) → within-bucket pairing; no stage is
+quadratic in corpus size, only in bucket size (bounded by banding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SHINGLE_K = 5          # character shingle width
+MINHASH_SEEDS = 8      # K hash functions
+LSH_BAND_ROWS = 2      # R rows per band → B = K/R = 4 bands
+JACCARD_THRESHOLD = 0.5
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group identical texts, keep the smallest doc_id.
+    One shuffle on the content hash; at scale group on md5(text), not
+    text, to keep shuffle rows narrow."""
+    return (docs
+            .groupBy(F.md5("text").alias("text_md5"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct character k-shingles per doc: positions 1..len−k+1,
+    substr(text, i, k). Map-side explode — the standard shingling
+    kernel (Broder 1997, resemblance/minwise hashing)."""
+    return (docs
+            .select("doc_id",
+                    F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1)))
+                     .alias("i"),
+                    "text")
+            .select("doc_id", F.substring("text", F.col("i"), F.lit(k)).alias("shingle"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(docs: DataFrame,
+                        threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: self-join on shared
+    shingle, |A∩B| per pair, |A∪B| = |A|+|B|−|A∩B|.
+
+    Integer counts → jaccard is one exact IEEE division. This is the
+    O(pairs-sharing-a-shingle) verifier — at scale run it only on
+    LSH candidates (minhash_lsh_candidates), never the full corpus.
+    """
+    sh = shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (a.join(b, "shingle")
+              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("n_common")))
+    return (common
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                       .withColumnRenamed("n_sh", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                       .withColumnRenamed("n_sh", "n_b"), "doc_b")
+            .withColumn("jaccard",
+                        F.col("n_common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "n_common", "jaccard"))
+
+
+def minhash_signatures(docs: DataFrame,
+                       n_seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """MinHash signature rows (doc_id, seed, minhash): for each seed,
+    min over shingles of md5(seed || ':' || shingle). Min of a uniform
+    hash ≈ minwise permutation (Broder); md5-hex min is taken as a
+    string (uniform, portable)."""
+    sh = shingles(docs)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_seeds - 1))).alias("seed"),
+        "shingle")
+    return (seeded
+            .select("doc_id", "seed",
+                    F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))
+                     .alias("h"))
+            .groupBy("doc_id", "seed")
+            .agg(F.min("h").alias("minhash")))
+
+
+def minhash_band_keys(docs: DataFrame,
+                      n_seeds: int = MINHASH_SEEDS,
+                      band_rows: int = LSH_BAND_ROWS) -> DataFrame:
+    """LSH banding: band = seed div R; band key = md5 of the band's
+    minhashes joined in seed order. Docs sharing any (band, key) are
+    candidates."""
+    sig = minhash_signatures(docs, n_seeds)
+    return (sig
+            .withColumn("band", (F.col("seed") / band_rows).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"]),
+                ",")).alias("band_key")))
+
+
+def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band
+    bucket, with the number of agreeing bands. The verify step
+    (exact jaccard on candidates only) keeps the pipeline subquadratic."""
+    bk = minhash_band_keys(docs)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    return (a.join(b, ["band", "band_key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_bands")))
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash (Charikar 2002) over whitespace tokens with md5-derived
+    per-token bit projections: bit j weight = +1 if the j-th hex digit
+    of md5(token) has its high bit set else −1, summed over token
+    occurrences; fingerprint bit j = (sum > 0)."""
+    from .text import tokens_col
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    expanded = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        F.substring(F.md5("tok"), F.col("j") + 1, F.lit(1)).alias("hexd"))
+    weighted = expanded.select(
+        "doc_id", "j",
+        F.when(F.col("hexd").isin("8", "9", "a", "b", "c", "d", "e", "f"),
+               F.lit(1)).otherwise(F.lit(-1)).alias("w"))
+    bitsum = (weighted.groupBy("doc_id", "j")
+              .agg(F.sum("w").alias("s")))
+    return (bitsum
+            .withColumn("bit", (F.col("s") > 0).cast("long"))
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("bit")
+                       * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+                 .alias("simhash")))

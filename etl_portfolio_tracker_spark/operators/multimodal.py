@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary`
+columns with typed metadata, processed in Arrow batches via
+mapInPandas (SURVEY §7 tier E / task brief).
+
+The decode kernels are STUBS (this container has no image/audio
+libraries — see `_decode_image_bytes`): the Spark-side contract —
+schema, batch iteration, partition independence — is real and tested.
+A production deploy swaps `_decode_image_bytes` for PIL/libvips/ffmpeg
+without touching the plan shape. The mapInPandas form is the correct
+scale pattern: executors stream Arrow record batches through Python,
+memory bounded by `maxRecordsPerBatch`, no per-row serialization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media", T.BinaryType(), True),        # opaque payload
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("meta_width", T.IntegerType(), True),
+    T.StructField("meta_height", T.IntegerType(), True),
+])
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("magic_hex", T.StringType()),
+    T.StructField("decoded_width", T.IntegerType()),
+    T.StructField("decoded_height", T.IntegerType()),
+    T.StructField("mean_luma", T.DoubleType()),
+])
+
+_REAL_DECODE = False  # flipped when a real codec is wired in
+
+
+def _decode_image_bytes(payload: bytes) -> tuple[int, int, float]:
+    """STUB decode. Real implementation: PIL.Image.open(BytesIO(payload))
+    → (width, height, mean luminance). Here: a deterministic fake
+    derived from the payload so tests exercise the full plumbing."""
+    if _REAL_DECODE:  # pragma: no cover
+        raise NotImplementedError("wire PIL/libvips here")
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1, float(sum(payload[:16]) % 256))
+
+
+def docs_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat the documents table's text as an opaque binary
+    payload (the harness has no real image bytes) with fake metadata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("media"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"))
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: streams Arrow batches, one Python process
+    per task, emits typed features. Partition-parallel; no shuffle."""
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["media"]
+            feats = [_decode_image_bytes(bytes(p)) if p is not None
+                     else (None, None, None) for p in payloads]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": [len(bytes(p)) if p is not None else 0
+                            for p in payloads],
+                "magic_hex": [bytes(p)[:4].hex() if p is not None else None
+                              for p in payloads],
+                "decoded_width": [f[0] for f in feats],
+                "decoded_height": [f[1] for f in feats],
+                "mean_luma": [f[2] for f in feats],
+            })
+    return media.mapInPandas(_batches, schema=DECODED_SCHEMA)
+
+
+def media_meta(media: DataFrame) -> DataFrame:
+    """Pure-SQL metadata over binary payloads (no Python): byte length
+    + content hash — the part of the multimodal path that stays
+    JVM-side and is oracle-checkable."""
+    return media.select(
+        "media_id",
+        F.length("media").alias("n_bytes"),
+        F.md5("media").alias("content_md5"))

@@ -1,0 +1,98 @@
+"""Similarity search over the embeddings table (array<float>):
+
+  cosine_topk      — brute-force cosine top-k vs a query vector; the
+                     exact baseline. Per-row dot product via position
+                     explode + exact decimal sums → bit-portable.
+  lsh_buckets      — random-hyperplane (sign) LSH bucket assignment;
+                     the ANN scale path: candidate set = same bucket.
+  embedding_near_dup — pairs of vectors in the same bucket (candidate
+                     near-duplicates by embedding cosine).
+
+Scale: brute-force is one broadcast (the query vector) + a map + a
+top-k (TakeOrderedAndProject) — linear, shuffle-free; LSH adds one
+narrow groupBy. The hyperplanes are small deterministic integers so
+any engine reproduces the same buckets exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..derive import DEC
+
+N_PLANES = 8
+
+
+def _pos_explode(emb: DataFrame) -> DataFrame:
+    """(vec_id, pos [1-based], val) long form of the embedding column."""
+    return emb.select("vec_id",
+                      F.posexplode("embedding").alias("pos0", "valf")) \
+              .select("vec_id", (F.col("pos0") + 1).alias("pos"),
+                      F.col("valf").cast("double").alias("val"))
+
+
+def vector_norms(emb: DataFrame) -> DataFrame:
+    """|v| per vector — decimal-sum of squares, one sqrt."""
+    pe = _pos_explode(emb)
+    return (pe.groupBy("vec_id")
+            .agg(F.sqrt(F.sum((F.col("val") * F.col("val")).cast(DEC))
+                        .cast("double")).alias("norm")))
+
+
+def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against the embedding of
+    `query_vec_id`. cos = Σaᵢbᵢ / (|a||b|): products in double
+    (deterministic), sums in decimal (order-insensitive), one final
+    division — bit-portable across engines. Rounded to 6dp and
+    tie-broken by vec_id so the top-k cut is total-ordered."""
+    pe = _pos_explode(emb)
+    q = (pe.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("pos").alias("qpos"), F.col("val").alias("qval")))
+    dots = (pe.join(q, pe.pos == q.qpos)
+            .groupBy("vec_id")
+            .agg(F.sum((F.col("val") * F.col("qval")).cast(DEC))
+                 .cast("double").alias("dot")))
+    norms = vector_norms(emb)
+    qnorm = norms.filter(F.col("vec_id") == query_vec_id) \
+                 .select(F.col("norm").alias("qnorm"))
+    return (dots.join(norms, "vec_id").crossJoin(qnorm)
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id",
+                    F.round(F.col("dot") / (F.col("norm") * F.col("qnorm")), 6)
+                     .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(k))
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Sign-LSH: hyperplane h (0..n−1) has integer components
+    w(h,pos) = ((h·37 + pos·101) mod 19) − 9; bucket bit h =
+    (Σ w·val > 0). Integer weights ⇒ exact decimal dot products ⇒
+    identical buckets in any engine."""
+    pe = _pos_explode(emb)
+    planes = pe.select(
+        "vec_id", "pos", "val",
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("h"))
+    w = ((F.col("h") * 37 + F.col("pos") * 101) % 19 - 9).cast("double")
+    sums = (planes
+            .groupBy("vec_id", "h")
+            .agg(F.sum((w * F.col("val")).cast(DEC)).alias("s")))
+    return (sums
+            .withColumn("bit", (F.col("s") > 0).cast("long"))
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("bit")
+                       * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h AS INT))"))
+                 .alias("bucket")))
+
+
+def embedding_near_dup_pairs(emb: DataFrame) -> DataFrame:
+    """Candidate near-duplicate pairs: same LSH bucket (all planes
+    agree). Verify step would compute exact cosine on candidates."""
+    bk = lsh_buckets(emb)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    return (a.join(b, "bucket")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select("bucket",
+                    F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b")))

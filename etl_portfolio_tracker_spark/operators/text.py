@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID, fingerprinting.
+
+All pure column expressions (JVM-side, whole-stage-codegen) — no
+Python UDFs in any hot path. Each is embarrassingly parallel: per-row
+only, no shuffle at all, so they scale to 100 TB as a single map stage
+fused into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# naive stopword lists per language for the heuristic language-ID
+# (the classic n-gram/stopword-hit approach, cf. McNamee 2005 "Language
+# identification: a solved problem"); deterministic and SQL-expressible.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "y", "en"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is"]
+
+_norm = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")  # noqa: E731
+
+
+def tokens_col(text_col="text"):
+    """Whitespace tokenization of normalized text."""
+    return F.split(_norm(F.col(text_col)), " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex word tokens
+    ([a-z0-9]+ runs) + char length."""
+    toks = tokens_col()
+    word_toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(word_toks).alias("n_word_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality scoring (Gopher/C4-style rule features):
+    mean word length, stopword ratio, alpha ratio, plus a combined
+    score. Exact integer-ratio arithmetic (int/int division in double
+    — bit-deterministic)."""
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    n_chars = F.length("text")
+    mean_wl = F.when(n_tok > 0, n_alpha.cast("double") / n_tok)
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok)
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        (F.coalesce(stop_ratio, F.lit(0.0)) * 0.5
+         + F.coalesce(alpha_ratio, F.lit(0.0)) * 0.5).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language-ID: count marker-stopword hits per language,
+    predict the argmax (ties broken by language code asc), with 'und'
+    (undetermined) when nothing matches."""
+    toks = tokens_col()
+
+    def _hits(words):
+        # NB: a 2-arg lambda would make F.filter bind arg 2 to the
+        # element index — keep the closure single-argument.
+        return lambda t: t.isin(words)
+
+    scores = [
+        F.size(F.filter(toks, _hits(words))).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    # argmax via greatest + case chain in asc lang order (deterministic ties)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in sorted(LANG_MARKERS)])
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), lang).otherwise(pred)
+    return scored.select("doc_id", "lang",
+                         pred.alias("lang_pred"),
+                         best.alias("best_score"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text (lowercase,
+    collapsed whitespace, punctuation stripped) — the canonical-form
+    content hash used for exact near-canonical dedup."""
+    canon = F.regexp_replace(_norm(F.col("text")), r"[^a-z0-9 ]", "")
+    return docs.select("doc_id", F.md5(canon).alias("fingerprint"),
+                       F.length(canon).alias("canon_len"))
