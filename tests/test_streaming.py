@@ -1,0 +1,112 @@
+"""Streaming-tier tests: file-source micro-batches driven end-to-end
+with availableNow triggers + memory/parquet sinks."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_portfolio_tracker_spark.streaming import ingest, stateful, windows
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="spark_stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_price_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        [(t, dt.datetime(2025, 1, d, 12, 0, 0), float(c)) for t, d, c in rows],
+        "ticker string, ts timestamp, close double")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_dedup_idempotent_ingest(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    tgt = f"{tmpdir}/tgt"
+    chk = f"{tmpdir}/chk"
+    # batch 1 incl. an in-batch duplicate key
+    _write_price_batch(spark, src, [("A", 1, 10.0), ("A", 1, 10.5), ("B", 1, 7.0)])
+    q = ingest.write_idempotent(
+        ingest.dedup_stream(ingest.read_price_stream(spark, src)), tgt, chk)
+    q.awaitTermination(120)
+    # batch 2: replay of (A,1) plus a new day
+    _write_price_batch(spark, src, [("A", 1, 99.0), ("A", 2, 11.0)])
+    q2 = ingest.write_idempotent(
+        ingest.dedup_stream(ingest.read_price_stream(spark, src)), tgt, chk)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(tgt).groupBy("ticker", F.to_date("ts").alias("d")) \
+        .count().collect()
+    assert all(r["count"] == 1 for r in out)          # no duplicate keys survive
+    assert len(out) == 3                              # (A,1), (B,1), (A,2)
+
+
+def test_streaming_tumbling_window(spark, tmpdir):
+    src = f"{tmpdir}/ev"
+    base = dt.datetime(2025, 1, 1, 10, 5, 0)
+    df = spark.createDataFrame(
+        [(1, base, 7, "click", 2.0, None),
+         (2, base + dt.timedelta(minutes=30), 7, "click", 3.0, None),
+         (3, base + dt.timedelta(hours=2), 7, "view", 5.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    df.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(df.schema).parquet(src))
+    q = (windows.tumbling_counts(stream)
+         .writeStream.format("memory").queryName("tumbling_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r["win_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("select * from tumbling_test").collect()}
+    assert rows[(10, "click")] == (2, 5.0)
+    assert rows[(12, "view")] == (1, 5.0)
+
+
+def test_streaming_stateful_fold_across_batches(spark, tmpdir):
+    src = f"{tmpdir}/trades"
+    schema = ("id long, user string, ticker string, ts timestamp, "
+              "side string, qty double, price double, fee double")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    out = f"{tmpdir}/state_out"
+
+    def run(_name):
+        # memory sink can't recover from a checkpoint → foreachBatch
+        # parquet sink, latest row per key wins (stamped with batch id)
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def _sink(batch, bid):
+            batch.withColumn("bid", F.lit(bid)) \
+                 .write.mode("append").parquet(out)
+
+        q = (stateful.streaming_portfolio_state(stream)
+             .writeStream.foreachBatch(_sink)
+             .outputMode("update")
+             .option("checkpointLocation", f"{tmpdir}/chk_state")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        df = spark.read.parquet(out)
+        return {(r["user"], r["ticker"]): r
+                for r in df.groupBy("user", "ticker")
+                           .agg(*[F.max_by(c, "bid").alias(c)
+                                  for c in ("qty", "avg_cost", "realized", "n_rejected")])
+                           .collect()}
+
+    t0 = dt.datetime(2025, 1, 1)
+    write_batch([(1, "u", "T", t0, "BUY", 10.0, 200.0, 0.0)])
+    s1 = run("state_b1")
+    assert s1[("u", "T")]["qty"] == 10.0 and s1[("u", "T")]["avg_cost"] == 200.0
+
+    # batch 2 resumes saved state: oversell rejected, valid sell realizes
+    write_batch([(2, "u", "T", t0 + dt.timedelta(days=1), "SELL", 15.0, 210.0, 0.0),
+                 (3, "u", "T", t0 + dt.timedelta(days=2), "SELL", 5.0, 210.0, 0.0)])
+    s2 = run("state_b2")
+    r = s2[("u", "T")]
+    assert r["qty"] == 5.0 and r["realized"] == 50.0 and r["n_rejected"] == 1
