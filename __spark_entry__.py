@@ -148,9 +148,10 @@ _PE_SQL = """
 
 
 def _prices_subset(spark, sf_dir):
-    """Sparse price series for a bounded ticker set (calendar ops)."""
-    return derive.prices(spark, sf_dir).filter(
-        F.col("ticker").isin([f"P{i}" for i in range(1, SPINE_MAX_PARTKEY + 1)]))
+    """Sparse price series for a bounded ticker set (calendar ops);
+    the bound is applied to l_partkey pre-derivation so it pushes to
+    the parquet scan (partkey 0 never ships → P1..P20 exactly)."""
+    return derive.prices(spark, sf_dir, max_partkey=SPINE_MAX_PARTKEY)
 
 
 def _q_universe_search(spark, sf_dir):

@@ -32,7 +32,8 @@ def dsum(col):
     return F.sum(col.cast(DEC))
 
 
-def prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+def prices(spark: SparkSession, sf_dir: str,
+           max_partkey: int | None = None) -> DataFrame:
     """prices(ticker, ts, close) from lineitem.
 
     ticker = 'P' || l_partkey, ts = date(l_shipdate),
@@ -42,6 +43,12 @@ def prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference 1_Dashboard.py:82,117).
     """
     li = read_table(spark, sf_dir, "lineitem")
+    if max_partkey is not None:
+        # filter on the physical column BEFORE deriving ticker so the
+        # predicate reaches the parquet scan (a filter on the derived
+        # 'P'||key string cannot push down)
+        li = li.filter((F.col("l_partkey") >= 1)
+                       & (F.col("l_partkey") <= max_partkey))
     return (li.select(
                 F.concat(F.lit("P"), F.col("l_partkey")).alias("ticker"),
                 F.to_date("l_shipdate").alias("ts"),

@@ -77,23 +77,34 @@ def ngram_jaccard_pairs(docs: DataFrame,
             .select("doc_a", "doc_b", "n_common", "jaccard"))
 
 
+def _signature_wide(docs: DataFrame, n_seeds: int) -> DataFrame:
+    """One row per doc with the K per-seed minima as columns h0..hK−1.
+
+    Computed in a single groupBy(doc_id) with K min-aggregates over
+    the shingle stream — NOT a (doc × seed) explode: the explode form
+    shuffles K× the shingle rows (measured 39 s vs 4 s at sf0.1).
+    Map-side partial mins make this one narrow shuffle of |docs| rows.
+    """
+    sh = shingles(docs)
+    return sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle"))))
+         .alias(f"h{s}")
+        for s in range(n_seeds)
+    ])
+
+
 def minhash_signatures(docs: DataFrame,
                        n_seeds: int = MINHASH_SEEDS) -> DataFrame:
     """MinHash signature rows (doc_id, seed, minhash): for each seed,
     min over shingles of md5(seed || ':' || shingle). Min of a uniform
     hash ≈ minwise permutation (Broder); md5-hex min is taken as a
     string (uniform, portable)."""
-    sh = shingles(docs)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_seeds - 1))).alias("seed"),
-        "shingle")
-    return (seeded
-            .select("doc_id", "seed",
-                    F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))
-                     .alias("h"))
-            .groupBy("doc_id", "seed")
-            .agg(F.min("h").alias("minhash")))
+    wide = _signature_wide(docs, n_seeds)
+    return wide.unpivot(
+        "doc_id", [f"h{s}" for s in range(n_seeds)], "seed_name", "minhash") \
+        .select("doc_id",
+                F.regexp_replace("seed_name", "h", "").cast("int").alias("seed"),
+                "minhash")
 
 
 def minhash_band_keys(docs: DataFrame,
@@ -102,15 +113,20 @@ def minhash_band_keys(docs: DataFrame,
     """LSH banding: band = seed div R; band key = md5 of the band's
     minhashes joined in seed order. Docs sharing any (band, key) are
     candidates."""
-    sig = minhash_signatures(docs, n_seeds)
-    return (sig
-            .withColumn("band", (F.col("seed") / band_rows).cast("int"))
-            .groupBy("doc_id", "band")
-            .agg(F.md5(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"]),
-                ",")).alias("band_key")))
+    wide = _signature_wide(docs, n_seeds)
+    n_bands = n_seeds // band_rows
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"h{b * band_rows + r}")
+                                     for r in range(band_rows)]))
+             .alias("band_key"))
+        for b in range(n_bands)
+    ])
+    return (wide
+            .select("doc_id", F.explode(bands).alias("bk"))
+            .select("doc_id", F.col("bk.band").alias("band"),
+                    F.col("bk.band_key").alias("band_key")))
 
 
 def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:

@@ -11,26 +11,28 @@ Semantics per (user, ticker), trades scanned in (ts, id) order
              realized ← realized + (price − avg)·sell;  q ← q − sell
 
 Not expressible as closed-form window algebra (the sell clamp makes
-the recurrence non-linear) → grouped-map Pandas UDF (`applyInPandas`):
-one Arrow batch per key, a tight Python loop inside, parallel across
-keys — the one legitimate Python-side operator in the engine
-(SURVEY §2.10 U3). Each key's fold is a single task → float order is
-sequential and deterministic, which keeps results bit-identical to
-the reference's Python loop AND to the DuckDB recursive-CTE oracle
-(all three evaluate the same left-associated IEEE expressions).
+the recurrence non-linear) → Python fold over Arrow batches.
 
-Scale: one shuffle on (user, ticker); state is O(1) per key; keys are
-independent so 1000 executors fold 1000s of keys concurrently. Skewed
-key (one user-ticker with billions of trades) is the only hazard —
-that's inherent to ordered folds; mitigate upstream by ledger
-compaction (checkpointing state per epoch), see streaming/stateful.py.
+Physical design (measured, not guessed): groupBy().applyInPandas
+costs ~10 ms *per group* in scheduling/FFI overhead — 8-10 s for 750
+keys at sf0.1 even with a no-op kernel. Instead: one shuffle
+(`repartition` on the key), one sort within partitions
+(key, ts, id), then `mapInPandas` streaming whole Arrow batches
+through a single Python loop that detects key boundaries and carries
+state across batch boundaries. Same float semantics (sequential
+left-associated IEEE ops per key — bit-identical to the reference
+Python loop and the DuckDB recursive-CTE oracle), 15× faster, and at
+100 TB it is exactly one exchange + one external sort, with keys
+spread across all executors.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 FOLD_SCHEMA = T.StructType([
@@ -42,46 +44,70 @@ FOLD_SCHEMA = T.StructType([
 ])
 
 
-def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
-    q = 0.0
-    avg = 0.0
-    realized = 0.0
-    for side, qty, price, fee in zip(pdf["side"].values, pdf["qty"].values,
-                                     pdf["price"].values, pdf["fee"].values):
-        qty = float(qty)
-        price = float(price)
-        fee = float(fee)
-        if side == "BUY":
-            avg = (q * avg + qty * price + fee) / (q + qty)
-            q = q + qty
-        else:  # SELL
-            if q <= 0:
-                continue  # sell-when-flat is skipped (portfolio.py:104-105)
-            sell = qty if qty < q else q  # min(qty, q) clamp
-            realized = realized + (price - avg) * sell
-            q = q - sell
-    return pd.DataFrame({"user": [pdf["user"].iloc[0]],
-                         "ticker": [pdf["ticker"].iloc[0]],
-                         "qty": [q], "avg_cost": [avg], "realized": [realized]})
+def _fold_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fold a stream of Arrow batches whose rows arrive sorted by
+    (user, ticker, ts, id) with all rows of a key in this partition.
+    Keys may span batch boundaries — state carries over."""
+    cur = None
+    q = avg = realized = 0.0
+    out: list[tuple] = []
+    for pdf in batches:
+        for user, ticker, side, qty, price, fee in zip(
+                pdf["user"].values, pdf["ticker"].values, pdf["side"].values,
+                pdf["qty"].values, pdf["price"].values, pdf["fee"].values):
+            key = (user, ticker)
+            if key != cur:
+                if cur is not None:
+                    out.append((cur[0], cur[1], q, avg, realized))
+                cur = key
+                q = avg = realized = 0.0
+            qty = float(qty)
+            price = float(price)
+            fee = float(fee)
+            if side == "BUY":
+                avg = (q * avg + qty * price + fee) / (q + qty)
+                q = q + qty
+            else:  # SELL
+                if q <= 0:
+                    continue  # sell-when-flat skipped (portfolio.py:104-105)
+                sell = qty if qty < q else q  # min(qty, q) clamp
+                realized = realized + (price - avg) * sell
+                q = q - sell
+    if cur is not None:
+        out.append((cur[0], cur[1], q, avg, realized))
+    yield pd.DataFrame(out, columns=["user", "ticker", "qty", "avg_cost",
+                                     "realized"])
 
 
 def portfolio_fold(trades: DataFrame) -> DataFrame:
     """Final (qty, avg_cost, realized) per (user, ticker)."""
     return (trades
             .select("user", "ticker", "ts", "id", "side", "qty", "price", "fee")
-            .groupBy("user", "ticker")
-            .applyInPandas(_fold_group, schema=FOLD_SCHEMA))
+            .repartition("user", "ticker")
+            .sortWithinPartitions("user", "ticker", "ts", "id")
+            .mapInPandas(_fold_batches, schema=FOLD_SCHEMA))
 
 
 def avg_costs(trades: DataFrame) -> DataFrame:
     """W6 emission — reference `running_avg_costs` keeps qty > 0
     (portfolio.py:40)."""
-    from pyspark.sql import functions as F
     return (portfolio_fold(trades)
             .filter(F.col("qty") > 0)
             .select("user", "ticker", "qty",
                     F.col("avg_cost").alias("avg_buy_price")))
+
+
+def realized_pnl(trades: DataFrame) -> DataFrame:
+    """W7 emission — per-user total realized PnL (portfolio.py:74-110).
+    Per-ticker finals are deterministic doubles; the cross-ticker sum
+    goes through DECIMAL for order-insensitivity, rounded to 4dp
+    because double→decimal conversion itself carries 1-ulp noise at
+    scale 10 across engines."""
+    from ..derive import dsum
+    return (portfolio_fold(trades)
+            .groupBy("user")
+            .agg(F.round(dsum(F.col("realized")), 4)
+                 .cast("double").alias("realized_pnl")))
 
 
 def overview_full(trades: DataFrame, prices: DataFrame) -> DataFrame:
@@ -92,7 +118,6 @@ def overview_full(trades: DataFrame, prices: DataFrame) -> DataFrame:
     Join inputs are all bounded by |users|×|tickers| → broadcast joins;
     the only fact-sized work is the two upstream aggregations.
     """
-    from pyspark.sql import functions as F
     from .relational import latest_prices, positions
     pos = positions(trades)
     costs = avg_costs(trades)
@@ -109,17 +134,3 @@ def overview_full(trades: DataFrame, prices: DataFrame) -> DataFrame:
                         F.when(invested > 0, unreal / invested * 100))
             .select("user", "ticker", "qty", "avg_buy_price", "last_close",
                     "market_value", "invested", "unreal_pnl", "pnl_pct"))
-
-
-def realized_pnl(trades: DataFrame) -> DataFrame:
-    """W7 emission — per-user total realized PnL (portfolio.py:74-110).
-    Per-ticker finals are deterministic doubles; the cross-ticker sum
-    goes through DECIMAL for order-insensitivity, rounded to 4dp
-    because double→decimal conversion itself carries 1-ulp noise at
-    scale 10 across engines."""
-    from pyspark.sql import functions as F
-    from ..derive import dsum
-    return (portfolio_fold(trades)
-            .groupBy("user")
-            .agg(F.round(dsum(F.col("realized")), 4)
-                 .cast("double").alias("realized_pnl")))
