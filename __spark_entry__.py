@@ -21,12 +21,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from etl_portfolio_tracker_spark import derive
 from etl_portfolio_tracker_spark.io import read_table
 from etl_portfolio_tracker_spark.oracle import (
-    FOLD_FINALS_SQL, PRICES_CTE, TICK_PRICES_CTE, TRADES_CTE, UNIVERSE_CTE,
-    with_domain,
+    FOLD_FINALS_SQL, OVERSELL_SQL, PRICES_CTE, RAW_TRADES_CTE, TICK_PRICES_CTE,
+    TRADES_CTE, UNIVERSE_CTE, with_domain,
 )
 from etl_portfolio_tracker_spark.operators import calendar as C
 from etl_portfolio_tracker_spark.operators import dedup as DD
 from etl_portfolio_tracker_spark.operators import fold as FD
+from etl_portfolio_tracker_spark.operators import headline as HL
+from etl_portfolio_tracker_spark.operators import trade_ops as TO
 from etl_portfolio_tracker_spark.operators import multimodal as MM
 from etl_portfolio_tracker_spark.operators import similarity as SIM
 from etl_portfolio_tracker_spark.operators import text as TX
@@ -234,6 +236,31 @@ def _q_overview_full(spark, sf_dir):
                             derive.tick_prices(spark, sf_dir))
 
 
+def _q_brand_revenue(spark, sf_dir):
+    return HL.brand_revenue(spark, sf_dir)
+
+
+def _q_top_customers(spark, sf_dir):
+    return HL.top_customers(spark, sf_dir)
+
+
+def _q_region_revenue(spark, sf_dir):
+    return HL.region_revenue(spark, sf_dir)
+
+
+def _q_ticker_set_ops(spark, sf_dir):
+    return HL.ticker_set_ops(spark, sf_dir)
+
+
+def _q_trade_validation(spark, sf_dir):
+    return TO.violation_counts(derive.raw_trades(spark, sf_dir))
+
+
+def _q_oversell_guard(spark, sf_dir):
+    return TO.reject_oversells(derive.trades(spark, sf_dir)) \
+        .select("id", "accepted")
+
+
 def _docs(spark, sf_dir):
     return read_table(spark, sf_dir, "documents")
 
@@ -340,6 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": _q_lsh_buckets,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_meta": _q_multimodal_meta,
+        "brand_revenue": _q_brand_revenue,
+        "top_customers": _q_top_customers,
+        "region_revenue": _q_region_revenue,
+        "ticker_set_ops": _q_ticker_set_ops,
+        "trade_validation": _q_trade_validation,
+        "oversell_guard": _q_oversell_guard,
     }
 
 
@@ -791,5 +824,58 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(CAST(text AS BLOB)) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "region_revenue": """
+            SELECT r_name, n_name,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "ticker_set_ops": f"""
+            WITH {TRADES_CTE.strip()},
+            even AS (SELECT DISTINCT ticker FROM trades WHERE CAST(substring("user", 2) AS BIGINT) % 2 = 0),
+            odd AS (SELECT DISTINCT ticker FROM trades WHERE CAST(substring("user", 2) AS BIGINT) % 2 = 1)
+            SELECT ticker, 'both' AS cohort FROM (SELECT ticker FROM even INTERSECT SELECT ticker FROM odd)
+            UNION ALL
+            SELECT ticker, 'even_only' AS cohort FROM (SELECT ticker FROM even EXCEPT SELECT ticker FROM odd)
+            UNION ALL
+            SELECT ticker, 'odd_only' AS cohort FROM (SELECT ticker FROM odd EXCEPT SELECT ticker FROM even)
+        """,
+        "trade_validation": with_domain("""
+            SELECT COUNT(*) AS n_rows,
+                   SUM(CASE WHEN "user" IS NULL OR trim("user") = '' THEN 1 ELSE 0 END) AS bad_user,
+                   SUM(CASE WHEN ticker IS NULL OR trim(ticker) = '' THEN 1 ELSE 0 END) AS bad_ticker,
+                   SUM(CASE WHEN upper(trim(side)) NOT IN ('BUY', 'SELL') THEN 1 ELSE 0 END) AS bad_side,
+                   SUM(CASE WHEN qty IS NULL OR qty <= 0 THEN 1 ELSE 0 END) AS bad_qty,
+                   SUM(CASE WHEN price IS NULL OR price <= 0 THEN 1 ELSE 0 END) AS bad_price,
+                   SUM(CASE WHEN fee IS NULL OR fee < 0 THEN 1 ELSE 0 END) AS bad_fee,
+                   SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS bad_ts
+            FROM raw_trades
+        """, RAW_TRADES_CTE),
+        "oversell_guard": OVERSELL_SQL + """
+            SELECT id, accepted FROM guard WHERE rn >= 1
         """,
     }

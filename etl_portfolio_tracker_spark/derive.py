@@ -82,6 +82,27 @@ def trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def raw_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deliberately dirty trade batch (validation-rule fixture):
+    qty can be 0, side can be 'HOLD', price/fee can go non-positive,
+    user can be blank — exercises every P9 constraint
+    (trades.py:14-26)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.when(F.col("user_id") % 50 == 0, F.lit(""))
+         .otherwise(F.concat(F.lit("u"), F.col("user_id"))).alias("user"),
+        F.col("event_type").alias("ticker"),
+        F.col("ts"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("SELL"))
+         .when(F.col("event_id") % 3 == 1, F.lit("BUY"))
+         .otherwise(F.lit("HOLD")).alias("side"),
+        (F.col("event_id") % 10).cast("double").alias("qty"),
+        (F.col("value") - F.lit(50.0)).alias("price"),
+        (F.col("value") - F.lit(100.0)).alias("fee"),
+    )
+
+
 def tick_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily close series for the *traded* tickers (event types), so
     trades ⟕ prices joins have matching keys: close = min(value) per

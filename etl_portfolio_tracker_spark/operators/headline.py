@@ -1,0 +1,80 @@
+"""Headline analytical queries over the full TPC-H-ish star schema —
+the warehouse-scale join patterns the domain queries exercise in
+miniature (J3/J6 broadcast enrichment, multi-way joins, top-k).
+
+These are the bench workhorses: each is shaped so Catalyst produces
+the plan you want at 100 TB — dimension broadcasts, one fact shuffle,
+partial aggregation, TakeOrderedAndProject for top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..derive import dsum
+from ..io import read_table
+
+
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 enrichment join: lineitem ⋈ part (broadcast dim) → revenue
+    per brand. The dict-lookup join of the reference
+    (2_Trades.py:98-105) at warehouse scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.round(dsum(rev), 2).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("p_brand"))
+
+
+def top_customers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H-Q3-shaped: customer ⋈ orders ⋈ lineitem, revenue per
+    customer, top-k (TakeOrderedAndProject). Fact-fact join shuffles
+    on orderkey; customer dim broadcasts."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(F.round(dsum(rev), 2).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(k))
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped snowflake join: region ⋈ nation ⋈ customer ⋈
+    orders ⋈ lineitem. Three broadcast dims, one fact shuffle."""
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.round(dsum(rev), 2).cast("double").alias("revenue"))
+            .orderBy("r_name", "n_name"))
+
+
+def ticker_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations (absent in the reference, free in Spark):
+    per-ticker classification of two user cohorts' traded tickers —
+    intersect / except realized as full-outer join flags so the result
+    is one deterministic relation."""
+    from ..derive import trades
+    tr = trades(spark, sf_dir)
+    even = tr.filter(F.expr("substring(user, 2) % 2 = 0")) \
+             .select("ticker").distinct()
+    odd = tr.filter(F.expr("substring(user, 2) % 2 = 1")) \
+            .select("ticker").distinct()
+    both = even.intersect(odd).withColumn("cohort", F.lit("both"))
+    only_even = even.exceptAll(odd).withColumn("cohort", F.lit("even_only"))
+    only_odd = odd.exceptAll(even).withColumn("cohort", F.lit("odd_only"))
+    return both.unionByName(only_even).unionByName(only_odd)

@@ -40,6 +40,50 @@ tick_prices AS (
 )
 """
 
+RAW_TRADES_CTE = """
+raw_trades AS (
+    SELECT event_id AS id,
+           CASE WHEN user_id % 50 = 0 THEN '' ELSE 'u' || user_id END AS "user",
+           event_type AS ticker,
+           ts,
+           CASE WHEN event_id % 3 = 0 THEN 'SELL'
+                WHEN event_id % 3 = 1 THEN 'BUY'
+                ELSE 'HOLD' END AS side,
+           CAST(event_id % 10 AS DOUBLE) AS qty,
+           value - 50.0 AS price,
+           value - 100.0 AS fee
+    FROM events
+)
+"""
+
+# Recursive oversell guard (P10 batch form, trade_ops.reject_oversells):
+# running held qty per (user, ticker) over accepted trades only.
+OVERSELL_SQL = f"""
+WITH RECURSIVE
+{TRADES_CTE.strip().rstrip()},
+tt AS (
+    SELECT *, row_number() OVER (PARTITION BY "user", ticker ORDER BY ts, id) AS rn
+    FROM trades
+),
+keys AS (SELECT "user", ticker, MAX(rn) AS n FROM tt GROUP BY 1, 2),
+guard AS (
+    SELECT "user", ticker, 0 AS rn, CAST(0.0 AS DOUBLE) AS held,
+           CAST(NULL AS BIGINT) AS id, CAST(NULL AS BOOLEAN) AS accepted
+    FROM keys
+    UNION ALL
+    SELECT g."user", g.ticker, t.rn,
+           CASE WHEN t.side = 'BUY' THEN g.held + t.qty
+                WHEN t.qty > g.held + 1e-12 THEN g.held
+                ELSE g.held - t.qty END,
+           t.id,
+           CASE WHEN t.side = 'BUY' THEN TRUE
+                WHEN t.qty > g.held + 1e-12 THEN FALSE
+                ELSE TRUE END
+    FROM guard g
+    JOIN tt t ON t."user" = g."user" AND t.ticker = g.ticker AND t.rn = g.rn + 1
+)
+"""
+
 UNIVERSE_CTE = """
 universe AS (
     SELECT regexp_replace(trim(p_name), '\\s+', ' ', 'g') AS name_display,

@@ -1,0 +1,78 @@
+"""S4 CSV universe reader, P9/P10 trade write path, U2 UDF parity."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_portfolio_tracker_spark import schemas
+from etl_portfolio_tracker_spark.functions.udfs import (
+    builtin_normalize, normalize_text_udf,
+)
+from etl_portfolio_tracker_spark.io import read_csv_universe
+from etl_portfolio_tracker_spark.operators import trade_ops as TO
+
+
+def test_csv_universe_alias_headers_and_bom(spark, tmp_path):
+    # aliased headers (ticker/name/list) + UTF-8 BOM, like the
+    # reference CSV (universe.py:11-15, encoding utf-8-sig)
+    p = tmp_path / "uni.csv"
+    p.write_bytes("﻿name;ticker;list\nInvestor B;INVE-B.ST;Large\nSCA B;SCA-B.ST;Large\n"
+                  .encode("utf-8"))
+    df = read_csv_universe(spark, str(p))
+    rows = {r["name_display"]: r["yf_symbol"] for r in df.collect()}
+    assert rows == {"Investor B": "INVE-B.ST", "SCA B": "SCA-B.ST"}
+
+
+def test_csv_universe_missing_column_raises(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("foo;bar\n1;2\n")
+    import pytest
+    with pytest.raises(ValueError, match="missing required"):
+        read_csv_universe(spark, str(p))
+
+
+def _trades(spark, rows):
+    data = [(i + 1, "demo", "TICK",
+             dt.datetime(2025, 1, 1) + dt.timedelta(minutes=i),
+             side, float(q), float(p), float(f))
+            for i, (side, q, p, f) in enumerate(rows)]
+    return spark.createDataFrame(data, schema=schemas.TRADES)
+
+
+def test_validate_trades_flags(spark):
+    bad = spark.createDataFrame(
+        [(1, "", "TICK", dt.datetime(2025, 1, 1), "HOLD", 0.0, -5.0, -1.0)],
+        schema=schemas.TRADES)
+    r = TO.validate_trades(bad).collect()[0]
+    assert r["bad_user"] and r["bad_side"] and r["bad_qty"]
+    assert r["bad_price"] and r["bad_fee"] and not r["is_valid"]
+    good = _trades(spark, [("BUY", 1, 10, 0)])
+    assert TO.validate_trades(good).collect()[0]["is_valid"]
+
+
+def test_oversell_guard_scenario_b(spark):
+    # FIXTURES §2.2: BUY 10 → SELL 15 rejected → SELL 5 accepted
+    t = _trades(spark, [("BUY", 10, 200, 0), ("SELL", 15, 210, 0),
+                        ("SELL", 5, 210, 0)])
+    out = {r["id"]: r["accepted"] for r in TO.reject_oversells(t).collect()}
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_record_trades_appends_only_accepted(spark):
+    ledger = _trades(spark, [("BUY", 10, 200, 0)])
+    batch = spark.createDataFrame(
+        [(99, "demo", "TICK", dt.datetime(2025, 2, 1), "SELL", 50.0, 210.0, 0.0),
+         (100, "demo", "TICK", dt.datetime(2025, 2, 2), "SELL", 10.0, 210.0, 0.0)],
+        schema=schemas.TRADES)
+    new_ledger = TO.record_trades(ledger, batch)
+    ids = sorted(r["id"] for r in new_ledger.collect())
+    assert ids == [1, 100]  # oversell of 50 rejected, full exit accepted
+
+
+def test_udf_parity_with_builtin(spark):
+    df = spark.createDataFrame(
+        [("  HeLLo   World  ",), ("a\t b\n c",)], "s string")
+    got = df.select(normalize_text_udf("s").alias("u"),
+                    builtin_normalize(F.col("s")).alias("b")).collect()
+    for r in got:
+        assert r["u"] == r["b"]
