@@ -24,6 +24,7 @@ from etl_portfolio_tracker_spark.oracle import (
     FOLD_FINALS_SQL, OVERSELL_SQL, PRICES_CTE, RAW_TRADES_CTE, TICK_PRICES_CTE,
     TRADES_CTE, UNIVERSE_CTE, with_domain,
 )
+from etl_portfolio_tracker_spark.operators import asof as AS
 from etl_portfolio_tracker_spark.operators import calendar as C
 from etl_portfolio_tracker_spark.operators import dedup as DD
 from etl_portfolio_tracker_spark.operators import fold as FD
@@ -261,6 +262,28 @@ def _q_oversell_guard(spark, sf_dir):
         .select("id", "accepted")
 
 
+def _q_asof_join_trades(spark, sf_dir):
+    probes = derive.trades(spark, sf_dir).select(
+        "id", "ticker", F.to_date("ts").alias("ts"))
+    return AS.asof_join(probes, derive.tick_prices(spark, sf_dir))
+
+
+def _q_sales_cube(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(derive.dsum(F.col("l_quantity")), 2)
+                  .cast("double").alias("sum_qty")))
+
+
+def _q_ivf_assign(spark, sf_dir):
+    return SIM.ivf_assign(_emb(spark, sf_dir))
+
+
+def _q_ivf_topk(spark, sf_dir):
+    return SIM.ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=5)
+
+
 def _docs(spark, sf_dir):
     return read_table(spark, sf_dir, "documents")
 
@@ -373,6 +396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ticker_set_ops": _q_ticker_set_ops,
         "trade_validation": _q_trade_validation,
         "oversell_guard": _q_oversell_guard,
+        "asof_join_trades": _q_asof_join_trades,
+        "sales_cube": _q_sales_cube,
+        "ivf_assign": _q_ivf_assign,
+        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -877,5 +904,73 @@ def oracle_sql() -> dict[str, str]:
         """, RAW_TRADES_CTE),
         "oversell_guard": OVERSELL_SQL + """
             SELECT id, accepted FROM guard WHERE rn >= 1
+        """,
+        "asof_join_trades": with_domain("""
+            SELECT p.id, p.ticker, p.ts, tp.close AS asof_close
+            FROM (SELECT id, ticker, CAST(ts AS DATE) AS ts FROM trades) p
+            ASOF LEFT JOIN tick_prices tp
+              ON p.ticker = tp.ticker AND tp.ts <= p.ts
+        """, TRADES_CTE, TICK_PRICES_CTE),
+        "sales_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "ivf_assign": _PE_SQL + f"""
+            , cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval
+                      FROM pe WHERE vec_id < {SIM.N_IVF_CELLS}),
+            dots AS (
+                SELECT pe.vec_id, cid,
+                       CAST(SUM(CAST(val * cval AS DECIMAL(38,10))) AS DOUBLE) AS dot
+                FROM pe JOIN cpe ON pe.pos = cpe.cpos
+                GROUP BY 1, 2
+            )
+            SELECT vec_id, cid AS cell
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY dot DESC, cid ASC) AS rn
+                  FROM dots)
+            WHERE rn = 1
+        """,
+        "ivf_topk": _PE_SQL + f"""
+            , cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval
+                      FROM pe WHERE vec_id < {SIM.N_IVF_CELLS}),
+            cdots AS (
+                SELECT pe.vec_id, cid,
+                       CAST(SUM(CAST(val * cval AS DECIMAL(38,10))) AS DOUBLE) AS dot
+                FROM pe JOIN cpe ON pe.pos = cpe.cpos
+                GROUP BY 1, 2
+            ),
+            assign AS (
+                SELECT vec_id, cid AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY dot DESC, cid ASC) AS rn
+                      FROM cdots)
+                WHERE rn = 1
+            ),
+            qc AS (SELECT cell FROM assign WHERE vec_id = 0),
+            cand AS (SELECT a.vec_id FROM assign a, qc
+                     WHERE a.cell = qc.cell AND a.vec_id <> 0),
+            q AS (SELECT pos AS qpos, val AS qval FROM pe WHERE vec_id = 0),
+            dots AS (
+                SELECT pe.vec_id,
+                       CAST(SUM(CAST(val * qval AS DECIMAL(38,10))) AS DOUBLE) AS dot
+                FROM pe JOIN q ON pe.pos = q.qpos
+                WHERE pe.vec_id IN (SELECT vec_id FROM cand)
+                GROUP BY 1
+            ),
+            norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10))) AS DOUBLE)) AS norm
+                FROM pe GROUP BY vec_id
+            )
+            SELECT d.vec_id,
+                   ROUND(d.dot / (n.norm * qn.qnorm), 6) AS cos_sim
+            FROM dots d
+            JOIN norms n USING (vec_id)
+            CROSS JOIN (SELECT norm AS qnorm FROM norms WHERE vec_id = 0) qn
+            ORDER BY cos_sim DESC, d.vec_id ASC
+            LIMIT 5
         """,
     }

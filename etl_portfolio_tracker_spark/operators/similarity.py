@@ -85,6 +85,52 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
                  .alias("bucket")))
 
 
+N_IVF_CELLS = 8
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """IVF coarse quantization: cell = argmax-dot centroid.
+
+    Centroids here are the first `n_cells` vectors (deterministic
+    stand-in for a k-means codebook — the assignment/probe mechanics
+    are what matters). Dot products are decimal-exact; ties break by
+    centroid id via row_number, so assignment is engine-independent.
+    At scale: centroids broadcast (tiny), one map + one shuffle by
+    vec_id — linear, like every IVF build.
+    """
+    from pyspark.sql import Window as W
+    pe = _pos_explode(emb)
+    cpe = (pe.filter(F.col("vec_id") < n_cells)
+           .select(F.col("vec_id").alias("cid"),
+                   F.col("pos").alias("cpos"),
+                   F.col("val").alias("cval")))
+    dots = (pe.join(F.broadcast(cpe), pe.pos == cpe.cpos)
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("val") * F.col("cval")).cast(DEC))
+                 .cast("double").alias("dot")))
+    w = W.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cid"))
+    return (dots.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cell")))
+
+
+def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
+             n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """IVF-ANN search: restrict the exact cosine top-k to the query's
+    cell — the classic recall/cost trade (probe 1 cell here; probing
+    more cells is the same plan with an isin filter)."""
+    assign = ivf_assign(emb, n_cells)
+    qcell = assign.filter(F.col("vec_id") == query_vec_id) \
+                  .select(F.col("cell").alias("qcell"))
+    cands = (assign.crossJoin(F.broadcast(qcell))
+             .filter((F.col("cell") == F.col("qcell"))
+                     & (F.col("vec_id") != query_vec_id))
+             .select("vec_id"))
+    return cosine_topk(emb.join(cands.unionByName(
+        emb.select("vec_id").filter(F.col("vec_id") == query_vec_id)),
+        "vec_id"), query_vec_id, k)
+
+
 def embedding_near_dup_pairs(emb: DataFrame) -> DataFrame:
     """Candidate near-duplicate pairs: same LSH bucket (all planes
     agree). Verify step would compute exact cosine on candidates."""

@@ -1,0 +1,41 @@
+"""As-of join and IVF-ANN goldens."""
+
+import datetime as dt
+
+from etl_portfolio_tracker_spark import schemas
+from etl_portfolio_tracker_spark.operators import asof as AS
+from etl_portfolio_tracker_spark.operators import similarity as SIM
+
+
+def test_asof_join_basic(spark):
+    prices = spark.createDataFrame(
+        [("A", dt.date(2025, 1, 1), 10.0), ("A", dt.date(2025, 1, 5), 20.0),
+         ("B", dt.date(2025, 1, 2), 7.0)],
+        schema=schemas.PRICES)
+    probes = spark.createDataFrame(
+        [(1, "A", dt.date(2025, 1, 1)),   # same-day price applies
+         (2, "A", dt.date(2025, 1, 4)),   # between obs → older one
+         (3, "A", dt.date(2025, 1, 9)),   # after last → last
+         (4, "B", dt.date(2025, 1, 1)),   # before first → null
+         (5, "C", dt.date(2025, 1, 1))],  # unknown key → null
+        "id long, ticker string, ts date")
+    out = {r["id"]: r["asof_close"] for r in AS.asof_join(probes, prices).collect()}
+    assert out == {1: 10.0, 2: 10.0, 3: 20.0, 4: None, 5: None}
+
+
+def emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        schema=schemas.EMBEDDINGS)
+
+
+def test_ivf_assign_and_topk(spark):
+    # centroids = vecs 0,1 (n_cells=2): x-axis and y-axis
+    e = emb_df(spark, [[1, 0], [0, 1], [0.9, 0.1], [0.1, 0.9], [-1, 0.2]])
+    cells = {r["vec_id"]: r["cell"]
+             for r in SIM.ivf_assign(e, n_cells=2).collect()}
+    assert cells[2] == 0 and cells[3] == 1
+    top = SIM.ivf_topk(e, query_vec_id=0, k=5, n_cells=2).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 2 in ids           # same cell, most similar
+    assert 3 not in ids       # different cell → pruned (ANN trade-off)
