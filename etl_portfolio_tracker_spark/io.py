@@ -89,3 +89,17 @@ def write_prices_partitioned(prices: DataFrame, path: str) -> None:
      .repartition("ts_year")
      .sortWithinPartitions("ticker", "ts")
      .write.partitionBy("ts_year").mode("overwrite").parquet(path))
+
+
+def read_prices_range(spark: SparkSession, path: str,
+                      start: str, end: str) -> DataFrame:
+    """Range scan over the partitioned layout. Spark does NOT derive
+    partition-column bounds from a `ts` predicate (verified:
+    PartitionFilters stays empty on a bare ts filter), so the ts_year
+    predicate is added explicitly — this is what turns a 100 TB scan
+    into reading only the touched years."""
+    y0, y1 = int(start[:4]), int(end[:4])
+    return (spark.read.parquet(path)
+            .filter((F.col("ts_year") >= y0) & (F.col("ts_year") <= y1))
+            .filter((F.col("ts") >= F.lit(start)) & (F.col("ts") <= F.lit(end)))
+            .drop("ts_year"))

@@ -1,0 +1,43 @@
+"""Storage-layout test: the partitioned price layout must turn time
+range predicates into partition pruning (the P5 → partition-pruning
+mapping from SURVEY §4).
+
+NB a bare `ts` filter does NOT prune (Spark derives nothing about
+ts_year from it — PartitionFilters stays []); pruning requires the
+explicit partition predicate that read_prices_range adds.
+"""
+
+import datetime as dt
+
+import re
+
+from pyspark.sql import functions as F
+
+from etl_portfolio_tracker_spark import schemas
+from etl_portfolio_tracker_spark.io import (
+    read_prices_range, write_prices_partitioned,
+)
+
+
+def _partition_filters(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    return m.group(1) if m else ""
+
+
+def test_partitioned_prices_prune(spark, tmp_path):
+    rows = [("A", dt.date(2023 + y, 6, 1 + d), 10.0 + d)
+            for y in range(3) for d in range(5)]
+    prices = spark.createDataFrame(rows, schema=schemas.PRICES)
+    path = str(tmp_path / "prices")
+    write_prices_partitioned(prices, path)
+
+    scan = read_prices_range(spark, path, "2024-01-01", "2024-12-31")
+    pf = _partition_filters(scan)
+    assert "ts_year" in pf and pf.strip()          # pruning actually happens
+    assert scan.count() == 5                       # only 2024 rows
+    assert scan.agg(F.min("close")).collect()[0][0] == 10.0
+
+    # control: a bare ts filter does not prune — documents the trap
+    bare = spark.read.parquet(path).filter(F.col("ts") >= "2024-01-01")
+    assert _partition_filters(bare).strip() == ""
