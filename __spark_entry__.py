@@ -284,6 +284,22 @@ def _q_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=5)
 
 
+def _q_forecast_revenue(spark, sf_dir):
+    return HL.forecast_revenue(spark, sf_dir)
+
+
+def _q_shipmode_priority(spark, sf_dir):
+    return HL.shipmode_priority(spark, sf_dir)
+
+
+def _q_approx_stats(spark, sf_dir):
+    return HL.approx_stats(spark, sf_dir)
+
+
+def _q_sliding_rollup(spark, sf_dir):
+    return SE.sliding_rollup(read_table(spark, sf_dir, "events"))
+
+
 def _docs(spark, sf_dir):
     return read_table(spark, sf_dir, "documents")
 
@@ -400,6 +416,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": _q_sales_cube,
         "ivf_assign": _q_ivf_assign,
         "ivf_topk": _q_ivf_topk,
+        "forecast_revenue": _q_forecast_revenue,
+        "shipmode_priority": _q_shipmode_priority,
+        "sliding_rollup": _q_sliding_rollup,
+        # approx_stats: sketch values are engine-specific → no oracle
+        # (driver records rows-only); error bounds tested in pytest.
+        "approx_stats": _q_approx_stats,
     }
 
 
@@ -972,5 +994,31 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT norm AS qnorm FROM norms WHERE vec_id = 0) qn
             ORDER BY cos_sim DESC, d.vec_id ASC
             LIMIT 5
+        """,
+        "forecast_revenue": """
+            SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 10
+        """,
+        "shipmode_priority": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "sliding_rollup": """
+            SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900 - k) * 900) * 1000000) AS win_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+            FROM events
+            CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
+            GROUP BY 1, 2
         """,
     }

@@ -63,6 +63,49 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("r_name", "n_name"))
 
 
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: pure filter + aggregate — the pushdown
+    showcase (every predicate reaches the parquet scan; no shuffle at
+    all beyond the final 1-row combine)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (li.filter((F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+                      & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+                      & (F.col("l_discount").between(0.02, 0.06))
+                      & (F.col("l_quantity") < 10))
+            .agg(F.round(dsum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped: fact-fact join + conditional aggregation —
+    linestatus standing in for shipmode, order priority classified
+    high/low (CASE-sum pattern, F1)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1) \
+            .otherwise(0)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(high).alias("high_line_count"),
+                 F.sum(1 - high).alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ distinct, quantile sketch) —
+    sketch results are engine-specific so there is no DuckDB hash twin
+    (rows-only check); tests/test_approx.py bounds the error vs exact
+    instead. At 100 TB these replace exact distinct/percentile when a
+    shuffle of all distinct values is unaffordable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000)
+         .alias("price_quantiles"))
+
+
 def ticker_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set operations (absent in the reference, free in Spark):
     per-ticker classification of two user cohorts' traded tickers —

@@ -118,17 +118,37 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
              n_cells: int = N_IVF_CELLS) -> DataFrame:
     """IVF-ANN search: restrict the exact cosine top-k to the query's
     cell — the classic recall/cost trade (probe 1 cell here; probing
-    more cells is the same plan with an isin filter)."""
+    more cells is the same plan with an isin filter).
+
+    Built flat (dots/norms/assignment each computed once and joined)
+    rather than by composing cosine_topk over a filtered table —
+    composition re-derived the exploded embedding ~10× (74 exchanges
+    in the plan); this shape has 3 derivations and lets AQE broadcast
+    the per-query singletons.
+    """
     assign = ivf_assign(emb, n_cells)
     qcell = assign.filter(F.col("vec_id") == query_vec_id) \
                   .select(F.col("cell").alias("qcell"))
-    cands = (assign.crossJoin(F.broadcast(qcell))
-             .filter((F.col("cell") == F.col("qcell"))
-                     & (F.col("vec_id") != query_vec_id))
-             .select("vec_id"))
-    return cosine_topk(emb.join(cands.unionByName(
-        emb.select("vec_id").filter(F.col("vec_id") == query_vec_id)),
-        "vec_id"), query_vec_id, k)
+    pe = _pos_explode(emb)
+    q = (pe.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("pos").alias("qpos"), F.col("val").alias("qval")))
+    dots = (pe.join(q, pe.pos == q.qpos)
+            .groupBy("vec_id")
+            .agg(F.sum((F.col("val") * F.col("qval")).cast(DEC))
+                 .cast("double").alias("dot")))
+    norms = vector_norms(emb)
+    qnorm = norms.filter(F.col("vec_id") == query_vec_id) \
+                 .select(F.col("norm").alias("qnorm"))
+    return (dots.join(norms, "vec_id")
+            .join(assign, "vec_id")
+            .crossJoin(F.broadcast(qcell)).crossJoin(F.broadcast(qnorm))
+            .filter((F.col("cell") == F.col("qcell"))
+                    & (F.col("vec_id") != query_vec_id))
+            .select("vec_id",
+                    F.round(F.col("dot") / (F.col("norm") * F.col("qnorm")), 6)
+                     .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(k))
 
 
 def embedding_near_dup_pairs(emb: DataFrame) -> DataFrame:
