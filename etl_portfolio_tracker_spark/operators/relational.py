@@ -9,7 +9,7 @@ and every dimension-side join input is small enough to broadcast
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..derive import DEC, dsum
 

@@ -13,11 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .relational import signed_qty
 
 EPS = 1e-12  # trades.py:53
-
-RULES: dict[str, "F.Column"] = {}
 
 
 def _rules() -> dict[str, F.Column]:

@@ -21,9 +21,8 @@ semantics with the whole-target scan cost noted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from .. import schemas
 
 DEFAULT_WATERMARK = "7 days"
 

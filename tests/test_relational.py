@@ -3,8 +3,6 @@
 
 import datetime as dt
 
-from pyspark.sql import functions as F
-
 from etl_portfolio_tracker_spark import schemas
 from etl_portfolio_tracker_spark.operators import relational as R
 

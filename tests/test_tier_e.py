@@ -1,8 +1,6 @@
 """Tier-E tests: dedup, similarity, text analysis, multimodal plumbing
 on tiny in-memory frames."""
 
-from pyspark.sql import functions as F
-
 from etl_portfolio_tracker_spark import schemas
 from etl_portfolio_tracker_spark.operators import dedup as DD
 from etl_portfolio_tracker_spark.operators import multimodal as MM
