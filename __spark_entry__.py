@@ -51,11 +51,11 @@ SPINE_MAX_PARTKEY = 20      # calendar/interp queries run on a ticker subset
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: TPC-H-Q1-shaped pricing summary over lineitem —
-    scan → pushed filter → grouped conditional aggs → sort, the same
-    shape as the reference's positions/cash pipeline at warehouse
-    scale."""
-    return _q_pricing_summary(spark, SF0001)
+    """Flagship: the full portfolio overview (positions A1 ⟕ GAV fold
+    W6 ⟕ latest prices J1 + PnL expressions) — the reference's core
+    product query, exercising scan → agg → stateful fold → broadcast
+    joins → expressions in one plan."""
+    return _q_overview_full(spark, SF0001)
 
 
 # --- query implementations --------------------------------------------
@@ -155,6 +155,15 @@ def _prices_subset(spark, sf_dir):
     the bound is applied to l_partkey pre-derivation so it pushes to
     the parquet scan (partkey 0 never ships → P1..P20 exactly)."""
     return derive.prices(spark, sf_dir, max_partkey=SPINE_MAX_PARTKEY)
+
+
+def _q_positions_salted(spark, sf_dir):
+    """Skew-mitigation demo: salted two-phase aggregation must equal
+    the plain plan — reuses the `positions` oracle as proof."""
+    from etl_portfolio_tracker_spark.functions.skew import salted_sum
+    tr = derive.trades(spark, sf_dir)
+    return (salted_sum(tr, ["user", "ticker"], R.signed_qty(), "qty")
+            .filter(F.col("qty") != 0))
 
 
 def _q_universe_search(spark, sf_dir):
@@ -419,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": _q_forecast_revenue,
         "shipmode_priority": _q_shipmode_priority,
         "sliding_rollup": _q_sliding_rollup,
+        "positions_salted": _q_positions_salted,
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.
         "approx_stats": _q_approx_stats,
@@ -439,6 +449,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
+        "positions_salted": with_domain("""
+            SELECT "user", ticker,
+                   SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS qty
+            FROM trades
+            GROUP BY "user", ticker
+            HAVING SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) <> 0
+        """, TRADES_CTE),
         "positions": with_domain("""
             SELECT "user", ticker,
                    SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS qty

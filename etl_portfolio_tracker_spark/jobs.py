@@ -1,0 +1,54 @@
+"""Batch ETL job — the engine's equivalent of the reference's
+`python src/etl.py` entry point (extract → tidy → idempotent load,
+src/etl.py:24-74, SURVEY §3.1).
+
+extract: any source readable by spark.read (the harness uses parquet;
+the reference used a wide per-ticker HTTP download — a wide frame is
+accepted and unpivoted). tidy: unpivot wide→long, date-normalize,
+null-drop, project (etl.py:31-43). load: dedup-append keyed on
+(ticker, ts) into the partitioned layout (etl.py:46-65).
+
+Each run is idempotent: re-running on overlapping data is a no-op for
+existing keys — same contract as the unique index + INSERT OR IGNORE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .io import idempotent_append, write_prices_partitioned
+
+
+def tidy_prices(raw: DataFrame, wide: bool = False) -> DataFrame:
+    """etl.py:31-43: wide→long (F18), ts→date, dropna, project."""
+    if wide:
+        value_cols = [c for c in raw.columns if c != "ts"]
+        raw = raw.unpivot("ts", value_cols, "ticker", "close")
+    return (raw
+            .select("ticker", F.to_date("ts").alias("ts"), "close")
+            .na.drop(subset=["close"]))
+
+
+def run_price_etl(spark: SparkSession, source_path: str, target_path: str,
+                  wide: bool = False) -> dict:
+    """One scheduled run: returns counts for the job log (S9 —
+    etl.py:67-74 logs rows fetched/inserted)."""
+    batch = tidy_prices(spark.read.parquet(source_path), wide=wide)
+    if os.path.exists(target_path):
+        existing = (spark.read.parquet(target_path)
+                    .select("ticker", "ts", "close"))
+    else:
+        existing = spark.createDataFrame([], "ticker string, ts date, close double")
+    merged = idempotent_append(existing, batch, ["ticker", "ts"])
+    n_before = existing.count()
+    write_prices_partitioned(merged, target_path + "__new")
+    # atomic-ish swap (a real deployment uses Delta/table formats)
+    if os.path.exists(target_path):
+        import shutil
+        shutil.rmtree(target_path)
+    os.rename(target_path + "__new", target_path)
+    n_after = spark.read.parquet(target_path).count()
+    return {"existing": n_before, "after": n_after,
+            "inserted": n_after - n_before}

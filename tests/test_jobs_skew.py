@@ -1,0 +1,62 @@
+"""ETL job end-to-end (idempotent re-runs) + salted-agg equivalence."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_portfolio_tracker_spark import jobs, schemas
+from etl_portfolio_tracker_spark.functions.skew import salted_sum
+
+
+def _write_source(spark, path, rows, wide=False):
+    if wide:
+        df = spark.createDataFrame(rows, "ts string, AAPL double, MSFT double")
+    else:
+        df = spark.createDataFrame(
+            [(t, dt.date(2025, 1, d), float(c)) for t, d, c in rows],
+            schema=schemas.PRICES)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_price_etl_idempotent(spark, tmp_path):
+    src1 = str(tmp_path / "src1")
+    tgt = str(tmp_path / "prices")
+    _write_source(spark, src1, [("A", 1, 10.0), ("A", 2, 11.0), ("B", 1, 7.0)])
+    r1 = jobs.run_price_etl(spark, src1, tgt)
+    assert r1 == {"existing": 0, "after": 3, "inserted": 3}
+    # re-run same source → no-op
+    r2 = jobs.run_price_etl(spark, src1, tgt)
+    assert r2["inserted"] == 0 and r2["after"] == 3
+    # overlapping batch with one new key
+    src2 = str(tmp_path / "src2")
+    _write_source(spark, src2, [("A", 2, 99.0), ("B", 2, 8.0)])
+    r3 = jobs.run_price_etl(spark, src2, tgt)
+    assert r3["inserted"] == 1
+    vals = {(r["ticker"], r["ts"].day): r["close"]
+            for r in spark.read.parquet(tgt).collect()}
+    assert vals[("A", 2)] == 11.0   # existing key untouched (OR IGNORE)
+    assert vals[("B", 2)] == 8.0
+
+
+def test_price_etl_wide_source(spark, tmp_path):
+    src = str(tmp_path / "wide")
+    _write_source(spark, src, [("2025-01-01", 195.5, 430.0),
+                               ("2025-01-02", None, 431.0)], wide=True)
+    tgt = str(tmp_path / "prices_w")
+    r = jobs.run_price_etl(spark, src, tgt, wide=True)
+    assert r["after"] == 3  # null AAPL day dropped
+    out = spark.read.parquet(tgt)
+    assert set(out.select("ticker").distinct().toPandas()["ticker"]) == {"AAPL", "MSFT"}
+
+
+def test_salted_sum_equals_plain(spark):
+    rows = [(f"u{i % 3}", "T", float(i % 7) - 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "user string, ticker string, v double")
+    plain = {(r["user"], r["ticker"]): r["s"]
+             for r in df.groupBy("user", "ticker")
+                        .agg(F.sum(F.col("v").cast("decimal(38,10)"))
+                             .cast("double").alias("s")).collect()}
+    salted = {(r["user"], r["ticker"]): r["s"]
+              for r in salted_sum(df, ["user", "ticker"], F.col("v"), "s",
+                                  n_salts=8).collect()}
+    assert plain == salted
