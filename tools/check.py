@@ -58,6 +58,12 @@ def main():
     from etl_portfolio_tracker_spark.session import get_spark
 
     spark = get_spark("check")
+    # CHECK_TZ simulates a driver session in another timezone — all
+    # queries must be timezone-independent (ntz-pure arithmetic).
+    import os
+    tz = os.environ.get("CHECK_TZ")
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
