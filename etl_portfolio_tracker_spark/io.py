@@ -34,17 +34,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     not float div), keeping NTZ (naive) semantics.
     """
     if name == "events":
+        from .functions.ntz import ntz_from_micros
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        # NTZ must be built with pure calendar arithmetic:
-        # timestamp_micros() makes an LTZ instant and the LTZ→NTZ cast
-        # renders it in the SESSION timezone — under a non-UTC session
-        # every derived ts (dates, windows, sessions) shifts. Adding
-        # micros to an ntz anchor is timezone-independent.
-        return df.withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, "
-                   "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+        return df.withColumn("ts", ntz_from_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 
