@@ -88,5 +88,5 @@ def media_meta(media: DataFrame) -> DataFrame:
     JVM-side and is oracle-checkable."""
     return media.select(
         "media_id",
-        F.length("media").alias("n_bytes"),
+        F.length("media").cast("long").alias("n_bytes"),
         F.md5("media").alias("content_md5"))

@@ -38,9 +38,11 @@ def token_stats(docs: DataFrame) -> DataFrame:
     word_toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_raw"),
-        F.size(toks).alias("n_ws_tokens"),
-        F.size(word_toks).alias("n_word_tokens"),
+        # cast to long: DuckDB LEN/LENGTH are BIGINT and the driver
+        # compares schemas, not just values
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(word_toks).cast("long").alias("n_word_tokens"),
     )
 
 
@@ -59,8 +61,8 @@ def quality_score(docs: DataFrame) -> DataFrame:
     alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars)
     return docs.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
         mean_wl.alias("mean_word_len"),
         stop_ratio.alias("stopword_ratio"),
         alpha_ratio.alias("alpha_ratio"),
@@ -92,7 +94,7 @@ def language_id(docs: DataFrame) -> DataFrame:
         pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), lang).otherwise(pred)
     return scored.select("doc_id", "lang",
                          pred.alias("lang_pred"),
-                         best.alias("best_score"))
+                         best.cast("long").alias("best_score"))
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
@@ -101,4 +103,4 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     content hash used for exact near-canonical dedup."""
     canon = F.regexp_replace(_norm(F.col("text")), r"[^a-z0-9 ]", "")
     return docs.select("doc_id", F.md5(canon).alias("fingerprint"),
-                       F.length(canon).alias("canon_len"))
+                       F.length(canon).cast("long").alias("canon_len"))
