@@ -56,7 +56,9 @@ def ngram_jaccard_pairs(docs: DataFrame,
     O(pairs-sharing-a-shingle) verifier — at scale run it only on
     LSH candidates (minhash_lsh_candidates), never the full corpus.
     """
-    sh = shingles(docs).cache()
+    # no .cache(): the verifier runs on bounded subsets (recompute is
+    # cheaper than holding an unscoped cached RDD across driver calls)
+    sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
