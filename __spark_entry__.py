@@ -310,6 +310,22 @@ def _q_approx_stats(spark, sf_dir):
     return HL.approx_stats(spark, sf_dir)
 
 
+def _q_stats_summary(spark, sf_dir):
+    return HL.stats_summary(spark, sf_dir)
+
+
+def _q_region_rollup(spark, sf_dir):
+    return HL.region_rollup(spark, sf_dir)
+
+
+def _q_user_ticker_list(spark, sf_dir):
+    return HL.user_ticker_list(spark, sf_dir)
+
+
+def _q_region_revenue_sql(spark, sf_dir):
+    return HL.region_revenue_sql(spark, sf_dir)
+
+
 def _q_sliding_rollup(spark, sf_dir):
     return SE.sliding_rollup(read_table(spark, sf_dir, "events"))
 
@@ -434,6 +450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipmode_priority": _q_shipmode_priority,
         "sliding_rollup": _q_sliding_rollup,
         "positions_salted": _q_positions_salted,
+        "stats_summary": _q_stats_summary,
+        "region_rollup": _q_region_rollup,
+        "user_ticker_list": _q_user_ticker_list,
+        "region_revenue_sql": _q_region_revenue_sql,
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.
         "approx_stats": _q_approx_stats,
@@ -1016,6 +1036,45 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT norm AS qnorm FROM norms WHERE vec_id = 0) qn
             ORDER BY cos_sim DESC, d.vec_id ASC
             LIMIT 5
+        """,
+        "stats_summary": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+                   ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "region_rollup": """
+            SELECT r_name, n_name,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "user_ticker_list": with_domain("""
+            SELECT "user",
+                   array_to_string(list_sort(list(DISTINCT ticker)), ',') AS tickers,
+                   COUNT(DISTINCT ticker) AS n_tickers
+            FROM trades GROUP BY "user"
+        """, TRADES_CTE),
+        "region_revenue_sql": """
+            SELECT r_name, n_name,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
         """,
         "forecast_revenue": """
             SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,

@@ -106,6 +106,72 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("price_quantiles"))
 
 
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per returnflag: exact interpolated
+    percentiles (both engines sort + linearly interpolate — verified
+    bit-equal), sample stddev and correlation (rounded 6dp: Welford
+    accumulation order differs across engines at ~1e-12), exact
+    decimal mean."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(dsum(F.col("l_extendedprice")).cast("double") / F.count("*"), 6)
+         .alias("avg_price"))
+        .orderBy("l_returnflag"))
+
+
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP variant of the snowflake revenue query: per (region,
+    nation) plus region subtotals plus grand total."""
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .rollup("r_name", "n_name")
+            .agg(F.round(dsum(rev), 2).cast("double").alias("revenue")))
+
+
+def user_ticker_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation per user (collect_set →
+    array_sort → join): deterministic despite set collection order."""
+    from ..derive import trades
+    tr = trades(spark, sf_dir)
+    return (tr.groupBy("user")
+            .agg(F.concat_ws(",", F.array_sort(F.collect_set("ticker")))
+                 .alias("tickers"),
+                 F.count_distinct("ticker").alias("n_tickers")))
+
+
+def region_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q5-shaped snowflake expressed through the spark.sql API —
+    same Catalyst plan as the DataFrame form (the engine exposes both
+    surfaces; SURVEY §3 notes either is fine)."""
+    for t in ("region", "nation", "customer", "orders", "lineitem"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"eng_{t}")
+    return spark.sql("""
+        SELECT r_name, n_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+        FROM eng_lineitem
+        JOIN eng_orders ON l_orderkey = o_orderkey
+        JOIN eng_customer ON o_custkey = c_custkey
+        JOIN eng_nation ON c_nationkey = n_nationkey
+        JOIN eng_region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """)
+
+
 def ticker_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set operations (absent in the reference, free in Spark):
     per-ticker classification of two user cohorts' traded tickers —
