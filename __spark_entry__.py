@@ -218,8 +218,8 @@ def _q_calendar_ffill(spark, sf_dir):
 
 
 def _q_interpolate(spark, sf_dir):
-    sp = C.calendar_spine(_prices_subset(spark, sf_dir))
-    return C.interpolate(sp).select("ticker", "ts", "close_interp")
+    return (C.interpolate_dense(_prices_subset(spark, sf_dir))
+            .select("ticker", "ts", "close_interp"))
 
 
 def _q_hourly_rollup(spark, sf_dir):

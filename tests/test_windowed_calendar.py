@@ -37,6 +37,18 @@ def test_interpolate_edges_both_directions(spark):
     assert it[("B", 1)] == 7.0 and it[("B", 2)] == 7.0 and it[("B", 4)] == 7.0
 
 
+def test_interpolate_dense_matches_spine_form(spark):
+    # Fused gap-explode must be row-identical to spine + window form,
+    # including multi-ticker edges and single-observation tickers.
+    p = prices_df(spark, [("A", 1, 10), ("A", 4, 16), ("A", 9, 1),
+                          ("B", 3, 7), ("C", 5, 2), ("C", 6, 3)])
+    spine_form = C.interpolate(C.calendar_spine(p)).select(
+        "ticker", "ts", "close_interp")
+    dense_form = C.interpolate_dense(p)
+    assert spine_form.exceptAll(dense_form).count() == 0
+    assert dense_form.exceptAll(spine_form).count() == 0
+
+
 def test_daily_returns_and_twr(spark):
     p = prices_df(spark, [("A", 1, 100), ("A", 2, 110), ("A", 3, 99)])
     rets = {r["ts"].day: r["ret"] for r in WD.daily_returns(p).collect()}
