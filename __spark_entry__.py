@@ -820,17 +820,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {DD.JACCARD_THRESHOLD}
         """,
-        "minhash_lsh": _SHINGLES_SQL + f"""
+        "minhash_lsh": _SHINGLES_SQL.replace("SELECT DISTINCT", "SELECT") + f"""
             , seeded AS (
+                -- one-permutation hashing: seed s = 32-bit slice s of
+                -- one sha256 per shingle (matches dedup._signature_wide)
                 SELECT doc_id, seed,
-                       MIN(md5(seed || ':' || shingle)) AS minhash
+                       MIN(CAST(('0x' || substr(sha256(shingle), 1 + 8 * seed, 8))
+                                AS BIGINT)) AS minhash
                 FROM shingles
                 CROSS JOIN (SELECT UNNEST(generate_series(0, {DD.MINHASH_SEEDS - 1})) AS seed)
                 GROUP BY doc_id, seed
             ),
             bands AS (
                 SELECT doc_id, seed // {DD.LSH_BAND_ROWS} AS band,
-                       md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+                       md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
                 FROM seeded
                 GROUP BY 1, 2
             )

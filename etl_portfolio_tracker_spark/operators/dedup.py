@@ -34,17 +34,30 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
                  F.count("*").alias("n_copies")))
 
 
-def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct character k-shingles per doc: positions 1..len−k+1,
+def shingles(docs: DataFrame, k: int = SHINGLE_K,
+             distinct: bool = True) -> DataFrame:
+    """Character k-shingles per doc: positions 1..len−k+1,
     substr(text, i, k). Map-side explode — the standard shingling
-    kernel (Broder 1997, resemblance/minwise hashing)."""
-    return (docs
-            .select("doc_id",
-                    F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1)))
-                     .alias("i"),
-                    "text")
-            .select("doc_id", F.substring("text", F.col("i"), F.lit(k)).alias("shingle"))
-            .distinct())
+    kernel (Broder 1997, resemblance/minwise hashing).
+
+    The docs frame is repartitioned first: the source scan is a
+    single parquet split, and without the spread every downstream
+    shingle (a ~1000× row explosion) would hash/sort on one core.
+    `distinct=False` skips the set-dedup shuffle — min-aggregates
+    (MinHash) are multiset-invariant, so the minhash path never pays
+    it; Jaccard set counts do."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (docs
+          # explicit N: a keyed repartition without one is fair game
+          # for AQE coalescing (5000 rows → 1 partition), which would
+          # serialize the ~300× explode + hash work that follows
+          .repartition(n, "doc_id")
+          .select("doc_id",
+                  F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1)))
+                   .alias("i"),
+                  "text")
+          .select("doc_id", F.substring("text", F.col("i"), F.lit(k)).alias("shingle")))
+    return sh.distinct() if distinct else sh
 
 
 def ngram_jaccard_pairs(docs: DataFrame,
@@ -86,10 +99,23 @@ def _signature_wide(docs: DataFrame, n_seeds: int) -> DataFrame:
     the shingle stream — NOT a (doc × seed) explode: the explode form
     shuffles K× the shingle rows (measured 39 s vs 4 s at sf0.1).
     Map-side partial mins make this one narrow shuffle of |docs| rows.
+
+    The K "hash functions" are disjoint 32-bit slices of ONE sha256
+    per shingle — one-permutation hashing (Li, Owen, Zhang, NIPS
+    2012) — instead of K independent seeded digests: hashing is the
+    stage's hot loop (11.7M md5s ≈ 10 s/core at sf0.1), so one digest
+    per shingle cuts it ~8×. Each minimum is BIGINT (conv(slice, 16,
+    10)), not the hex string: min(string) has an immutable agg buffer
+    so Spark falls back to SortAggregate — sorting the full shingle
+    explosion; numeric min keeps the stage in HashAggregate +
+    whole-stage codegen. DuckDB mirrors both choices exactly
+    (sha256(), CAST('0x'||substr(...) AS BIGINT)).
     """
-    sh = shingles(docs)
+    assert n_seeds * 8 <= 64, "sha256 hex has 64 chars = 8 slices max"
+    sh = shingles(docs, distinct=False)
+    h = F.sha2(F.col("shingle"), 256)
     return sh.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle"))))
+        F.min(F.conv(F.substring(h, 1 + 8 * s, 8), 16, 10).cast("bigint"))
          .alias(f"h{s}")
         for s in range(n_seeds)
     ])
@@ -120,7 +146,7 @@ def minhash_band_keys(docs: DataFrame,
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[F.col(f"h{b * band_rows + r}")
+            F.md5(F.concat_ws(",", *[F.col(f"h{b * band_rows + r}").cast("string")
                                      for r in range(band_rows)]))
              .alias("band_key"))
         for b in range(n_bands)
@@ -135,7 +161,12 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     bucket, with the number of agreeing bands. The verify step
     (exact jaccard on candidates only) keeps the pipeline subquadratic."""
-    bk = minhash_band_keys(docs)
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    # explicit-N co-partition on the join key: the bucket fan-out
+    # (20k band rows → ~2.3M joined pairs at sf0.1) and the pair
+    # count-agg happen in the probe stage, which AQE would otherwise
+    # coalesce to one partition (bk itself is only |docs|×B rows)
+    bk = minhash_band_keys(docs).repartition(n, "band", "band_key")
     a = bk.alias("a")
     b = bk.alias("b")
     return (a.join(b, ["band", "band_key"])
@@ -151,20 +182,22 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     of md5(token) has its high bit set else −1, summed over token
     occurrences; fingerprint bit j = (sum > 0)."""
     from .text import tokens_col
-    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
-    expanded = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        F.substring(F.md5("tok"), F.col("j") + 1, F.lit(1)).alias("hexd"))
-    weighted = expanded.select(
-        "doc_id", "j",
-        F.when(F.col("hexd").isin("8", "9", "a", "b", "c", "d", "e", "f"),
-               F.lit(1)).otherwise(F.lit(-1)).alias("w"))
-    bitsum = (weighted.groupBy("doc_id", "j")
-              .agg(F.sum("w").alias("s")))
-    return (bitsum
-            .withColumn("bit", (F.col("s") > 0).cast("long"))
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("bit")
-                       * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-                 .alias("simhash")))
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (docs.repartition(n, "doc_id")
+            .select("doc_id", F.explode(tokens_col()).alias("tok")))
+    # One groupBy(doc_id) with 16 conditional sums instead of a 16×
+    # (doc, token, j) explode + two shuffles: the per-bit hex digit is
+    # substring j of ONE md5 per token (subexpression-eliminated in
+    # codegen), and the token stream is shuffled exactly once.
+    m = F.md5("tok")
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    bitsums = (toks.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.substring(m, j + 1, 1).isin(*high), 1).otherwise(-1))
+         .alias(f"s{j}")
+        for j in range(bits)]))
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return bitsums.select("doc_id", fp.alias("simhash"))
