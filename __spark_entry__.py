@@ -326,6 +326,22 @@ def _q_region_revenue_sql(spark, sf_dir):
     return HL.region_revenue_sql(spark, sf_dir)
 
 
+def _q_stale_parts(spark, sf_dir):
+    return HL.stale_parts(spark, sf_dir)
+
+
+def _q_urgent_customers(spark, sf_dir):
+    return HL.urgent_customers(spark, sf_dir)
+
+
+def _q_small_qty_revenue(spark, sf_dir):
+    return HL.small_qty_revenue(spark, sf_dir)
+
+
+def _q_multi_supp_orders(spark, sf_dir):
+    return HL.multi_supp_orders(spark, sf_dir)
+
+
 def _q_sliding_rollup(spark, sf_dir):
     return SE.sliding_rollup(read_table(spark, sf_dir, "events"))
 
@@ -451,6 +467,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rollup": _q_sliding_rollup,
         "positions_salted": _q_positions_salted,
         "stats_summary": _q_stats_summary,
+        "stale_parts": _q_stale_parts,
+        "urgent_customers": _q_urgent_customers,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "multi_supp_orders": _q_multi_supp_orders,
         "region_rollup": _q_region_rollup,
         "user_ticker_list": _q_user_ticker_list,
         "region_revenue_sql": _q_region_revenue_sql,
@@ -1051,6 +1071,50 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        "stale_parts": """
+            SELECT p_brand, COUNT(*) AS n_stale, MIN(p_retailprice) AS min_price
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_partkey = p.p_partkey
+                  AND CAST(l.l_shipdate AS DATE) >= DATE '2001-06-01')
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "urgent_customers": """
+            SELECT n_name, COUNT(*) AS n_urgent_custs
+            FROM customer c
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "small_qty_revenue": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sq,
+                       COUNT(*) AS cn
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN per_part USING (l_partkey)
+            WHERE CAST(l_quantity AS DECIMAL(38,10)) * 2 * cn < sq
+        """,
+        "multi_supp_orders": """
+            WITH multi AS (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+            )
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS total_value
+            FROM orders JOIN multi ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "region_rollup": """
             SELECT r_name, n_name,

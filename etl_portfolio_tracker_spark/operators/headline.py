@@ -179,6 +179,77 @@ def region_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def stale_parts(spark: SparkSession, sf_dir: str,
+                cutoff: str = "2001-06-01") -> DataFrame:
+    """Anti-join shape (TPC-H Q16 family; SURVEY §2.3 notes anti only
+    appears implicitly as INSERT OR IGNORE): parts with NO shipment on
+    or after the cutoff, per brand. The date filter pushes to the
+    lineitem scan; the anti join probes a broadcast of the filtered
+    distinct partkeys."""
+    part = read_table(spark, sf_dir, "part")
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate").cast("date") >= F.lit(cutoff).cast("date")))
+    return (part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_stale"),
+                 F.min("p_retailprice").alias("min_price"))
+            .orderBy("p_brand"))
+
+
+def urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join shape: customers with at least one 1-URGENT order,
+    counted per nation. The EXISTS collapses to a left-semi hash join
+    on the filtered orders — no duplicate-explosion then distinct."""
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    urgent = (read_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT"))
+    return (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_urgent_custs"))
+            .orderBy("n_name"))
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    half the part's average quantity. The correlated scalar subquery
+    becomes a broadcast join against the per-part aggregate, and the
+    threshold is the DIVISION-FREE exact form
+
+        2 · qty · count(part) < sum_qty(part)
+
+    — an avg computed in floating point orders differently per engine
+    and flips boundary rows; products of decimals are exact in both."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_quantity")).alias("_sq"),
+        F.count("*").alias("_cn"))
+    qty = F.col("l_quantity").cast("decimal(38,10)")
+    return (li.join(F.broadcast(per_part), "l_partkey")
+            .filter(qty * 2 * F.col("_cn") < F.col("_sq"))
+            .agg(F.round(dsum(F.col("l_extendedprice")), 2).cast("double")
+                  .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def multi_supp_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 family: orders whose lineitems come from ≥2 distinct
+    suppliers, counted per order priority. distinct-agg + HAVING +
+    fact-fact join on the orderkey."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    multi = (li.groupBy("l_orderkey")
+             .agg(F.count_distinct("l_suppkey").alias("_ns"))
+             .filter(F.col("_ns") >= 2))
+    return (orders.join(multi, orders.o_orderkey == multi.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(dsum(F.col("o_totalprice")), 2).cast("double")
+                  .alias("total_value"))
+            .orderBy("o_orderpriority"))
+
+
 def ticker_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set operations (absent in the reference, free in Spark):
     per-ticker classification of two user cohorts' traded tickers —
