@@ -52,3 +52,39 @@ def run_price_etl(spark: SparkSession, source_path: str, target_path: str,
     n_after = spark.read.parquet(target_path).count()
     return {"existing": n_before, "after": n_after,
             "inserted": n_after - n_before}
+
+
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   n_buckets: int = 32, sort: bool = True) -> None:
+    """Persist a fact table bucketed (and sorted) by its join keys.
+
+    This is the 100 TB co-location strategy: two tables bucketed the
+    same way join with NO shuffle exchange — each task zips bucket i
+    with bucket i — and `sortBy` additionally drops the sort step of
+    the sort-merge join. At cluster scale this turns every repeated
+    fact-fact join (orders ⋈ lineitem on orderkey) from a full-data
+    exchange into a local merge. Spark's bucketing survives restarts
+    via the catalog (saveAsTable), unlike an in-session repartition.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def bucketed_join_demo(spark: SparkSession, sf_dir: str,
+                       n_buckets: int = 8) -> DataFrame:
+    """orders ⋈ lineitem through bucketed tables: revenue per order
+    priority. Returns the joined aggregate; the plan contains no
+    Exchange on orderkey (asserted in tests/test_jobs_skew.py)."""
+    from .io import read_table
+    write_bucketed(read_table(spark, sf_dir, "orders"),
+                   "orders_b", ["o_orderkey"], n_buckets)
+    write_bucketed(read_table(spark, sf_dir, "lineitem"),
+                   "lineitem_b", ["l_orderkey"], n_buckets)
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n")))

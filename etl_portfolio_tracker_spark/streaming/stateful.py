@@ -76,3 +76,75 @@ def streaming_portfolio_state(trades_stream: DataFrame) -> DataFrame:
                 stateStructType=STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+class PortfolioProcessor:
+    """Spark 4 transformWithStateInPandas version of the same fold —
+    the successor API to applyInPandasWithState: typed state variables
+    (ValueState here; ListState/MapState available), explicit init/
+    close lifecycle, timers, and a RocksDB-backed store, so state can
+    exceed executor memory at cluster scale. Kept semantically
+    identical to _fold_with_state (same GAV/oversell math, same
+    (ts, id) fold order) so the two APIs are interchangeable.
+
+    Defined lazily as a StatefulProcessor subclass via __init_subclass
+    -free composition: importing pyspark.sql.streaming at module load
+    is fine, but the class body stays minimal for pickling to workers.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "portfolio", "qty double, avg_cost double, realized double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            q, avg, realized = self._state.get()
+        else:
+            q, avg, realized = 0.0, 0.0, 0.0
+        rejected = 0
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
+            for side, qty, price, fee in zip(
+                    pdf["side"].values, pdf["qty"].values,
+                    pdf["price"].values, pdf["fee"].values):
+                qty, price, fee = float(qty), float(price), float(fee)
+                if side == "BUY":
+                    avg = (q * avg + qty * price + fee) / (q + qty)
+                    q = q + qty
+                else:
+                    if qty > q + 1e-12:
+                        rejected += 1
+                        continue
+                    realized = realized + (price - avg) * qty
+                    q = q - qty
+        self._state.update((q, avg, realized))
+        yield pd.DataFrame({"user": [key[0]], "ticker": [key[1]],
+                            "qty": [q], "avg_cost": [avg],
+                            "realized": [realized], "n_rejected": [rejected]})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_portfolio_tws(trades_stream: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of streaming_portfolio_state.
+    Requires the RocksDB state store provider (set in tests) AND
+    google.protobuf at runtime (the TWS Python worker's state-server
+    protocol is protobuf-framed) — environments without it should use
+    streaming_portfolio_state, which is wire-format-free and
+    semantically identical.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    proc = type("PortfolioStatefulProcessor",
+                (PortfolioProcessor, StatefulProcessor), {})()
+    return (trades_stream
+            .groupBy("user", "ticker")
+            .transformWithStateInPandas(
+                statefulProcessor=proc,
+                outputStructType=OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))

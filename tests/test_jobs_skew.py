@@ -49,6 +49,33 @@ def test_price_etl_wide_source(spark, tmp_path):
     assert set(out.select("ticker").distinct().toPandas()["ticker"]) == {"AAPL", "MSFT"}
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # Bucketed-by-join-key tables must sort-merge join with no
+    # Exchange on the key — the co-location contract at cluster scale.
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = jobs.bucketed_join_demo(spark, sf, n_buckets=4)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        rows = {r["o_orderpriority"]: r["n"] for r in q.collect()}
+        # cross-check counts against a plain parquet join
+        from etl_portfolio_tracker_spark.io import read_table
+        li = read_table(spark, sf, "lineitem")
+        od = read_table(spark, sf, "orders")
+        plain = {r["o_orderpriority"]: r["n"]
+                 for r in li.join(od, li.l_orderkey == od.o_orderkey)
+                            .groupBy("o_orderpriority")
+                            .agg(F.count("*").alias("n")).collect()}
+        assert rows == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
 def test_salted_sum_equals_plain(spark):
     rows = [(f"u{i % 3}", "T", float(i % 7) - 3) for i in range(500)]
     df = spark.createDataFrame(rows, "user string, ticker string, v double")

@@ -110,3 +110,68 @@ def test_streaming_stateful_fold_across_batches(spark, tmpdir):
     s2 = run("state_b2")
     r = s2[("u", "T")]
     assert r["qty"] == 5.0 and r["realized"] == 50.0 and r["n_rejected"] == 1
+
+
+def test_transform_with_state_fold_across_batches(spark, tmpdir):
+    # Spark 4 transformWithStateInPandas twin of the test above:
+    # same fold semantics, RocksDB-backed typed state.
+    # TWS's Python driver worker speaks protobuf to the JVM; the
+    # container has no google.protobuf, so skip (not xfail: the
+    # operator itself is exercised wherever protobuf exists).
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas requires protobuf for its "
+               "state-server protocol; not installed in this container")
+    src = f"{tmpdir}/trades_tws"
+    out = f"{tmpdir}/tws_out"
+    schema = ("id long, user string, ticker string, ts timestamp, "
+              "side string, qty double, price double, fee double")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        def run():
+            stream = spark.readStream.schema(schema).parquet(src)
+
+            def _sink(batch, bid):
+                batch.withColumn("bid", F.lit(bid)) \
+                     .write.mode("append").parquet(out)
+
+            q = (stateful.streaming_portfolio_tws(stream)
+                 .writeStream.foreachBatch(_sink)
+                 .outputMode("update")
+                 .option("checkpointLocation", f"{tmpdir}/chk_tws")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+            df = spark.read.parquet(out)
+            return {(r["user"], r["ticker"]): r
+                    for r in df.groupBy("user", "ticker")
+                               .agg(*[F.max_by(c, "bid").alias(c)
+                                      for c in ("qty", "avg_cost",
+                                                "realized", "n_rejected")])
+                               .collect()}
+
+        t0 = dt.datetime(2025, 1, 1)
+        write_batch([(1, "u", "T", t0, "BUY", 10.0, 200.0, 0.0),
+                     (2, "v", "T", t0, "BUY", 4.0, 50.0, 2.0)])
+        s1 = run()
+        assert s1[("u", "T")]["qty"] == 10.0
+        assert s1[("u", "T")]["avg_cost"] == 200.0
+        assert s1[("v", "T")]["avg_cost"] == pytest.approx(50.5)
+
+        write_batch([(3, "u", "T", t0 + dt.timedelta(days=1), "SELL", 15.0, 210.0, 0.0),
+                     (4, "u", "T", t0 + dt.timedelta(days=2), "SELL", 5.0, 210.0, 0.0)])
+        s2 = run()
+        r = s2[("u", "T")]
+        assert r["qty"] == 5.0 and r["realized"] == 50.0 and r["n_rejected"] == 1
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
