@@ -46,12 +46,8 @@ def shingles(docs: DataFrame, k: int = SHINGLE_K,
     `distinct=False` skips the set-dedup shuffle — min-aggregates
     (MinHash) are multiset-invariant, so the minhash path never pays
     it; Jaccard set counts do."""
-    n = docs.sparkSession.sparkContext.defaultParallelism
-    sh = (docs
-          # explicit N: a keyed repartition without one is fair game
-          # for AQE coalescing (5000 rows → 1 partition), which would
-          # serialize the ~300× explode + hash work that follows
-          .repartition(n, "doc_id")
+    from ..functions.partitioning import spread
+    sh = (spread(docs, "doc_id")
           .select("doc_id",
                   F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1)))
                    .alias("i"),
@@ -161,11 +157,14 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     bucket, with the number of agreeing bands. The verify step
     (exact jaccard on candidates only) keeps the pipeline subquadratic."""
+    from ..functions.partitioning import spread
     n = docs.sparkSession.sparkContext.defaultParallelism
     # explicit-N co-partition on the join key: the bucket fan-out
     # (20k band rows → ~2.3M joined pairs at sf0.1) and the pair
     # count-agg happen in the probe stage, which AQE would otherwise
-    # coalesce to one partition (bk itself is only |docs|×B rows)
+    # coalesce to one partition (bk itself is only |docs|×B rows).
+    # Unconditional (not spread()): the band-key frame is always
+    # |docs|×B narrow rows, so this exchange is cheap at any scale.
     bk = minhash_band_keys(docs).repartition(n, "band", "band_key")
     a = bk.alias("a")
     b = bk.alias("b")
@@ -182,8 +181,8 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     of md5(token) has its high bit set else −1, summed over token
     occurrences; fingerprint bit j = (sum > 0)."""
     from .text import tokens_col
-    n = docs.sparkSession.sparkContext.defaultParallelism
-    toks = (docs.repartition(n, "doc_id")
+    from ..functions.partitioning import spread
+    toks = (spread(docs, "doc_id")
             .select("doc_id", F.explode(tokens_col()).alias("tok")))
     # One groupBy(doc_id) with 16 conditional sums instead of a 16×
     # (doc, token, j) explode + two shuffles: the per-bit hex digit is

@@ -24,11 +24,15 @@ N_PLANES = 8
 
 
 def _pos_explode(emb: DataFrame) -> DataFrame:
-    """(vec_id, pos [1-based], val) long form of the embedding column."""
-    return emb.select("vec_id",
-                      F.posexplode("embedding").alias("pos0", "valf")) \
-              .select("vec_id", (F.col("pos0") + 1).alias("pos"),
-                      F.col("valf").cast("double").alias("val"))
+    """(vec_id, pos [1-based], val) long form of the embedding column.
+    spread() first: the 64× explode inherits the input partitioning
+    (one local split) and would otherwise run single-core; on a
+    cluster with real splits it's a no-op."""
+    from ..functions.partitioning import spread
+    return spread(emb, "vec_id") \
+        .select("vec_id", F.posexplode("embedding").alias("pos0", "valf")) \
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"),
+                F.col("valf").cast("double").alias("val"))
 
 
 def vector_norms(emb: DataFrame) -> DataFrame:
@@ -70,19 +74,23 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     (Σ w·val > 0). Integer weights ⇒ exact decimal dot products ⇒
     identical buckets in any engine."""
     pe = _pos_explode(emb)
-    planes = pe.select(
-        "vec_id", "pos", "val",
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("h"))
-    w = ((F.col("h") * 37 + F.col("pos") * 101) % 19 - 9).cast("double")
-    sums = (planes
-            .groupBy("vec_id", "h")
-            .agg(F.sum((w * F.col("val")).cast(DEC)).alias("s")))
-    return (sums
-            .withColumn("bit", (F.col("s") > 0).cast("long"))
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("bit")
-                       * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h AS INT))"))
-                 .alias("bucket")))
+    # One groupBy(vec_id) with n_planes decimal sums instead of an
+    # n_planes× row explode + (vec_id, h) shuffle + second shuffle:
+    # the plane weight is a pure function of (h, pos), so each plane's
+    # dot product is just another aggregate over the same long rows.
+    # Cuts shuffle volume n_planes× — the difference that matters when
+    # the embedding table, not the plane count, is what scales.
+    def w(h):
+        return ((F.lit(h * 37) + F.col("pos") * 101) % 19 - 9).cast("double")
+    sums = pe.groupBy("vec_id").agg(*[
+        F.sum((w(h) * F.col("val")).cast(DEC)).alias(f"s{h}")
+        for h in range(n_planes)])
+    bucket = None
+    for h in range(n_planes):
+        term = F.when(F.col(f"s{h}") > 0, F.lit(1 << h).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        bucket = term if bucket is None else bucket + term
+    return sums.select("vec_id", bucket.alias("bucket"))
 
 
 N_IVF_CELLS = 8
