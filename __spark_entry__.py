@@ -342,6 +342,14 @@ def _q_multi_supp_orders(spark, sf_dir):
     return HL.multi_supp_orders(spark, sf_dir)
 
 
+def _q_funnel(spark, sf_dir):
+    return SE.funnel(read_table(spark, sf_dir, "events"))
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    return TX.tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def _q_sliding_rollup(spark, sf_dir):
     return SE.sliding_rollup(read_table(spark, sf_dir, "events"))
 
@@ -466,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipmode_priority": _q_shipmode_priority,
         "sliding_rollup": _q_sliding_rollup,
         "positions_salted": _q_positions_salted,
+        "funnel": _q_funnel,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "stats_summary": _q_stats_summary,
         "stale_parts": _q_stale_parts,
         "urgent_customers": _q_urgent_customers,
@@ -1071,6 +1081,40 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+            SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+                   (SELECT COUNT(*) FROM s2) AS n_click,
+                   (SELECT COUNT(*) FROM s3) AS n_purchase
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS term
+                FROM documents
+            ),
+            df_ AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                   WHERE doc_id < 20 GROUP BY 1, 2),
+            ranked AS (
+                SELECT doc_id, term, tf, df,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tf DESC, df ASC, term ASC) AS rank
+                FROM tf JOIN df_ USING (term)
+            )
+            SELECT doc_id, rank, term, tf, df,
+                   (SELECT COUNT(*) FROM documents) AS n_docs
+            FROM ranked WHERE rank <= 3
         """,
         "stale_parts": """
             SELECT p_brand, COUNT(*) AS n_stale, MIN(p_retailprice) AS min_price

@@ -104,3 +104,41 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     canon = F.regexp_replace(_norm(F.col("text")), r"[^a-z0-9 ]", "")
     return docs.select("doc_id", F.md5(canon).alias("fingerprint"),
                        F.length(canon).cast("long").alias("canon_len"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3,
+                    max_doc_id: int = 20) -> DataFrame:
+    """Per-document top-k salient terms with their TF / DF sufficient
+    statistics.
+
+    Ranking is (tf DESC, df ASC, term ASC) — integer-exact, so any
+    engine produces the identical cut. A float tf·idf score would rank
+    boundary pairs differently across engines' ln() implementations;
+    emitting (tf, df, n_docs) instead lets a client compute any idf
+    weighting while the engine-side ranking stays deterministic.
+    Document frequency comes from the FULL corpus; the emitted rows
+    are bounded to doc_id < max_doc_id.
+
+    Scale shape: one explode→(doc,term) count (map-side combine), one
+    (term) DF aggregate, one broadcast-able join of the bounded TF
+    side, per-doc top-k via window rank (TakeOrdered per partition).
+    """
+    from pyspark.sql import Window as W
+    from ..functions.partitioning import spread
+
+    toks = (spread(docs, "doc_id")
+            .select("doc_id", F.explode(tokens_col()).alias("term")))
+    df_ = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"))
+    tf = (toks.filter(F.col("doc_id") < max_doc_id)
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (tf.join(df_, "term")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .crossJoin(F.broadcast(n_docs))
+            .select("doc_id", "rank", "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"), "n_docs"))

@@ -89,3 +89,15 @@ def test_multimodal_decode_plumbing(spark):
     assert decoded[0]["decoded_width"] == len("payload one") % 640 + 1
     meta = {r["media_id"]: r["n_bytes"] for r in MM.media_meta(media).collect()}
     assert meta == {0: 11, 1: 18}
+
+
+def test_tfidf_top_terms_ranking(spark):
+    # "rare" appears once in doc0 only (df=1); "common" in all docs.
+    d = docs_df(spark, ["rare common common", "common", "common"])
+    rows = {(r["doc_id"], r["rank"]): r
+            for r in TX.tfidf_top_terms(d, k=2, max_doc_id=1).collect()}
+    # doc0: common tf=2 wins on tf; rare tf=1 df=1 second
+    assert rows[(0, 1)]["term"] == "common" and rows[(0, 1)]["tf"] == 2
+    assert rows[(0, 2)]["term"] == "rare" and rows[(0, 2)]["df"] == 1
+    assert rows[(0, 1)]["n_docs"] == 3
+    assert set(r[0] for r in rows) == {0}  # bounded to doc_id < 1

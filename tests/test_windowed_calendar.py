@@ -85,3 +85,23 @@ def test_sessionize_gap(spark):
     ev = spark.createDataFrame(rows, schema=schemas.EVENTS)
     sess = SE.sessionize(ev).collect()
     assert sorted(r["n_events"] for r in sess) == [1, 2]
+
+
+def test_funnel_ordering_strict(spark):
+    import datetime as dt
+    t = lambda m: dt.datetime(2025, 1, 1, 10, m)
+    rows = [
+        # u1: view -> click -> purchase (full funnel)
+        (1, t(0), 1, "view", 0.0, None), (2, t(5), 1, "click", 0.0, None),
+        (3, t(9), 1, "purchase", 0.0, None),
+        # u2: click BEFORE view, purchase after view but no click after view
+        (4, t(0), 2, "click", 0.0, None), (5, t(5), 2, "view", 0.0, None),
+        (6, t(9), 2, "purchase", 0.0, None),
+        # u3: view only
+        (7, t(0), 3, "view", 0.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    r = SE.funnel(ev).collect()[0]
+    assert (r["n_view"], r["n_click"], r["n_purchase"]) == (3, 1, 1)
