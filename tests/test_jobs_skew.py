@@ -56,10 +56,10 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        from etl_portfolio_tracker_spark.plans import exchanges
         q = jobs.bucketed_join_demo(spark, sf, n_buckets=4)
-        plan = q._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning(l_orderkey" not in plan
-        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert exchanges(q, "l_orderkey") == []
+        assert exchanges(q, "o_orderkey") == []
         rows = {r["o_orderpriority"]: r["n"] for r in q.collect()}
         # cross-check counts against a plain parquet join
         from etl_portfolio_tracker_spark.io import read_table

@@ -9,20 +9,17 @@ explicit partition predicate that read_prices_range adds.
 
 import datetime as dt
 
-import re
-
 from pyspark.sql import functions as F
 
 from etl_portfolio_tracker_spark import schemas
 from etl_portfolio_tracker_spark.io import (
     read_prices_range, write_prices_partitioned,
 )
+from etl_portfolio_tracker_spark.plans import partition_filters
 
 
 def _partition_filters(df):
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    return m.group(1) if m else ""
+    return " ".join(partition_filters(df))
 
 
 def test_partitioned_prices_prune(spark, tmp_path):

@@ -175,3 +175,28 @@ def test_transform_with_state_fold_across_batches(spark, tmpdir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_rate_tick_source_schema_and_batch(spark, tmpdir):
+    from etl_portfolio_tracker_spark.sources import tick_stream
+    s = tick_stream(spark, rows_per_second=50)
+    assert s.isStreaming
+    assert [f.name for f in s.schema.fields] == ["ticker", "ts", "close"]
+    # run one micro-batch into memory and check determinism of close
+    q = (s.writeStream.format("memory").queryName("ticks")
+         .outputMode("append")
+         .option("checkpointLocation", f"{tmpdir}/chk_rate")
+         .start())
+    try:
+        import time
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = spark.sql("select * from ticks").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert rows, "rate source produced no rows in 30s"
+    for r in rows:
+        assert r["close"] >= 100.0 and r["ticker"]
