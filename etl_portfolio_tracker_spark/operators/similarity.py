@@ -23,13 +23,16 @@ from ..derive import DEC
 N_PLANES = 8
 
 
-def _pos_explode(emb: DataFrame) -> DataFrame:
+def _pos_explode(emb: DataFrame, spread_input: bool = True) -> DataFrame:
     """(vec_id, pos [1-based], val) long form of the embedding column.
     spread() first: the 64× explode inherits the input partitioning
     (one local split) and would otherwise run single-core; on a
-    cluster with real splits it's a no-op."""
+    cluster with real splits it's a no-op. Pass spread_input=False for
+    single-vector / centroid-subset derivations where the exchange
+    would cost more than the explode."""
     from ..functions.partitioning import spread
-    return spread(emb, "vec_id") \
+    src = spread(emb, "vec_id") if spread_input else emb
+    return src \
         .select("vec_id", F.posexplode("embedding").alias("pos0", "valf")) \
         .select("vec_id", (F.col("pos0") + 1).alias("pos"),
                 F.col("valf").cast("double").alias("val"))
@@ -48,21 +51,28 @@ def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
     `query_vec_id`. cos = Σaᵢbᵢ / (|a||b|): products in double
     (deterministic), sums in decimal (order-insensitive), one final
     division — bit-portable across engines. Rounded to 6dp and
-    tie-broken by vec_id so the top-k cut is total-ordered."""
+    tie-broken by vec_id so the top-k cut is total-ordered.
+
+    One explode + one broadcast join + one groupBy; |q| is an exact
+    decimal sum over the 64-row pivoted query frame (identical to the
+    per-vec norm2 — decimal addition is order-insensitive)."""
     pe = _pos_explode(emb)
-    q = (pe.filter(F.col("vec_id") == query_vec_id)
-         .select(F.col("pos").alias("qpos"), F.col("val").alias("qval")))
-    dots = (pe.join(q, pe.pos == q.qpos)
-            .groupBy("vec_id")
-            .agg(F.sum((F.col("val") * F.col("qval")).cast(DEC))
-                 .cast("double").alias("dot")))
-    norms = vector_norms(emb)
-    qnorm = norms.filter(F.col("vec_id") == query_vec_id) \
-                 .select(F.col("norm").alias("qnorm"))
-    return (dots.join(norms, "vec_id").crossJoin(qnorm)
+    qw = (_pos_explode(emb.filter(F.col("vec_id") == query_vec_id),
+                       spread_input=False)
+          .groupBy("pos").agg(F.max("val").alias("qval")))
+    dn = (pe.join(F.broadcast(qw), "pos")
+          .groupBy("vec_id")
+          .agg(F.sum((F.col("val") * F.col("qval")).cast(DEC))
+                .cast("double").alias("dot"),
+               F.sum((F.col("val") * F.col("val")).cast(DEC))
+                .alias("norm2")))
+    norm = F.sqrt(F.col("norm2").cast("double"))
+    qnorm = qw.agg(F.sqrt(F.sum((F.col("qval") * F.col("qval")).cast(DEC))
+                          .cast("double")).alias("qnorm"))
+    return (dn.crossJoin(F.broadcast(qnorm))
             .filter(F.col("vec_id") != query_vec_id)
             .select("vec_id",
-                    F.round(F.col("dot") / (F.col("norm") * F.col("qnorm")), 6)
+                    F.round(F.col("dot") / (norm * F.col("qnorm")), 6)
                      .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
             .limit(k))
@@ -106,20 +116,43 @@ def ivf_assign(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
     At scale: centroids broadcast (tiny), one map + one shuffle by
     vec_id — linear, like every IVF build.
     """
-    from pyspark.sql import Window as W
+    dots = _centroid_dots(emb, n_cells)
+    return dots.select("vec_id", _argmax_cell(n_cells).alias("cell"))
+
+
+def _centroid_dots(emb: DataFrame, n_cells: int) -> DataFrame:
+    """(vec_id, dot_0..dot_{n-1}) in ONE pass: centroid values pivot
+    to per-pos broadcast columns c0..c{n-1}, so every centroid dot
+    product is just another decimal aggregate of the same
+    groupBy(vec_id) — no (vec × cid) row expansion, no window."""
     pe = _pos_explode(emb)
-    cpe = (pe.filter(F.col("vec_id") < n_cells)
-           .select(F.col("vec_id").alias("cid"),
-                   F.col("pos").alias("cpos"),
-                   F.col("val").alias("cval")))
-    dots = (pe.join(F.broadcast(cpe), pe.pos == cpe.cpos)
-            .groupBy("vec_id", "cid")
-            .agg(F.sum((F.col("val") * F.col("cval")).cast(DEC))
-                 .cast("double").alias("dot")))
-    w = W.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cid"))
-    return (dots.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("cell")))
+    cw = _centroid_wide(emb, n_cells)
+    return (pe.join(F.broadcast(cw), "pos")
+            .groupBy("vec_id")
+            .agg(*[F.sum((F.col("val") * F.col(f"c{i}")).cast(DEC))
+                    .cast("double").alias(f"dot_{i}")
+                   for i in range(n_cells)]))
+
+
+def _centroid_wide(emb: DataFrame, n_cells: int) -> DataFrame:
+    """(pos, c0..c{n-1}): centroid values pivoted to one row per
+    position — a dim-sized frame built from the n_cells-row slice
+    (filter pushes to the scan; no spread, it's tiny)."""
+    cpe = _pos_explode(emb.filter(F.col("vec_id") < n_cells),
+                       spread_input=False)
+    return (cpe.groupBy("pos")
+            .agg(*[F.max(F.when(F.col("vec_id") == i, F.col("val")))
+                    .alias(f"c{i}") for i in range(n_cells)]))
+
+
+def _argmax_cell(n_cells: int):
+    """argmax over dot_0..dot_{n-1}, ties to the LOWEST cid (the
+    row_number(desc dot, asc cid) tie rule of the join formulation)."""
+    best = F.greatest(*[F.col(f"dot_{i}") for i in range(n_cells)])
+    cell = F.lit(0)
+    for i in reversed(range(n_cells)):
+        cell = F.when(F.col(f"dot_{i}") == best, F.lit(i)).otherwise(cell)
+    return cell
 
 
 def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
@@ -128,32 +161,45 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
     cell — the classic recall/cost trade (probe 1 cell here; probing
     more cells is the same plan with an isin filter).
 
-    Built flat (dots/norms/assignment each computed once and joined)
-    rather than by composing cosine_topk over a filtered table —
-    composition re-derived the exploded embedding ~10× (74 exchanges
-    in the plan); this shape has 3 derivations and lets AQE broadcast
-    the per-query singletons.
+    Fully fused: ONE pass over the exploded embeddings computes the
+    query dot, the vector norm, and all n_cells centroid dots (query
+    vector and centroids pivot to per-pos broadcast columns), so the
+    whole search is explode → broadcast join → groupBy(vec_id) →
+    filter-to-cell → top-k. Earlier shapes re-derived the explode 3-10×
+    (28-74 exchanges); this is the plan an IVF probe should have.
     """
-    assign = ivf_assign(emb, n_cells)
-    qcell = assign.filter(F.col("vec_id") == query_vec_id) \
-                  .select(F.col("cell").alias("qcell"))
     pe = _pos_explode(emb)
-    q = (pe.filter(F.col("vec_id") == query_vec_id)
-         .select(F.col("pos").alias("qpos"), F.col("val").alias("qval")))
-    dots = (pe.join(q, pe.pos == q.qpos)
-            .groupBy("vec_id")
-            .agg(F.sum((F.col("val") * F.col("qval")).cast(DEC))
-                 .cast("double").alias("dot")))
-    norms = vector_norms(emb)
-    qnorm = norms.filter(F.col("vec_id") == query_vec_id) \
-                 .select(F.col("norm").alias("qnorm"))
-    return (dots.join(norms, "vec_id")
-            .join(assign, "vec_id")
+    qw = (_pos_explode(emb.filter(F.col("vec_id") == query_vec_id),
+                       spread_input=False)
+          .groupBy("pos").agg(F.max("val").alias("qval")))
+    cw = _centroid_wide(emb, n_cells)
+    per_vec = (pe.join(F.broadcast(cw.join(qw, "pos")), "pos")
+               .groupBy("vec_id")
+               .agg(F.sum((F.col("val") * F.col("qval")).cast(DEC))
+                     .cast("double").alias("dot"),
+                    F.sum((F.col("val") * F.col("val")).cast(DEC))
+                     .alias("norm2"),
+                    *[F.sum((F.col("val") * F.col(f"c{i}")).cast(DEC))
+                       .cast("double").alias(f"dot_{i}")
+                      for i in range(n_cells)])
+               .withColumn("cell", _argmax_cell(n_cells)))
+    # the query's own cell from the dim-sized pivoted frames — same
+    # decimal products, so bit-identical to its per_vec row — instead
+    # of re-deriving the whole per_vec subplan for one row
+    qcell = (cw.join(qw, "pos")
+             .agg(*[F.sum((F.col("qval") * F.col(f"c{i}")).cast(DEC))
+                     .cast("double").alias(f"dot_{i}")
+                    for i in range(n_cells)])
+             .select(_argmax_cell(n_cells).alias("qcell")))
+    qnorm = qw.agg(F.sqrt(F.sum((F.col("qval") * F.col("qval")).cast(DEC))
+                          .cast("double")).alias("qnorm"))
+    norm = F.sqrt(F.col("norm2").cast("double"))
+    return (per_vec
             .crossJoin(F.broadcast(qcell)).crossJoin(F.broadcast(qnorm))
             .filter((F.col("cell") == F.col("qcell"))
                     & (F.col("vec_id") != query_vec_id))
             .select("vec_id",
-                    F.round(F.col("dot") / (F.col("norm") * F.col("qnorm")), 6)
+                    F.round(F.col("dot") / (norm * F.col("qnorm")), 6)
                      .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
             .limit(k))
