@@ -346,6 +346,10 @@ def _q_funnel(spark, sf_dir):
     return SE.funnel(read_table(spark, sf_dir, "events"))
 
 
+def _q_retention(spark, sf_dir):
+    return SE.retention(read_table(spark, sf_dir, "events"))
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     return TX.tfidf_top_terms(_docs(spark, sf_dir))
 
@@ -475,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rollup": _q_sliding_rollup,
         "positions_salted": _q_positions_salted,
         "funnel": _q_funnel,
+        "retention": _q_retention,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "stats_summary": _q_stats_summary,
         "stale_parts": _q_stale_parts,
@@ -1097,6 +1102,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM s1) AS n_view,
                    (SELECT COUNT(*) FROM s2) AS n_click,
                    (SELECT COUNT(*) FROM s3) AS n_purchase
+        """,
+        "retention": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            )
+            SELECT a.day, COUNT(*) AS dau,
+                   COUNT(b.user_id) AS retained_next
+            FROM ud a
+            LEFT JOIN ud b ON b.user_id = a.user_id
+                          AND b.day = a.day + INTERVAL 1 DAY
+            GROUP BY a.day
+            ORDER BY a.day
         """,
         "tfidf_top_terms": f"""
             WITH toks AS (
