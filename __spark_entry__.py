@@ -145,6 +145,25 @@ _SHINGLES_SQL = f"""
               FROM documents)
     )
 """
+_BANDS_SQL = """
+            , seeded AS (
+                -- one-permutation hashing: seed s = 32-bit slice s of
+                -- one sha256 per shingle (matches dedup._signature_wide)
+                SELECT doc_id, seed,
+                       MIN(CAST(('0x' || substr(sha256(shingle), 1 + 8 * seed, 8))
+                                AS BIGINT)) AS minhash
+                FROM shingles
+                CROSS JOIN (SELECT UNNEST(generate_series(0, {n_seeds})) AS seed)
+                GROUP BY doc_id, seed
+            ),
+            bands AS (
+                SELECT doc_id, seed // {band_rows} AS band,
+                       md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+                FROM seeded
+                GROUP BY 1, 2
+            )
+"""
+
 _PE_SQL = """
     WITH pe AS (
         SELECT vec_id,
@@ -421,6 +440,26 @@ def _q_multimodal_meta(spark, sf_dir):
     return MM.media_meta(MM.docs_as_media(_docs(spark, sf_dir)))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    return DD.dedup_clusters(_docs(spark, sf_dir))
+
+
+def _q_hash_split(spark, sf_dir):
+    return DD.hash_split(_docs(spark, sf_dir))
+
+
+def _q_kmeans_step(spark, sf_dir):
+    return SIM.kmeans_step(_emb(spark, sf_dir))
+
+
+def _q_top_parts_per_brand(spark, sf_dir):
+    return HL.top_parts_per_brand(spark, sf_dir)
+
+
+def _q_order_gaps(spark, sf_dir):
+    return HL.order_gaps(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -464,6 +503,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": _q_lsh_buckets,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_meta": _q_multimodal_meta,
+        "dedup_clusters": _q_dedup_clusters,
+        "hash_split": _q_hash_split,
+        "kmeans_step": _q_kmeans_step,
+        "top_parts_per_brand": _q_top_parts_per_brand,
+        "order_gaps": _q_order_gaps,
         "brand_revenue": _q_brand_revenue,
         "top_customers": _q_top_customers,
         "region_revenue": _q_region_revenue,
@@ -855,27 +899,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {DD.JACCARD_THRESHOLD}
         """,
-        "minhash_lsh": _SHINGLES_SQL.replace("SELECT DISTINCT", "SELECT") + f"""
-            , seeded AS (
-                -- one-permutation hashing: seed s = 32-bit slice s of
-                -- one sha256 per shingle (matches dedup._signature_wide)
-                SELECT doc_id, seed,
-                       MIN(CAST(('0x' || substr(sha256(shingle), 1 + 8 * seed, 8))
-                                AS BIGINT)) AS minhash
-                FROM shingles
-                CROSS JOIN (SELECT UNNEST(generate_series(0, {DD.MINHASH_SEEDS - 1})) AS seed)
-                GROUP BY doc_id, seed
-            ),
-            bands AS (
-                SELECT doc_id, seed // {DD.LSH_BAND_ROWS} AS band,
-                       md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
-                FROM seeded
-                GROUP BY 1, 2
-            )
+        "minhash_lsh": _SHINGLES_SQL.replace("SELECT DISTINCT", "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS) + """
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
             FROM bands a JOIN bands b USING (band, band_key)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "dedup_clusters": _SHINGLES_SQL
+        .replace("WITH shingles", "WITH RECURSIVE shingles")
+        .replace("SELECT DISTINCT", "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS) + """
+            , pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b USING (band, band_key)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            -- transitive closure: label set per node; cluster = min
+            -- reachable doc_id (matches min-label propagation fixpoint)
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach
+            GROUP BY 1
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,
+                   CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 80
+                        THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "simhash": f"""
             WITH toks AS (
@@ -1034,6 +1101,55 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY dot DESC, cid ASC) AS rn
                   FROM dots)
             WHERE rn = 1
+        """,
+        "kmeans_step": _PE_SQL + f"""
+            , cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval
+                      FROM pe WHERE vec_id < {SIM.N_IVF_CELLS}),
+            dots AS (
+                SELECT pe.vec_id, cid,
+                       CAST(SUM(CAST(val * cval AS DECIMAL(38,10))) AS DOUBLE) AS dot
+                FROM pe JOIN cpe ON pe.pos = cpe.cpos
+                GROUP BY 1, 2
+            ),
+            assign AS (
+                SELECT vec_id, cid AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY dot DESC, cid ASC) AS rn
+                      FROM dots)
+                WHERE rn = 1
+            )
+            SELECT cell, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(38,10))) AS DOUBLE)
+                         / COUNT(*), 6) AS c_val,
+                   COUNT(*) AS n_members
+            FROM pe JOIN assign USING (vec_id)
+            GROUP BY 1, 2
+        """,
+        "top_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_retailprice, rnk
+            FROM (SELECT p_brand, p_partkey, p_retailprice,
+                         row_number() OVER (PARTITION BY p_brand
+                                            ORDER BY p_retailprice DESC,
+                                                     p_partkey ASC) AS rnk
+                  FROM part)
+            WHERE rnk <= 3
+        """,
+        "order_gaps": """
+            WITH gaps AS (
+                SELECT o_custkey,
+                       date_diff('day', CAST(o_orderdate AS DATE),
+                                 lead(CAST(o_orderdate AS DATE))
+                                   OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)) AS gap
+                FROM orders
+            )
+            SELECT o_custkey,
+                   COUNT(*) AS n_gaps,
+                   MAX(gap) AS max_gap,
+                   ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS avg_gap
+            FROM gaps
+            WHERE gap IS NOT NULL
+            GROUP BY 1
         """,
         "ivf_topk": _PE_SQL + f"""
             , cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval

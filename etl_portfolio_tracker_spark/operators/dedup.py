@@ -175,6 +175,106 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_bands")))
 
 
+def min_label_components(labels: DataFrame, edges: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    `labels` is (doc_id, cluster_id) initialized to cluster_id=doc_id;
+    `edges` is a SYMMETRIC (doc_a, doc_b) edge list. Each round every
+    node takes the min of its own label and its neighbors' labels —
+    Bellman-Ford-style, converging in ≤ graph-diameter rounds to
+    cluster_id = min(doc_id in component).
+
+    Scale shape: each round is one shuffle join (edges ⋈ labels on the
+    node key) + one min-agg + one label update; labels are
+    `localCheckpoint`ed so lineage stays O(1) across rounds (on a real
+    cluster swap in `checkpoint()` on durable storage for fault
+    tolerance — same plan otherwise). Convergence is detected with a
+    1-row decimal-sum fingerprint: labels only ever decrease, so the
+    sum is strictly monotone until the fixpoint. Near-dup graphs have
+    tiny diameters (dup groups are quasi-cliques: LSH links most pairs
+    directly), so rounds ≈ 3-4 in practice, never O(n).
+
+    This is the driver-coordinated-iteration pattern (GraphX Pregel
+    supersteps); for planet-scale graphs swap the per-round kernel for
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — same outer loop.
+    """
+    from ..derive import DEC
+    edges = edges.persist()
+    labels = labels.localCheckpoint(eager=True)
+    prev_fp = None
+    for _ in range(max_iter):
+        nbr_min = (edges
+                   .join(labels.select(F.col("doc_id").alias("doc_b"),
+                                       F.col("cluster_id").alias("nbr_label")),
+                         "doc_b")
+                   .groupBy("doc_a")
+                   .agg(F.min("nbr_label").alias("nbr_min")))
+        labels = (labels
+                  .join(nbr_min.select(F.col("doc_a").alias("doc_id"),
+                                       "nbr_min"),
+                        "doc_id", "left")
+                  .select("doc_id",
+                          F.least(F.col("cluster_id"),
+                                  F.coalesce(F.col("nbr_min"),
+                                             F.col("cluster_id")))
+                           .alias("cluster_id"))
+                  .localCheckpoint(eager=True))
+        fp = labels.agg(F.sum(F.col("cluster_id").cast(DEC))).collect()[0][0]
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """Near-duplicate clusters over the whole corpus: connected
+    components of the MinHash-LSH candidate graph. Emits
+    (doc_id, cluster_id) for EVERY doc — singletons cluster to
+    themselves, and cluster_id is the smallest doc_id in the
+    component, i.e. exactly the doc a keep-one-per-cluster dedup
+    retains (`filter(doc_id == cluster_id)`).
+
+    This is the op a training-data pipeline actually ships: pairs
+    (minhash_lsh_candidates) are not directly actionable because
+    near-duplication is transitive — A~B and B~C must collapse to one
+    kept doc even when A,C share no band.
+
+    The DuckDB oracle is a recursive-CTE transitive closure — O(Σ
+    |component|²) state, fine at test scale; this engine-side
+    propagation is the linear-in-edges scale path.
+    """
+    # materialize the candidate pairs ONCE before symmetrizing — a
+    # plain union would re-run the whole minhash pipeline per branch
+    pairs = (minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+             .localCheckpoint(eager=True))
+    sym = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    labels0 = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    return min_label_components(labels0, sym)
+
+
+def hash_split(docs: DataFrame, train_pct: int = 80,
+               val_pct: int = 10) -> DataFrame:
+    """Deterministic content-hash train/val/test split: bucket =
+    first-32-bits-of-md5(text) mod 100 → <80 train, <90 val, else
+    test. Hashing the CONTENT (not doc_id) keeps byte-identical texts
+    in the same split even across re-ingests with different ids — the
+    leakage rule every training pipeline needs. Pure map, no shuffle,
+    no randomness: any engine reproduces the same assignment."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(100))
+    return (docs.select("doc_id", bucket.alias("bucket"))
+            .withColumn("split",
+                        F.when(F.col("bucket") < train_pct, "train")
+                         .when(F.col("bucket") < train_pct + val_pct, "val")
+                         .otherwise("test")))
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash (Charikar 2002) over whitespace tokens with md5-derived
     per-token bit projections: bit j weight = +1 if the j-th hex digit

@@ -250,6 +250,52 @@ def multi_supp_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority"))
 
 
+def top_parts_per_brand(spark: SparkSession, sf_dir: str,
+                        k: int = 3) -> DataFrame:
+    """Per-group top-k via ranking window (the explicit form of the
+    J1 greatest-n-per-group pattern — SURVEY §2.5 notes row_number as
+    the latest-per-key rewrite; here it is the general k>1 case):
+    the k most expensive parts per brand, ties broken by partkey so
+    the cut is total-ordered.
+
+    Catalyst inserts a WindowGroupLimit below the shuffle for the
+    rank<=k filter (asserted in tests/test_plan_audit.py), so each map
+    task keeps only k rows per group before exchanging — the top-k
+    never materializes a full per-group sort at scale."""
+    from pyspark.sql.window import Window
+    part = read_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"),
+                                              F.asc("p_partkey"))
+    return (part.select("p_brand", "p_partkey", "p_retailprice",
+                        F.row_number().over(w).cast("long").alias("rnk"))
+            .filter(F.col("rnk") <= k))
+
+
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap stats per customer: lead() over the per-customer
+    order sequence (the one analytic function SURVEY §2.5 flags as
+    unused in the reference), then gap aggregates.
+
+    Plan shape: ONE shuffle total — the window partitions by
+    o_custkey and the following groupBy(o_custkey) reuses that
+    partitioning, so the aggregate is exchange-free. Integer day gaps
+    sum exactly (no decimal needed); the mean is one IEEE division,
+    round(6) — portable."""
+    from pyspark.sql.window import Window
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead(F.to_date("o_orderdate")).over(w)
+    gaps = (orders
+            .select("o_custkey",
+                    F.datediff(nxt, F.to_date("o_orderdate")).alias("gap"))
+            .filter(F.col("gap").isNotNull()))
+    return (gaps.groupBy("o_custkey")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.max("gap").cast("long").alias("max_gap"),
+                 F.round(F.sum("gap").cast("double") / F.count("*"), 6)
+                  .alias("avg_gap")))
+
+
 def ticker_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set operations (absent in the reference, free in Spark):
     per-ticker classification of two user cohorts' traded tickers —

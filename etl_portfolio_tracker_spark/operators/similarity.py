@@ -155,6 +155,28 @@ def _argmax_cell(n_cells: int):
     return cell
 
 
+def kmeans_step(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """One Lloyd iteration of the IVF codebook training: assign every
+    vector to its argmax-dot centroid (same fused single-pass kernel
+    as ivf_assign), then emit the new centroids as mean-per-(cell,
+    pos) in long form, plus the cell population.
+
+    Distributed k-means is exactly this step iterated: the assignment
+    is a broadcast-join map (centroids are tiny), the re-estimation is
+    one groupBy(cell, pos) with map-side partial sums — no state on
+    the driver beyond the loop counter, so it scales to any corpus.
+    Mean = exact decimal sum → one IEEE division → round(6): both
+    engines agree bit-for-bit (the stats_summary avg pattern)."""
+    from ..derive import DEC
+    assign = ivf_assign(emb, n_cells)
+    pe = _pos_explode(emb)
+    return (pe.join(assign, "vec_id")
+            .groupBy("cell", "pos")
+            .agg(F.round(F.sum(F.col("val").cast(DEC)).cast("double")
+                         / F.count("*"), 6).alias("c_val"),
+                 F.count("*").alias("n_members")))
+
+
 def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
              n_cells: int = N_IVF_CELLS) -> DataFrame:
     """IVF-ANN search: restrict the exact cosine top-k to the query's

@@ -43,3 +43,19 @@ def test_small_qty_revenue_single_fact_pass(spark):
     join_exchanges = [e for e in exchanges(q)
                       if "hashpartitioning(l_partkey" in e]
     assert len(join_exchanges) <= 1  # only the agg build, never both sides
+
+
+def test_top_parts_per_brand_group_limit_pushdown(spark):
+    # the rank<=k filter must become a WindowGroupLimit below the
+    # shuffle so map tasks keep only k rows per group
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = HL.top_parts_per_brand(spark, SF)
+    assert "WindowGroupLimit" in physical_plan(q)
+
+
+def test_order_gaps_single_shuffle(spark):
+    # the groupBy(o_custkey) must reuse the window's hash partitioning
+    # on o_custkey — exactly one exchange in the whole plan
+    from etl_portfolio_tracker_spark.plans import exchanges
+    q = HL.order_gaps(spark, SF)
+    assert len(exchanges(q)) == 1

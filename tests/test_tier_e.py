@@ -101,3 +101,66 @@ def test_tfidf_top_terms_ranking(spark):
     assert rows[(0, 2)]["term"] == "rare" and rows[(0, 2)]["df"] == 1
     assert rows[(0, 1)]["n_docs"] == 3
     assert set(r[0] for r in rows) == {0}  # bounded to doc_id < 1
+
+
+def test_min_label_components_transitive(spark):
+    # chain 1-2-3 (no direct 1-3 edge), pair 4-5, singleton 6: the
+    # propagation must collapse the chain transitively.
+    from pyspark.sql import functions as F
+    pairs = [(1, 2), (2, 3), (4, 5)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "doc_a long, doc_b long")
+    labels0 = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long") \
+        .withColumn("cluster_id", F.col("doc_id"))
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in DD.min_label_components(labels0, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_dedup_clusters_exact_dups_collapse(spark):
+    # two identical-text groups + one distinct doc: identical texts
+    # share every band, so each group is one cluster keyed by its
+    # smallest doc_id; the distinct doc stays a singleton.
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different content about spark physical planning"
+    d = docs_df(spark, [t1, t1, t2, t1, "unique snowflake text here ok"])
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in DD.dedup_clusters(d).collect()}
+    assert out[0] == out[1] == out[3] == 0
+    assert out[2] == 2 and out[4] == 4
+    # keep-one-per-cluster = filter(doc_id == cluster_id)
+    kept = {k for k, v in out.items() if k == v}
+    assert kept == {0, 2, 4}
+
+
+def test_hash_split_deterministic_and_bounded(spark):
+    d = docs_df(spark, [f"document number {i}" for i in range(50)]
+                + ["document number 0"])  # duplicate text, new id
+    rows = DD.hash_split(d).collect()
+    assert all(0 <= r["bucket"] < 100 for r in rows)
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    by_id = {r["doc_id"]: r for r in rows}
+    # content-stable: identical text → identical bucket/split even
+    # though the doc_id differs (the anti-leakage property)
+    assert by_id[50]["bucket"] == by_id[0]["bucket"]
+    assert by_id[50]["split"] == by_id[0]["split"]
+
+
+def test_kmeans_step_means_and_population(spark):
+    import pandas as pd
+    emb = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": list(range(6)),
+            "embedding": [[1.0, 0.0], [0.0, 1.0],   # centroids 0, 1
+                          [1.0, 0.1], [0.9, 0.0],   # near centroid 0
+                          [0.0, 0.9], [0.1, 1.0]],  # near centroid 1
+        }))
+    out = SIM.kmeans_step(emb, n_cells=2).collect()
+    cells = {(r["cell"], r["pos"]): r for r in out}
+    # every (cell, pos) present, population sums to n_vecs per pos
+    assert set(cells) == {(0, 1), (0, 2), (1, 1), (1, 2)}
+    assert cells[(0, 1)]["n_members"] + cells[(1, 1)]["n_members"] == 6
+    # cell 0 members: vecs 0,2,3 → mean x = (1+1+0.9)/3
+    assert abs(cells[(0, 1)]["c_val"] - round((1.0 + 1.0 + 0.9) / 3, 6)) < 1e-9
+    assert abs(cells[(1, 2)]["c_val"] - round((1.0 + 0.9 + 1.0) / 3, 6)) < 1e-9
