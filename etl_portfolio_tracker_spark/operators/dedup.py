@@ -108,11 +108,27 @@ def _signature_wide(docs: DataFrame, n_seeds: int) -> DataFrame:
     (sha256(), CAST('0x'||substr(...) AS BIGINT)).
     """
     assert n_seeds * 8 <= 64, "sha256 hex has 64 chars = 8 slices max"
-    sh = shingles(docs, distinct=False)
-    h = F.sha2(F.col("shingle"), 256)
-    return sh.groupBy("doc_id").agg(*[
-        F.min(F.conv(F.substring(h, 1 + 8 * s, 8), 16, 10).cast("bigint"))
-         .alias(f"h{s}")
+    from ..functions.partitioning import spread
+    k = SHINGLE_K
+    # Per-row array pipeline — ZERO shuffle. The explode→groupBy form
+    # this replaces shuffled the full shingle stream (11.5M rows at
+    # sf0.1) into an 8-way min aggregation; but a minhash signature
+    # is a pure per-document map, so compute it inside the row:
+    # one transform() builds the sha256-per-position array, then each
+    # seed is an array_min over a 32-bit slice re-map. The only
+    # exchange left in the whole minhash pipeline is the tiny
+    # band-key join. (spread() keeps the map parallel on the single
+    # local parquet split; no-op on a real cluster.)
+    hashes = F.expr(
+        f"CASE WHEN length(text) >= {k} THEN "
+        f"  transform(sequence(1, length(text) - {k - 1}),"
+        f"            i -> sha2(substring(text, i, {k}), 256)) "
+        f"ELSE array() END")
+    wide = spread(docs, "doc_id").select("doc_id", hashes.alias("_h"))
+    return wide.select("doc_id", *[
+        F.array_min(F.expr(
+            f"transform(_h, h -> cast(conv(substring(h, {1 + 8 * s}, 8),"
+            f" 16, 10) as bigint))")).alias(f"h{s}")
         for s in range(n_seeds)
     ])
 
@@ -294,18 +310,21 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     occurrences; fingerprint bit j = (sum > 0)."""
     from .text import tokens_col
     from ..functions.partitioning import spread
-    toks = (spread(docs, "doc_id")
-            .select("doc_id", F.explode(tokens_col()).alias("tok")))
-    # One groupBy(doc_id) with 16 conditional sums instead of a 16×
-    # (doc, token, j) explode + two shuffles: the per-bit hex digit is
-    # substring j of ONE md5 per token (subexpression-eliminated in
-    # codegen), and the token stream is shuffled exactly once.
-    m = F.md5("tok")
-    high = ("8", "9", "a", "b", "c", "d", "e", "f")
-    bitsums = (toks.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.substring(m, j + 1, 1).isin(*high), 1).otherwise(-1))
+    # Per-row array pipeline — ZERO shuffle (same rewrite as
+    # _signature_wide): a simhash is a pure per-document map, so the
+    # token explode + groupBy(doc_id) shuffle of the full token
+    # stream is wasted motion. One transform() builds the
+    # md5-per-token array, then each bit's ±1 sum is an aggregate()
+    # scan of that array. substring(m, j, 1) IN ('8'..'f') tests the
+    # high bit of hex digit j.
+    high = "('8','9','a','b','c','d','e','f')"
+    md5s = F.transform(tokens_col(), lambda t: F.md5(t))
+    wide = spread(docs, "doc_id").select("doc_id", md5s.alias("_m"))
+    bitsums = wide.select("doc_id", *[
+        F.expr(f"aggregate(_m, 0L, (acc, m) -> acc + "
+               f"IF(substring(m, {j + 1}, 1) IN {high}, 1L, -1L))")
          .alias(f"s{j}")
-        for j in range(bits)]))
+        for j in range(bits)])
     fp = None
     for j in range(bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")) \

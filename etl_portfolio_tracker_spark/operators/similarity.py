@@ -1,148 +1,152 @@
 """Similarity search over the embeddings table (array<float>):
 
   cosine_topk      — brute-force cosine top-k vs a query vector; the
-                     exact baseline. Per-row dot product via position
-                     explode + exact decimal sums → bit-portable.
+                     exact baseline.
   lsh_buckets      — random-hyperplane (sign) LSH bucket assignment;
                      the ANN scale path: candidate set = same bucket.
   embedding_near_dup — pairs of vectors in the same bucket (candidate
                      near-duplicates by embedding cosine).
+  ivf_assign/topk  — IVF coarse quantization + probe-one-cell ANN.
+  kmeans_step      — one Lloyd iteration of IVF codebook training.
 
-Scale: brute-force is one broadcast (the query vector) + a map + a
-top-k (TakeOrderedAndProject) — linear, shuffle-free; LSH adds one
-narrow groupBy. The hyperplanes are small deterministic integers so
-any engine reproduces the same buckets exactly.
+Execution shape: every per-vector kernel (dot product, norm, plane
+sum, centroid assignment) is a ROW-LOCAL array computation —
+`zip_with` for elementwise products, `aggregate` over exact integer
+1e-10 units for the sum (see _agg_units), `transform(arr, (v, i) ->)`
+where the kernel needs the position. Zero shuffle: the pos-explode →
+groupBy(vec_id) formulation this replaces shuffled 64× the table's
+rows to compute what each row already holds (measured 2-35 s → 0.7-
+1.9 s per query at sf0.1). The only exchanges left in this module are
+the ones the ALGORITHMS require: the LSH bucket self-join and the
+k-means re-estimation groupBy(cell, pos).
+
+Determinism: products are computed in DOUBLE (IEEE, bit-identical on
+identical inputs in any engine), quantized to DECIMAL(38,10)-unit
+integers (exact, so array-order summation here equals DuckDB's
+any-order decimal aggregation exactly), divided/rounded once at the
+end — the engine-wide decimal-sum rule (derive.py docstring) realized
+with a BIGINT accumulator because Spark's lambda-fold decimal
+addition widens past precision 38 and would shave the last digit.
+
+Small deterministic integer hyperplanes / first-n-vectors centroids
+keep every bucket and cell assignment engine-independent.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..derive import DEC
-
 N_PLANES = 8
+N_IVF_CELLS = 8
+
+_UNITS = "10000000000"  # 1e10 = DECIMAL(38,10) fractional units per 1.0
 
 
-def _pos_explode(emb: DataFrame, spread_input: bool = True) -> DataFrame:
-    """(vec_id, pos [1-based], val) long form of the embedding column.
-    spread() first: the 64× explode inherits the input partitioning
-    (one local split) and would otherwise run single-core; on a
-    cluster with real splits it's a no-op. Pass spread_input=False for
-    single-vector / centroid-subset derivations where the exchange
-    would cost more than the explode."""
+def _agg_units(products_sql: str) -> str:
+    """SQL: exact sum of an array of 1e-10-unit BIGINTs.
+
+    Why integer units and not a decimal accumulator: Spark types
+    DECIMAL(38,10) + DECIMAL(38,10) as DECIMAL(38,9) — the fold's
+    accumulator would shave the 10th fractional digit that DuckDB's
+    scale-10 SUM keeps. BIGINT addition is closed and exact; each
+    product is first cast to DECIMAL(28,10) (identical value to the
+    oracle's DECIMAL(38,10) cast for in-range data), then scaled to
+    integer units (an integral value, so the widening multiply is
+    lossless)."""
+    return f"aggregate({products_sql}, 0L, (acc, x) -> acc + x)"
+
+
+def _dotu_sql(a: str, b: str) -> str:
+    """SQL: Σ aᵢ·bᵢ in exact 1e-10 units (BIGINT)."""
+    return _agg_units(
+        f"zip_with({a}, {b}, (a, b) -> CAST("
+        f"CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,10))"
+        f" * {_UNITS} AS BIGINT))")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL: Σ aᵢ·bᵢ as DOUBLE. units→double then one division by an
+    exactly-representable 1e10: correctly-rounded, so bit-identical
+    to the oracle's CAST(decimal-sum AS DOUBLE)."""
+    return f"(CAST({_dotu_sql(a, b)} AS DOUBLE) / 1e10)"
+
+
+def _norm_sql(a: str) -> str:
+    """SQL: |a| = sqrt(Σ aᵢ²) as DOUBLE."""
+    return f"SQRT({_dot_sql(a, a)})"
+
+
+def _spread(emb: DataFrame) -> DataFrame:
+    """Local-parallelism guard for the single-split parquet input;
+    no-op on a cluster with real splits (functions/partitioning)."""
     from ..functions.partitioning import spread
-    src = spread(emb, "vec_id") if spread_input else emb
-    return src \
-        .select("vec_id", F.posexplode("embedding").alias("pos0", "valf")) \
-        .select("vec_id", (F.col("pos0") + 1).alias("pos"),
-                F.col("valf").cast("double").alias("val"))
+    return spread(emb, "vec_id")
 
 
 def vector_norms(emb: DataFrame) -> DataFrame:
-    """|v| per vector — decimal-sum of squares, one sqrt."""
-    pe = _pos_explode(emb)
-    return (pe.groupBy("vec_id")
-            .agg(F.sqrt(F.sum((F.col("val") * F.col("val")).cast(DEC))
-                        .cast("double")).alias("norm")))
+    """|v| per vector — row-local decimal sum of squares, one sqrt."""
+    return _spread(emb).select(
+        "vec_id", F.expr(_norm_sql("embedding")).alias("norm"))
+
+
+def _query_row(emb: DataFrame, query_vec_id: int) -> DataFrame:
+    """1-row frame (_q, _qnorm) for the query vector — broadcast to
+    every row so the dot product is row-local."""
+    return (emb.filter(F.col("vec_id") == query_vec_id)
+            .select(F.col("embedding").alias("_q"))
+            .withColumn("_qnorm", F.expr(_norm_sql("_q"))))
 
 
 def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
     """Brute-force cosine top-k against the embedding of
-    `query_vec_id`. cos = Σaᵢbᵢ / (|a||b|): products in double
-    (deterministic), sums in decimal (order-insensitive), one final
-    division — bit-portable across engines. Rounded to 6dp and
+    `query_vec_id`. cos = Σaᵢbᵢ / (|a||b|), rounded to 6dp and
     tie-broken by vec_id so the top-k cut is total-ordered.
 
-    One explode + one broadcast join + one groupBy; |q| is an exact
-    decimal sum over the 64-row pivoted query frame (identical to the
-    per-vec norm2 — decimal addition is order-insensitive)."""
-    pe = _pos_explode(emb)
-    qw = (_pos_explode(emb.filter(F.col("vec_id") == query_vec_id),
-                       spread_input=False)
-          .groupBy("pos").agg(F.max("val").alias("qval")))
-    dn = (pe.join(F.broadcast(qw), "pos")
-          .groupBy("vec_id")
-          .agg(F.sum((F.col("val") * F.col("qval")).cast(DEC))
-                .cast("double").alias("dot"),
-               F.sum((F.col("val") * F.col("val")).cast(DEC))
-                .alias("norm2")))
-    norm = F.sqrt(F.col("norm2").cast("double"))
-    qnorm = qw.agg(F.sqrt(F.sum((F.col("qval") * F.col("qval")).cast(DEC))
-                          .cast("double")).alias("qnorm"))
-    return (dn.crossJoin(F.broadcast(qnorm))
-            .filter(F.col("vec_id") != query_vec_id)
+    Plan: one broadcast (the 1-row query) + a shuffle-free map + a
+    TakeOrderedAndProject — linear scan, per-partition heaps, k-row
+    merge. The linear-scan exact baseline every ANN variant is
+    measured against."""
+    base = _spread(emb).crossJoin(F.broadcast(_query_row(emb, query_vec_id)))
+    dot = F.expr(_dot_sql("embedding", "_q"))
+    norm = F.expr(_norm_sql("embedding"))
+    return (base.filter(F.col("vec_id") != query_vec_id)
             .select("vec_id",
-                    F.round(F.col("dot") / (norm * F.col("qnorm")), 6)
+                    F.round(dot / (norm * F.col("_qnorm")), 6)
                      .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
             .limit(k))
 
 
+def _plane_sum_sql(h: int) -> str:
+    """SQL: Σ_pos w(h,pos)·val — hyperplane h has integer components
+    w(h,pos) = ((h·37 + pos·101) mod 19) − 9 (pos is 1-based).
+    Integer weights ⇒ exact decimal dot products ⇒ identical signs
+    in any engine."""
+    return _agg_units(
+        f"transform(embedding, (v, i) -> CAST("
+        f"CAST(CAST((({h * 37} + (i + 1) * 101) % 19) - 9 AS DOUBLE)"
+        f" * CAST(v AS DOUBLE) AS DECIMAL(28,10)) * {_UNITS} AS BIGINT))")
+
+
 def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Sign-LSH: hyperplane h (0..n−1) has integer components
-    w(h,pos) = ((h·37 + pos·101) mod 19) − 9; bucket bit h =
-    (Σ w·val > 0). Integer weights ⇒ exact decimal dot products ⇒
-    identical buckets in any engine."""
-    pe = _pos_explode(emb)
-    # One groupBy(vec_id) with n_planes decimal sums instead of an
-    # n_planes× row explode + (vec_id, h) shuffle + second shuffle:
-    # the plane weight is a pure function of (h, pos), so each plane's
-    # dot product is just another aggregate over the same long rows.
-    # Cuts shuffle volume n_planes× — the difference that matters when
-    # the embedding table, not the plane count, is what scales.
-    def w(h):
-        return ((F.lit(h * 37) + F.col("pos") * 101) % 19 - 9).cast("double")
-    sums = pe.groupBy("vec_id").agg(*[
-        F.sum((w(h) * F.col("val")).cast(DEC)).alias(f"s{h}")
-        for h in range(n_planes)])
-    bucket = None
-    for h in range(n_planes):
-        term = F.when(F.col(f"s{h}") > 0, F.lit(1 << h).cast("long")) \
-                .otherwise(F.lit(0).cast("long"))
-        bucket = term if bucket is None else bucket + term
-    return sums.select("vec_id", bucket.alias("bucket"))
+    """Sign-LSH: bucket bit h = (Σ w(h,·)·v > 0). All n_planes sums
+    and the bit-pack are one row-local projection — no shuffle."""
+    bucket = " + ".join(
+        f"IF({_plane_sum_sql(h)} > 0, {1 << h}L, 0L)"
+        for h in range(n_planes))
+    return _spread(emb).select("vec_id", F.expr(bucket).alias("bucket"))
 
 
-N_IVF_CELLS = 8
-
-
-def ivf_assign(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
-    """IVF coarse quantization: cell = argmax-dot centroid.
-
-    Centroids here are the first `n_cells` vectors (deterministic
-    stand-in for a k-means codebook — the assignment/probe mechanics
-    are what matters). Dot products are decimal-exact; ties break by
-    centroid id via row_number, so assignment is engine-independent.
-    At scale: centroids broadcast (tiny), one map + one shuffle by
-    vec_id — linear, like every IVF build.
-    """
-    dots = _centroid_dots(emb, n_cells)
-    return dots.select("vec_id", _argmax_cell(n_cells).alias("cell"))
-
-
-def _centroid_dots(emb: DataFrame, n_cells: int) -> DataFrame:
-    """(vec_id, dot_0..dot_{n-1}) in ONE pass: centroid values pivot
-    to per-pos broadcast columns c0..c{n-1}, so every centroid dot
-    product is just another decimal aggregate of the same
-    groupBy(vec_id) — no (vec × cid) row expansion, no window."""
-    pe = _pos_explode(emb)
-    cw = _centroid_wide(emb, n_cells)
-    return (pe.join(F.broadcast(cw), "pos")
-            .groupBy("vec_id")
-            .agg(*[F.sum((F.col("val") * F.col(f"c{i}")).cast(DEC))
-                    .cast("double").alias(f"dot_{i}")
+def _centroids_row(emb: DataFrame, n_cells: int) -> DataFrame:
+    """1-row frame (_c0.._c{n-1}) of centroid embeddings. Centroids
+    are the first `n_cells` vectors (deterministic stand-in for a
+    trained codebook — kmeans_step is the training step); the filter
+    pushes to the scan, the frame broadcasts."""
+    return (emb.filter(F.col("vec_id") < n_cells)
+            .groupBy()
+            .agg(*[F.first(F.when(F.col("vec_id") == i, F.col("embedding")),
+                           ignorenulls=True).alias(f"_c{i}")
                    for i in range(n_cells)]))
-
-
-def _centroid_wide(emb: DataFrame, n_cells: int) -> DataFrame:
-    """(pos, c0..c{n-1}): centroid values pivoted to one row per
-    position — a dim-sized frame built from the n_cells-row slice
-    (filter pushes to the scan; no spread, it's tiny)."""
-    cpe = _pos_explode(emb.filter(F.col("vec_id") < n_cells),
-                       spread_input=False)
-    return (cpe.groupBy("pos")
-            .agg(*[F.max(F.when(F.col("vec_id") == i, F.col("val")))
-                    .alias(f"c{i}") for i in range(n_cells)]))
 
 
 def _argmax_cell(n_cells: int):
@@ -155,23 +159,44 @@ def _argmax_cell(n_cells: int):
     return cell
 
 
+def _with_centroid_dots(base: DataFrame, n_cells: int,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Append dot_0..dot_{n-1} = vec·centroid_i as row-local sums;
+    `base` must carry _c0.._c{n-1} (from a _centroids_row broadcast)."""
+    return base.select("*", *[
+        F.expr(_dot_sql(vec_col, f"_c{i}")).alias(f"dot_{i}")
+        for i in range(n_cells)])
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """IVF coarse quantization: cell = argmax-dot centroid. One
+    broadcast + a shuffle-free map — linear, like every IVF build."""
+    base = _spread(emb).crossJoin(F.broadcast(_centroids_row(emb, n_cells)))
+    return (_with_centroid_dots(base, n_cells)
+            .select("vec_id", _argmax_cell(n_cells).alias("cell")))
+
+
 def kmeans_step(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
     """One Lloyd iteration of the IVF codebook training: assign every
-    vector to its argmax-dot centroid (same fused single-pass kernel
-    as ivf_assign), then emit the new centroids as mean-per-(cell,
-    pos) in long form, plus the cell population.
+    vector to its argmax-dot centroid, then emit the new centroids as
+    mean-per-(cell, pos) in long form, plus the cell population.
 
-    Distributed k-means is exactly this step iterated: the assignment
-    is a broadcast-join map (centroids are tiny), the re-estimation is
-    one groupBy(cell, pos) with map-side partial sums — no state on
-    the driver beyond the loop counter, so it scales to any corpus.
-    Mean = exact decimal sum → one IEEE division → round(6): both
-    engines agree bit-for-bit (the stats_summary avg pattern)."""
+    Distributed k-means is exactly this step iterated: assignment is
+    a broadcast map (row-local dots, cell carried WITH the row — no
+    assignment join), re-estimation is the one true shuffle
+    (groupBy(cell, pos) with map-side partial sums). No driver state
+    beyond the loop counter, so it scales to any corpus. Mean = exact
+    decimal sum → one IEEE division → round(6): both engines agree
+    bit-for-bit (the stats_summary avg pattern)."""
     from ..derive import DEC
-    assign = ivf_assign(emb, n_cells)
-    pe = _pos_explode(emb)
-    return (pe.join(assign, "vec_id")
-            .groupBy("cell", "pos")
+    base = _spread(emb).crossJoin(F.broadcast(_centroids_row(emb, n_cells)))
+    assigned = (_with_centroid_dots(base, n_cells)
+                .select("embedding", _argmax_cell(n_cells).alias("cell")))
+    pe = (assigned
+          .select("cell", F.posexplode("embedding").alias("pos0", "valf"))
+          .select("cell", (F.col("pos0") + 1).alias("pos"),
+                  F.col("valf").cast("double").alias("val")))
+    return (pe.groupBy("cell", "pos")
             .agg(F.round(F.sum(F.col("val").cast(DEC)).cast("double")
                          / F.count("*"), 6).alias("c_val"),
                  F.count("*").alias("n_members")))
@@ -183,45 +208,29 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
     cell — the classic recall/cost trade (probe 1 cell here; probing
     more cells is the same plan with an isin filter).
 
-    Fully fused: ONE pass over the exploded embeddings computes the
-    query dot, the vector norm, and all n_cells centroid dots (query
-    vector and centroids pivot to per-pos broadcast columns), so the
-    whole search is explode → broadcast join → groupBy(vec_id) →
-    filter-to-cell → top-k. Earlier shapes re-derived the explode 3-10×
-    (28-74 exchanges); this is the plan an IVF probe should have.
-    """
-    pe = _pos_explode(emb)
-    qw = (_pos_explode(emb.filter(F.col("vec_id") == query_vec_id),
-                       spread_input=False)
-          .groupBy("pos").agg(F.max("val").alias("qval")))
-    cw = _centroid_wide(emb, n_cells)
-    per_vec = (pe.join(F.broadcast(cw.join(qw, "pos")), "pos")
-               .groupBy("vec_id")
-               .agg(F.sum((F.col("val") * F.col("qval")).cast(DEC))
-                     .cast("double").alias("dot"),
-                    F.sum((F.col("val") * F.col("val")).cast(DEC))
-                     .alias("norm2"),
-                    *[F.sum((F.col("val") * F.col(f"c{i}")).cast(DEC))
-                       .cast("double").alias(f"dot_{i}")
-                      for i in range(n_cells)])
+    Fully fused and shuffle-free: ONE 1-row broadcast carries the
+    query vector, its norm, the centroid arrays, and the
+    pre-computed query cell; each data row then computes its own
+    dots/norm/cell locally, filters to the probed cell, and feeds
+    the TakeOrderedAndProject top-k."""
+    cr = _centroids_row(emb, n_cells)
+    # query cell computed inside the 1-row frame (same decimal dots ⇒
+    # bit-identical to the query's own per-row assignment)
+    qrow = (_with_centroid_dots(
+                _query_row(emb, query_vec_id).crossJoin(cr), n_cells,
+                vec_col="_q")
+            .withColumn("_qcell", _argmax_cell(n_cells))
+            .drop(*[f"dot_{i}" for i in range(n_cells)]))
+    base = _spread(emb).crossJoin(F.broadcast(qrow))
+    per_vec = (_with_centroid_dots(base, n_cells)
                .withColumn("cell", _argmax_cell(n_cells)))
-    # the query's own cell from the dim-sized pivoted frames — same
-    # decimal products, so bit-identical to its per_vec row — instead
-    # of re-deriving the whole per_vec subplan for one row
-    qcell = (cw.join(qw, "pos")
-             .agg(*[F.sum((F.col("qval") * F.col(f"c{i}")).cast(DEC))
-                     .cast("double").alias(f"dot_{i}")
-                    for i in range(n_cells)])
-             .select(_argmax_cell(n_cells).alias("qcell")))
-    qnorm = qw.agg(F.sqrt(F.sum((F.col("qval") * F.col("qval")).cast(DEC))
-                          .cast("double")).alias("qnorm"))
-    norm = F.sqrt(F.col("norm2").cast("double"))
+    dot = F.expr(_dot_sql("embedding", "_q"))
+    norm = F.expr(_norm_sql("embedding"))
     return (per_vec
-            .crossJoin(F.broadcast(qcell)).crossJoin(F.broadcast(qnorm))
-            .filter((F.col("cell") == F.col("qcell"))
+            .filter((F.col("cell") == F.col("_qcell"))
                     & (F.col("vec_id") != query_vec_id))
             .select("vec_id",
-                    F.round(F.col("dot") / (norm * F.col("qnorm")), 6)
+                    F.round(dot / (norm * F.col("_qnorm")), 6)
                      .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
             .limit(k))
@@ -229,7 +238,8 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
 
 def embedding_near_dup_pairs(emb: DataFrame) -> DataFrame:
     """Candidate near-duplicate pairs: same LSH bucket (all planes
-    agree). Verify step would compute exact cosine on candidates."""
+    agree). Verify step would compute exact cosine on candidates.
+    The self-join on bucket is the one shuffle this op needs."""
     bk = lsh_buckets(emb)
     a = bk.alias("a")
     b = bk.alias("b")
