@@ -452,6 +452,12 @@ def _q_kmeans_step(spark, sf_dir):
     return SIM.kmeans_step(_emb(spark, sf_dir))
 
 
+def _q_kmeans_train(spark, sf_dir):
+    # iterative (multi-step Lloyd) — not one-statement SQL; driver
+    # records the rows-only check, kmeans_step carries the exact oracle
+    return SIM.kmeans_train(_emb(spark, sf_dir))
+
+
 def _q_top_parts_per_brand(spark, sf_dir):
     return HL.top_parts_per_brand(spark, sf_dir)
 
@@ -506,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "hash_split": _q_hash_split,
         "kmeans_step": _q_kmeans_step,
+        "kmeans_train": _q_kmeans_train,
         "top_parts_per_brand": _q_top_parts_per_brand,
         "order_gaps": _q_order_gaps,
         "brand_revenue": _q_brand_revenue,

@@ -202,6 +202,50 @@ def kmeans_step(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
                  F.count("*").alias("n_members")))
 
 
+def kmeans_train(emb: DataFrame, n_cells: int = N_IVF_CELLS,
+                 n_iter: int = 3) -> DataFrame:
+    """Full Lloyd training of the IVF codebook: iterate assign →
+    re-estimate `n_iter` times from the first-n-vectors seed, return
+    the final centroids as (cell, pos, c_val, n_members) long form.
+
+    This is the standard distributed k-means shape: per iteration,
+    ONE broadcast of the current codebook out, one shuffle-free
+    assignment map over the corpus, one groupBy(cell, pos)
+    re-estimation, and a collect of the new codebook back. The
+    collect moves MODEL state (n_cells × dim floats), never data —
+    the per-iteration driver traffic is O(k·d) regardless of corpus
+    size. Empty cells keep their previous centroid. Multi-iteration
+    training is not SQL-expressible in one statement, so this query
+    takes the driver's rows-only check; kmeans_step (one iteration)
+    carries the bit-exact oracle for the kernel."""
+    spark = emb.sparkSession
+    base = _spread(emb)
+    cents = [list(r["embedding"]) for r in
+             emb.filter(F.col("vec_id") < n_cells)
+                .orderBy("vec_id").select("embedding").collect()]
+    from ..derive import DEC
+    result = None
+    for _ in range(n_iter):
+        crow = spark.range(1).select(*[
+            F.array(*[F.lit(float(x)) for x in cents[i]]).alias(f"_c{i}")
+            for i in range(n_cells)])
+        assigned = (_with_centroid_dots(
+                        base.crossJoin(F.broadcast(crow)), n_cells)
+                    .select("embedding", _argmax_cell(n_cells).alias("cell")))
+        pe = (assigned
+              .select("cell", F.posexplode("embedding").alias("pos0", "valf"))
+              .select("cell", (F.col("pos0") + 1).alias("pos"),
+                      F.col("valf").cast("double").alias("val")))
+        result = (pe.groupBy("cell", "pos")
+                  .agg(F.round(F.sum(F.col("val").cast(DEC)).cast("double")
+                               / F.count("*"), 6).alias("c_val"),
+                       F.count("*").alias("n_members")))
+        new_rows = result.collect()  # O(k·d) model state, not data
+        for r in new_rows:
+            cents[r["cell"]][r["pos"] - 1] = r["c_val"]
+    return result
+
+
 def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
              n_cells: int = N_IVF_CELLS) -> DataFrame:
     """IVF-ANN search: restrict the exact cosine top-k to the query's

@@ -200,3 +200,33 @@ def test_rate_tick_source_schema_and_batch(spark, tmpdir):
     assert rows, "rate source produced no rows in 30s"
     for r in rows:
         assert r["close"] >= 100.0 and r["ticker"]
+
+
+def test_stream_stream_interval_join(spark, tmpdir):
+    trades_src = f"{tmpdir}/trades"
+    ticks_src = f"{tmpdir}/ticks"
+    from etl_portfolio_tracker_spark.streaming import joins
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [("A", base, 5.0), ("B", base, 2.0)],
+        "ticker string, ts timestamp, qty double") \
+        .coalesce(1).write.parquet(trades_src)
+    spark.createDataFrame(
+        [("A", base - dt.timedelta(minutes=30), 10.0),   # in window
+         ("A", base - dt.timedelta(hours=3), 9.0),       # too old
+         ("A", base + dt.timedelta(minutes=1), 11.0),    # after trade
+         ("B", base, 7.0)],                              # exact hit
+        "ticker string, ts timestamp, close double") \
+        .coalesce(1).write.parquet(ticks_src)
+    trades = spark.readStream.schema(
+        "ticker string, ts timestamp, qty double").parquet(trades_src)
+    ticks = spark.readStream.schema(
+        "ticker string, ts timestamp, close double").parquet(ticks_src)
+    q = (joins.enrich_trades_with_ticks(trades, ticks)
+         .writeStream.format("memory").queryName("ss_join_test")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r["ticker"], r["tick_close"])
+            for r in spark.sql("SELECT * FROM ss_join_test").collect()}
+    # only the in-window ticks survive: A@10.0 (30 min before), B@7.0
+    assert rows == {("A", 10.0), ("B", 7.0)}

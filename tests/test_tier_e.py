@@ -164,3 +164,21 @@ def test_kmeans_step_means_and_population(spark):
     # cell 0 members: vecs 0,2,3 → mean x = (1+1+0.9)/3
     assert abs(cells[(0, 1)]["c_val"] - round((1.0 + 1.0 + 0.9) / 3, 6)) < 1e-9
     assert abs(cells[(1, 2)]["c_val"] - round((1.0 + 0.9 + 1.0) / 3, 6)) < 1e-9
+
+
+def test_kmeans_train_converges_to_cluster_means(spark):
+    import pandas as pd
+    # two tight 2-D blobs; seeds (vecs 0,1) start inside each blob
+    blob_a = [[1.0, 0.0], [1.1, 0.0], [0.9, 0.1], [1.0, 0.1]]
+    blob_b = [[0.0, 1.0], [0.0, 1.1], [0.1, 0.9], [0.1, 1.0]]
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": list(range(8)),
+        "embedding": [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:],
+    }))
+    out = SIM.kmeans_train(emb, n_cells=2, n_iter=3).collect()
+    c = {(r["cell"], r["pos"]): r["c_val"] for r in out}
+    n = {r["cell"]: r["n_members"] for r in out}
+    assert n == {0: 4, 1: 4}
+    # cell 0 = mean of blob_a, cell 1 = mean of blob_b
+    assert abs(c[(0, 1)] - sum(v[0] for v in blob_a) / 4) < 1e-6
+    assert abs(c[(1, 2)] - sum(v[1] for v in blob_b) / 4) < 1e-6
