@@ -466,6 +466,14 @@ def _q_order_gaps(spark, sf_dir):
     return HL.order_gaps(spark, sf_dir)
 
 
+def _q_qty_band_revenue(spark, sf_dir):
+    return HL.qty_band_revenue(spark, sf_dir)
+
+
+def _q_nation_spend_quartiles(spark, sf_dir):
+    return HL.nation_spend_quartiles(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -515,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train": _q_kmeans_train,
         "top_parts_per_brand": _q_top_parts_per_brand,
         "order_gaps": _q_order_gaps,
+        "qty_band_revenue": _q_qty_band_revenue,
+        "nation_spend_quartiles": _q_nation_spend_quartiles,
         "brand_revenue": _q_brand_revenue,
         "top_customers": _q_top_customers,
         "region_revenue": _q_region_revenue,
@@ -1140,6 +1150,32 @@ def oracle_sql() -> dict[str, str]:
                                                      p_partkey ASC) AS rnk
                   FROM part)
             WHERE rnk <= 3
+        """,
+        "qty_band_revenue": """
+            SELECT band,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN (VALUES (1, 'low', 0.0, 10.0),
+                         (2, 'mid', 10.0, 25.0),
+                         (3, 'high', 25.0, 100.0)) b(band_id, band, lo, hi)
+              ON l_quantity >= lo AND l_quantity < hi
+            GROUP BY band
+            ORDER BY band
+        """,
+        "nation_spend_quartiles": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                            AS DOUBLE) AS spend
+                FROM orders
+                GROUP BY 1
+            )
+            SELECT o_custkey, c_nationkey, spend,
+                   NTILE(4) OVER (PARTITION BY c_nationkey
+                                  ORDER BY spend DESC, o_custkey ASC) AS quartile
+            FROM spend JOIN customer ON o_custkey = c_custkey
         """,
         "order_gaps": """
             WITH gaps AS (

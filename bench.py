@@ -11,12 +11,16 @@ million-row outputs (7.9 s vs 0.7 s measured for minhash_lsh at
 sf0.1). A warmup run of the flagship amortizes JVM/codegen startup so
 numbers reflect steady-state throughput.
 
-Each query reports BEST-OF-2: the bench host shows intermittent
-external load spikes (same query measured 2.6 s and 53 s minutes
-apart with zero CPU steal and no full GCs — host-level neighbor
-noise), so a single sample conflates engine cost with machine
-weather. Min-of-N is the standard estimator for the achievable cost
-under transient contention.
+Noise handling: the bench host shows intermittent external load
+spikes (same query measured 2.6 s and 53 s minutes apart with zero
+CPU steal and no full GCs — host-level neighbor noise), so a single
+sample conflates engine cost with machine weather. After the first
+full pass, any query slower than max(1.5 s, 2× the pass median) is
+re-timed once and the MIN is reported — the standard min-of-N
+estimator, but bounded: the retry pass only touches the outliers, so
+total wall stays ~1.5× a single pass even when the host is loaded
+(an unconditional best-of-2 doubled exposure and could crawl past
+30 min under contention).
 """
 
 from __future__ import annotations
@@ -43,19 +47,27 @@ def main() -> None:
     except Exception:
         pass
 
+    def time_one(name: str, fn) -> float:
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).toPandas()
+            return time.time() - t0
+        except Exception as ex:  # pragma: no cover
+            print(f"bench error {name}: {ex!r}"[:300], file=sys.stderr)
+            return -1.0
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            try:
-                fn(spark, sf_dir).toPandas()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            except Exception as ex:  # pragma: no cover
-                print(f"bench error {name}: {ex!r}"[:300], file=sys.stderr)
-                break
-        timings[name] = -1.0 if best is None else round(best, 3)
+        timings[name] = time_one(name, fn)
+    ok = sorted(t for t in timings.values() if t >= 0)
+    if ok:
+        median = ok[len(ok) // 2]
+        cutoff = max(1.5, 2 * median)
+        for name in [n for n, t in timings.items() if t > cutoff]:
+            retry = time_one(name, qs[name])
+            if retry >= 0:
+                timings[name] = min(timings[name], retry)
+    timings = {n: round(t, 3) for n, t in timings.items()}
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -296,6 +296,51 @@ def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("avg_gap")))
 
 
+QTY_BANDS = [(1, "low", 0.0, 10.0), (2, "mid", 10.0, 25.0),
+             (3, "high", 25.0, 100.0)]
+
+
+def qty_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join — the join family SURVEY §2.3 notes is
+    absent from the reference but free in Spark: lineitem banded by
+    lo ≤ l_quantity < hi against a literal band dim. With an
+    inequality-only condition Catalyst picks BroadcastNestedLoopJoin;
+    the build side is 3 rows, so each fact row probes a constant-size
+    table — linear scan, no shuffle before the aggregate. (A big-big
+    range join would instead bucket both sides on range(lo, hi) —
+    that shape is what IVF/LSH use elsewhere in this engine.)"""
+    bands = spark.createDataFrame(
+        QTY_BANDS, "band_id long, band string, lo double, hi double")
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(bands),
+                    (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi))
+            .groupBy("band")
+            .agg(F.round(dsum(rev), 2).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("band"))
+
+
+def nation_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking window (completes the ranking family beyond
+    row_number): customers bucketed into spend quartiles WITHIN their
+    nation. Partitioned window — no global sort; the quartile cut is
+    per-nation, which is also the shape that scales (a global ntile
+    is a single-partition sort; at 100 TB use approx percentiles)."""
+    from pyspark.sql.window import Window
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.round(dsum(F.col("o_totalprice")), 2).cast("double")
+                   .alias("spend")))
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("spend"),
+                                                  F.asc("o_custkey"))
+    return (spend.join(F.broadcast(cust),
+                       spend.o_custkey == cust.c_custkey)
+            .select("o_custkey", "c_nationkey", "spend",
+                    F.ntile(4).over(w).cast("long").alias("quartile")))
+
+
 def ticker_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set operations (absent in the reference, free in Spark):
     per-ticker classification of two user cohorts' traded tickers —

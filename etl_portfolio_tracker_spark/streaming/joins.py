@@ -44,3 +44,13 @@ def enrich_trades_with_ticks(trades: DataFrame, ticks: DataFrame,
                     F.col("t.qty").alias("qty"),
                     F.col("p.ts").alias("tick_ts"),
                     F.col("p.close").alias("tick_close")))
+
+
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame,
+                           key: str = "ticker") -> DataFrame:
+    """Stream-static join: every micro-batch probes a broadcast of
+    the (batch) dimension — no state store at all, because the static
+    side is re-resolved per micro-batch (so a dim refresh between
+    batches is picked up automatically). The streaming twin of the J6
+    dict-lookup enrichment."""
+    return stream.join(F.broadcast(dim), key, "left")

@@ -230,3 +230,24 @@ def test_stream_stream_interval_join(spark, tmpdir):
             for r in spark.sql("SELECT * FROM ss_join_test").collect()}
     # only the in-window ticks survive: A@10.0 (30 min before), B@7.0
     assert rows == {("A", 10.0), ("B", 7.0)}
+
+
+def test_stream_static_enrichment(spark, tmpdir):
+    src = f"{tmpdir}/ticks2"
+    from etl_portfolio_tracker_spark.streaming import joins
+    base = dt.datetime(2025, 1, 2, 9, 0, 0)
+    spark.createDataFrame(
+        [("A", base, 10.0), ("C", base, 3.0)],
+        "ticker string, ts timestamp, close double") \
+        .coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("A", "Alpha Corp"), ("B", "Beta AB")], "ticker string, name string")
+    stream = spark.readStream.schema(
+        "ticker string, ts timestamp, close double").parquet(src)
+    q = (joins.enrich_stream_with_dim(stream, dim)
+         .writeStream.format("memory").queryName("ss_static_test")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r["ticker"], r["name"])
+            for r in spark.sql("SELECT * FROM ss_static_test").collect()}
+    assert rows == {("A", "Alpha Corp"), ("C", None)}  # left join keeps C

@@ -182,3 +182,34 @@ def test_kmeans_train_converges_to_cluster_means(spark):
     # cell 0 = mean of blob_a, cell 1 = mean of blob_b
     assert abs(c[(0, 1)] - sum(v[0] for v in blob_a) / 4) < 1e-6
     assert abs(c[(1, 2)] - sum(v[1] for v in blob_b) / 4) < 1e-6
+
+
+def test_min_label_components_random_graphs_vs_union_find(spark):
+    # randomized (seeded) adversarial check of the propagation kernel
+    # against a plain union-find oracle
+    import random
+    from pyspark.sql import functions as F
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(rng.randint(5, 40))})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expected = {i: min(j for j in range(n) if find(j) == find(i))
+                    for i in range(n)}
+        sym = edges + [(b, a) for a, b in edges]
+        edf = spark.createDataFrame(sym or [(0, 0)], "doc_a long, doc_b long")
+        labels0 = spark.createDataFrame([(i,) for i in range(n)], "doc_id long") \
+            .withColumn("cluster_id", F.col("doc_id"))
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in DD.min_label_components(labels0, edf).collect()}
+        assert got == expected, f"trial {trial} mismatch"
