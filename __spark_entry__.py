@@ -440,6 +440,12 @@ def _q_multimodal_meta(spark, sf_dir):
     return MM.media_meta(MM.docs_as_media(_docs(spark, sf_dir)))
 
 
+def _q_frame_sample(spark, sf_dir):
+    # Python-stub decode behind real mapInPandas plumbing (1→many
+    # Arrow batches) — not SQL-expressible; rows-only check
+    return MM.frame_sample(MM.docs_as_media(_docs(spark, sf_dir)))
+
+
 def _q_dedup_clusters(spark, sf_dir):
     return DD.dedup_clusters(_docs(spark, sf_dir))
 
@@ -517,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": _q_lsh_buckets,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_meta": _q_multimodal_meta,
+        "frame_sample": _q_frame_sample,
         "dedup_clusters": _q_dedup_clusters,
         "hash_split": _q_hash_split,
         "kmeans_step": _q_kmeans_step,

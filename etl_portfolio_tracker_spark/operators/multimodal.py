@@ -82,6 +82,80 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("out_width", T.IntegerType()),
+    T.StructField("out_height", T.IntegerType()),
+    T.StructField("thumb", T.BinaryType()),
+])
+
+
+def resize_media(media: DataFrame, max_px: int = 64) -> DataFrame:
+    """mapInPandas resize: fit the (stub-)decoded dims into a
+    max_px box preserving aspect ratio, emit a thumbnail payload.
+    Real implementation: PIL `Image.thumbnail((max_px, max_px))` →
+    re-encode. Stub: scaled dims from the deterministic fake decode,
+    thumbnail = every k-th byte of the payload (deterministic,
+    size-proportional). 1→1 rows, partition-parallel, no shuffle."""
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "out_width": [], "out_height": [],
+                   "thumb": []}
+            for mid, p in zip(pdf["media_id"], pdf["media"]):
+                if p is None:
+                    row = (None, None, None)
+                else:
+                    b = bytes(p)
+                    w, h, _ = _decode_image_bytes(b)
+                    scale = max(1.0, max(w, h) / max_px)
+                    step = max(1, len(b) // max(1, max_px * max_px // 8))
+                    row = (int(w / scale), int(h / scale), b[::step])
+                out["media_id"].append(mid)
+                out["out_width"].append(row[0])
+                out["out_height"].append(row[1])
+                out["thumb"].append(row[2])
+            yield pd.DataFrame(out)
+    return media.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+    T.StructField("frame_bytes", T.LongType()),
+])
+
+
+def frame_sample(media: DataFrame, frame_size: int = 256,
+                 every_n: int = 4) -> DataFrame:
+    """mapInPandas frame sampling: treat the payload as concatenated
+    fixed-size frames (a real deploy hands ffmpeg the container and
+    samples keyframes) and emit every n-th frame as its own row.
+
+    This is the 1→MANY multimodal kernel — output cardinality differs
+    from input, which rules out a scalar pandas UDF; mapInPandas lets
+    one Arrow batch in yield any number of rows out while staying
+    partition-parallel with bounded memory (frames stream per batch,
+    never one giant per-video list pinned on an executor)."""
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "frame": [],
+                   "frame_bytes": []}
+            for mid, p in zip(pdf["media_id"], pdf["media"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                n_frames = max(1, (len(b) + frame_size - 1) // frame_size)
+                for idx in range(0, n_frames, every_n):
+                    fr = b[idx * frame_size:(idx + 1) * frame_size]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(fr)
+                    out["frame_bytes"].append(len(fr))
+            yield pd.DataFrame(out)
+    return media.mapInPandas(_batches, schema=FRAMES_SCHEMA)
+
+
 def media_meta(media: DataFrame) -> DataFrame:
     """Pure-SQL metadata over binary payloads (no Python): byte length
     + content hash — the part of the multimodal path that stays

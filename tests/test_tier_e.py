@@ -213,3 +213,31 @@ def test_min_label_components_random_graphs_vs_union_find(spark):
         got = {r["doc_id"]: r["cluster_id"]
                for r in DD.min_label_components(labels0, edf).collect()}
         assert got == expected, f"trial {trial} mismatch"
+
+
+def test_resize_media_plumbing(spark):
+    d = docs_df(spark, ["x" * 1000, "short"])
+    media = MM.docs_as_media(d)
+    out = {r["media_id"]: r for r in MM.resize_media(media, max_px=64).collect()}
+    for r in out.values():
+        assert 0 <= r["out_width"] <= 64 and 0 <= r["out_height"] <= 64
+        assert len(bytes(r["thumb"])) <= 1000
+    # deterministic: same payload -> same thumb
+    again = {r["media_id"]: bytes(r["thumb"])
+             for r in MM.resize_media(media, max_px=64).collect()}
+    assert {k: bytes(v["thumb"]) for k, v in out.items()} == again
+
+
+def test_frame_sample_cardinality(spark):
+    d = docs_df(spark, ["A" * 2100, "B" * 100])
+    media = MM.docs_as_media(d)
+    rows = MM.frame_sample(media, frame_size=256, every_n=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    # doc0: 2100 bytes -> 9 frames -> sampled idx 0,4,8
+    assert sorted(r["frame_idx"] for r in by_doc[0]) == [0, 4, 8]
+    assert sum(r["frame_bytes"] for r in by_doc[0]) == 256 + 256 + 2100 - 8 * 256
+    # doc1: 100 bytes -> 1 frame -> idx 0 only
+    assert [r["frame_idx"] for r in by_doc[1]] == [0]
+    assert bytes(by_doc[1][0]["frame"]) == b"B" * 100
