@@ -251,3 +251,30 @@ def test_stream_static_enrichment(spark, tmpdir):
     rows = {(r["ticker"], r["name"])
             for r in spark.sql("SELECT * FROM ss_static_test").collect()}
     assert rows == {("A", "Alpha Corp"), ("C", None)}  # left join keeps C
+
+
+def test_streaming_query_listener_records_progress(spark, tmpdir):
+    src = f"{tmpdir}/lsrc"
+    from etl_portfolio_tracker_spark.streaming import listeners
+    spark.createDataFrame(
+        [("A", dt.datetime(2025, 1, 3, 10, 0, 0), 5.0)],
+        "ticker string, ts timestamp, close double") \
+        .coalesce(1).write.parquet(src)
+    lst = listeners.ProgressLog()
+    spark.streams.addListener(lst)
+    try:
+        stream = spark.readStream.schema(
+            "ticker string, ts timestamp, close double").parquet(src)
+        q = (stream.writeStream.format("memory").queryName("listener_test")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously
+        import time as _t
+        for _ in range(60):
+            if lst.batches:
+                break
+            _t.sleep(0.5)
+    finally:
+        spark.streams.removeListener(lst)
+    assert lst.started, "start event not delivered"
+    assert any(b["num_input_rows"] == 1 for b in lst.batches)
