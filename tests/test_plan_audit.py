@@ -59,3 +59,15 @@ def test_order_gaps_single_shuffle(spark):
     from etl_portfolio_tracker_spark.plans import exchanges
     q = HL.order_gaps(spark, SF)
     assert len(exchanges(q)) == 1
+
+
+def test_qty_band_revenue_broadcast_nested_loop(spark):
+    # inequality-only join on a 3-row dim must be a broadcast
+    # nested-loop probe, never a shuffle of the fact side
+    from etl_portfolio_tracker_spark.plans import exchanges, physical_plan, scan_columns
+    q = HL.qty_band_revenue(spark, SF)
+    assert "BroadcastNestedLoopJoin" in physical_plan(q)
+    # the only shuffle is the final 3-group aggregate
+    assert len(exchanges(q)) <= 2  # partial->final agg pair
+    li_scan = next(c for c in scan_columns(q) if "l_quantity" in c)
+    assert set(li_scan) <= {"l_quantity", "l_extendedprice", "l_discount"}
