@@ -172,7 +172,15 @@ def minhash_band_keys(docs: DataFrame,
 def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     bucket, with the number of agreeing bands. The verify step
-    (exact jaccard on candidates only) keeps the pipeline subquadratic."""
+    (exact jaccard on candidates only) keeps the pipeline subquadratic.
+
+    Scale note (measured, tools/scale_probe.py): the OUTPUT is
+    Σ|bucket|² — at 10× corpus the in-bucket pairs grew 13× (1.14M →
+    15.1M). When you need clusters rather than pairs, dedup_clusters
+    star-contracts through bucket hubs and stays linear; when you do
+    need pairs at 100 TB, cap oversized buckets first (a 10³+-member
+    bucket is non-discriminative — drop it or re-band with more rows
+    per band)."""
     from ..functions.partitioning import spread
     n = docs.sparkSession.sparkContext.defaultParallelism
     # explicit-N co-partition on the join key: the bucket fan-out

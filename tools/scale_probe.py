@@ -1,0 +1,128 @@
+"""1×/10× scaling probe: times representative operators on sf0.1 and
+on a synthetic 10× built by unioning ten key-shifted copies, so key
+cardinalities scale with volume (10× docs/vectors/orders, not 10
+duplicates of each key). Results feed SCALING.md.
+
+Copies are decorrelated where the operator is sensitive to content:
+document texts get a per-copy consonant rotation (translate) so the
+10× corpus has 10× distinct shingle families rather than ten
+byte-identical replicas collapsing into one giant near-dup cluster.
+
+Timing sinks to the `noop` format (full execution, no fetch).
+
+Usage: python tools/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from etl_portfolio_tracker_spark.io import read_table  # noqa: E402
+from etl_portfolio_tracker_spark.operators import dedup as DD  # noqa: E402
+from etl_portfolio_tracker_spark.operators import headline as HL  # noqa: E402
+from etl_portfolio_tracker_spark.operators import similarity as SIM  # noqa: E402
+from etl_portfolio_tracker_spark.session import get_spark  # noqa: E402
+
+CONS = "tnsrhldcm"
+
+
+def docs_10x(docs: DataFrame) -> DataFrame:
+    n = docs.count()
+    parts = []
+    for i in range(10):
+        rot = CONS[i:] + CONS[:i]
+        parts.append(docs.select(
+            (F.col("doc_id") + i * n).alias("doc_id"),
+            F.translate("text", CONS, rot).alias("text")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def emb_10x(emb: DataFrame) -> DataFrame:
+    n = emb.count()
+    parts = []
+    for i in range(10):
+        # rotate the vector positions per copy so copies land in
+        # different buckets/cells
+        parts.append(emb.select(
+            (F.col("vec_id") + i * n).alias("vec_id"),
+            F.expr(f"concat(slice(embedding, {i + 1}, size(embedding) - {i}),"
+                   f" slice(embedding, 1, {i}))").alias("embedding")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fact_10x(df: DataFrame, key: str) -> DataFrame:
+    n = 10_000_000
+    parts = [df.withColumn(key, F.col(key) + i * n) for i in range(10)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def bench(label: str, fn, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{label}: {best:.2f}s", flush=True)
+    return best
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale_probe")
+    docs1 = read_table(spark, sf, "documents")
+    docs10 = docs_10x(docs1).localCheckpoint(eager=True)
+    emb1 = read_table(spark, sf, "embeddings")
+    emb10 = emb_10x(emb1).localCheckpoint(eager=True)
+    li1 = read_table(spark, sf, "lineitem")
+    li10 = fact_10x(li1, "l_partkey").localCheckpoint(eager=True)
+
+    bench("minhash_lsh 1x", lambda: DD.minhash_lsh_candidates(docs1))
+    bench("minhash_lsh 10x", lambda: DD.minhash_lsh_candidates(docs10))
+    bench("simhash 1x", lambda: DD.simhash(docs1))
+    bench("simhash 10x", lambda: DD.simhash(docs10))
+    bench("lsh_buckets 1x", lambda: SIM.lsh_buckets(emb1))
+    bench("lsh_buckets 10x", lambda: SIM.lsh_buckets(emb10))
+    bench("ivf_assign 1x", lambda: SIM.ivf_assign(emb1))
+    bench("ivf_assign 10x", lambda: SIM.ivf_assign(emb10))
+
+    # iterative CC materializes during construction — time end-to-end
+    for label, d in (("dedup_clusters 1x", docs1),
+                     ("dedup_clusters 10x", docs10)):
+        t0 = time.time()
+        DD.dedup_clusters(d).write.format("noop").mode("overwrite").save()
+        print(f"{label}: {time.time() - t0:.2f}s", flush=True)
+
+    # band-only probe for the quantity range join needs no shifted keys
+    class _Q:
+        pass
+    import types
+    def qty_fn(li):
+        bands = spark.createDataFrame(
+            HL.QTY_BANDS, "band_id long, band string, lo double, hi double")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        from etl_portfolio_tracker_spark.derive import dsum
+        return (li.join(F.broadcast(bands),
+                        (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi))
+                .groupBy("band")
+                .agg(F.round(dsum(rev), 2).cast("double").alias("revenue")))
+    bench("qty_band 1x", lambda: qty_fn(li1))
+    bench("qty_band 10x", lambda: qty_fn(li10))
+
+
+if __name__ == "__main__":
+    main()
