@@ -102,3 +102,36 @@ def read_prices_range(spark: SparkSession, path: str,
             .filter((F.col("ts_year") >= y0) & (F.col("ts_year") <= y1))
             .filter((F.col("ts") >= F.lit(start)) & (F.col("ts") <= F.lit(end)))
             .drop("ts_year"))
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines scan with an EXPLICIT schema (never inferSchema on a
+    correctness path — inference samples the data, so the schema can
+    drift between runs; the reference's CSV loader pins and validates
+    its schema the same way, app/services/universe.py:34-42).
+    Corrupt lines land in `_corrupt_record` instead of failing the
+    job — at 100 TB a bad line is operational telemetry, not a crash."""
+    full = schema.add("_corrupt_record", "string")
+    return (spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path))
+
+
+def compact(spark: SparkSession, path: str, target_files: int) -> None:
+    """Small-files compaction: rewrite a parquet directory into
+    `target_files` files. The operational job every long-running
+    ingest needs — streaming micro-batches and idempotent appends
+    accrete files, and at 100 TB scan throughput is gated by file
+    count (driver listing + task scheduling + row-group overhead).
+    Rewrite goes through a temp dir then an atomic-ish swap so a
+    failed compaction never destroys the source."""
+    import shutil
+    tmp = path.rstrip("/") + "._compact_tmp"
+    (spark.read.parquet(path)
+     .repartition(target_files)
+     .write.mode("overwrite").parquet(tmp))
+    bak = path.rstrip("/") + "._compact_bak"
+    shutil.move(path, bak)
+    shutil.move(tmp, path)
+    shutil.rmtree(bak)

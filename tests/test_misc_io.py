@@ -76,3 +76,33 @@ def test_udf_parity_with_builtin(spark):
                     builtin_normalize(F.col("s")).alias("b")).collect()
     for r in got:
         assert r["u"] == r["b"]
+
+
+def test_read_jsonl_explicit_schema_and_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+    from etl_portfolio_tracker_spark import io as eio
+    p = str(tmp_path / "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "hello"}\n')
+        f.write('{"doc_id": 2, "text": "world"}\n')
+        f.write('this is not json\n')
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    out = eio.read_jsonl(spark, p, schema)
+    rows = out.collect()
+    good = {r["doc_id"]: r["text"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1: "hello", 2: "world"}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    from etl_portfolio_tracker_spark import io as eio
+    import glob
+    p = str(tmp_path / "many")
+    spark.range(1000).repartition(20).write.parquet(p)
+    assert len(glob.glob(f"{p}/part-*")) == 20
+    eio.compact(spark, p, target_files=2)
+    assert len(glob.glob(f"{p}/part-*")) == 2
+    assert spark.read.parquet(p).count() == 1000
+    assert not glob.glob(f"{p}._compact_*")

@@ -108,9 +108,6 @@ def main() -> None:
         print(f"{label}: {time.time() - t0:.2f}s", flush=True)
 
     # band-only probe for the quantity range join needs no shifted keys
-    class _Q:
-        pass
-    import types
     def qty_fn(li):
         bands = spark.createDataFrame(
             HL.QTY_BANDS, "band_id long, band string, lo double, hi double")
