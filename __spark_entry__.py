@@ -35,6 +35,7 @@ from etl_portfolio_tracker_spark.operators import dedup as DD
 from etl_portfolio_tracker_spark.operators import fold as FD
 from etl_portfolio_tracker_spark.operators import headline as HL
 from etl_portfolio_tracker_spark.operators import trade_ops as TO
+from etl_portfolio_tracker_spark.operators import warehouse as WH
 from etl_portfolio_tracker_spark.operators import multimodal as MM
 from etl_portfolio_tracker_spark.operators import similarity as SIM
 from etl_portfolio_tracker_spark.operators import text as TX
@@ -361,6 +362,42 @@ def _q_multi_supp_orders(spark, sf_dir):
     return HL.multi_supp_orders(spark, sf_dir)
 
 
+def _q_nation_trade_volume(spark, sf_dir):
+    return WH.nation_trade_volume(spark, sf_dir)
+
+
+def _q_supplier_nation_profit(spark, sf_dir):
+    return WH.supplier_nation_profit(spark, sf_dir)
+
+
+def _q_returned_revenue(spark, sf_dir):
+    return WH.returned_revenue(spark, sf_dir)
+
+
+def _q_cust_order_histogram(spark, sf_dir):
+    return WH.cust_order_histogram(spark, sf_dir)
+
+
+def _q_promo_revenue_share(spark, sf_dir):
+    return WH.promo_revenue_share(spark, sf_dir)
+
+
+def _q_top_supplier(spark, sf_dir):
+    return WH.top_supplier(spark, sf_dir)
+
+
+def _q_big_orders(spark, sf_dir):
+    return WH.big_orders(spark, sf_dir)
+
+
+def _q_disjunctive_revenue(spark, sf_dir):
+    return WH.disjunctive_revenue(spark, sf_dir)
+
+
+def _q_idle_rich_customers(spark, sf_dir):
+    return WH.idle_rich_customers(spark, sf_dir)
+
+
 def _q_funnel(spark, sf_dir):
     return SE.funnel(read_table(spark, sf_dir, "events"))
 
@@ -387,6 +424,10 @@ def _emb(spark, sf_dir):
 
 def _q_token_stats(spark, sf_dir):
     return TX.token_stats(_docs(spark, sf_dir))
+
+
+def _q_repetition_score(spark, sf_dir):
+    return TX.repetition_score(_docs(spark, sf_dir))
 
 
 def _q_quality_score(spark, sf_dir):
@@ -512,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "realized_pnl": _q_realized_pnl,
         "overview_full": _q_overview_full,
         "token_stats": _q_token_stats,
+        "repetition_score": _q_repetition_score,
         "quality_score": _q_quality_score,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
@@ -555,6 +597,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": _q_small_qty_revenue,
         "multi_supp_orders": _q_multi_supp_orders,
         "region_rollup": _q_region_rollup,
+        "nation_trade_volume": _q_nation_trade_volume,
+        "supplier_nation_profit": _q_supplier_nation_profit,
+        "returned_revenue": _q_returned_revenue,
+        "cust_order_histogram": _q_cust_order_histogram,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "top_supplier": _q_top_supplier,
+        "big_orders": _q_big_orders,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "idle_rich_customers": _q_idle_rich_customers,
         "user_ticker_list": _q_user_ticker_list,
         "region_revenue_sql": _q_region_revenue_sql,
         # approx_stats: sketch values are engine-specific → no oracle
@@ -857,6 +908,23 @@ def oracle_sql() -> dict[str, str]:
                    LEN(string_split({_NORM_SQL}, ' ')) AS n_ws_tokens,
                    LEN(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens
             FROM documents
+        """,
+        "repetition_score": f"""
+            WITH bi AS (
+                SELECT doc_id,
+                       [t[i] || ' ' || t[i+1]
+                        FOR i IN generate_series(1, len(t)-1)] AS bigrams
+                FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+                      FROM documents)
+            )
+            SELECT doc_id,
+                   CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+                   CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+                   CASE WHEN len(bigrams) > 0
+                        THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                                   / len(bigrams)
+                        END AS dup_frac
+            FROM bi
         """,
         "quality_score": f"""
             SELECT doc_id,
@@ -1352,6 +1420,134 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "nation_trade_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "supplier_nation_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       - p_retailprice * l_quantity * 0.6
+                                       AS DECIMAL(38,10))), 2) AS DOUBLE) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "returned_revenue": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "cust_order_histogram": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN (SELECT * FROM orders
+                           WHERE o_orderpriority <> '1-URGENT') o
+                       ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "promo_revenue_share": """
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   ROUND(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                            THEN l_extendedprice * (1 - l_discount)
+                                            ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE) * 100
+                         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE),
+                         6) AS promo_share,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "top_supplier": """
+            WITH per_supp AS (
+                SELECT l_suppkey,
+                       ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS rev
+                FROM lineitem
+                WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+            FROM per_supp
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev = (SELECT MAX(rev) FROM per_supp)
+            ORDER BY s_suppkey
+        """,
+        "big_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sq
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 100
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS o_orderdate,
+                   o_totalprice,
+                   CAST(sq AS DOUBLE) AS sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "disjunctive_revenue": """
+            SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 50
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "idle_rich_customers": """
+            WITH pos AS (
+                SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_pos,
+                       COUNT(*) AS n_pos
+                FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT c_nationkey, COUNT(*) AS numcust,
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 2) AS DOUBLE) AS totacctbal
+            FROM customer, pos
+            WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         "user_ticker_list": with_domain("""
             SELECT "user",

@@ -142,3 +142,32 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
             .select("doc_id", "rank", "term",
                     F.col("tf").cast("long").alias("tf"),
                     F.col("df").cast("long").alias("df"), "n_docs"))
+
+
+def repetition_score(docs: DataFrame) -> DataFrame:
+    """Repetition scoring (the Gopher "duplicate n-gram fraction"
+    filter): fraction of word bigrams that are repeats within the
+    document. High values flag boilerplate/spam for training-data
+    filtering. Pure array expressions — per-row map stage, no shuffle;
+    the ratio is int/int in one IEEE divide + subtract (portable).
+
+    The token array is materialized in a projection FIRST: expressions
+    captured by a transform() lambda are inlined per element, so
+    building bigrams directly off tokens_col() re-runs the regex split
+    for every element — O(len²) per doc (measured 20 s vs 1.5 s at
+    sf0.1)."""
+    toks = F.col("_toks")
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    nd = F.size(F.array_distinct(bigrams))
+    return docs.select("doc_id", tokens_col().alias("_toks")).select(
+        "doc_id",
+        nb.cast("long").alias("n_bigrams"),
+        nd.cast("long").alias("n_distinct"),
+        F.when(nb > 0, F.lit(1.0) - nd.cast("double") / nb)
+         .alias("dup_frac"))

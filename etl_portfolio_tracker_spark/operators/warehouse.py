@@ -1,0 +1,219 @@
+"""Second tranche of warehouse join/aggregate shapes (TPC-H Q7, Q9,
+Q10, Q13, Q14, Q15, Q18, Q19, Q22 analogs over the harness star
+schema) — the join-family coverage headline.py starts: dual-aliased
+dimension joins, outer-join histograms, conditional-sum ratios,
+scalar-subquery maxima, disjunctive pushdown, and anti-join +
+scalar-threshold selection.
+
+Same scale rules as headline.py: dimensions broadcast, facts shuffle
+once, every emitted sum goes through DECIMAL(38,10) (dsum) so partial
+aggregation order can't move a hash bit, and threshold comparisons
+use division-free exact forms where an engine's float `avg` could
+flip a boundary row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..derive import dsum
+from ..io import read_table
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue shipped from a
+    supplier nation to a (different) customer nation per year. The
+    nation dim joins TWICE under different aliases; both instances
+    broadcast, so the only shuffle is lineitem ⋈ orders on orderkey
+    plus the final aggregate."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01")))
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.round(dsum(_rev()), 2).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year. The
+    harness has no partsupp, so supply cost is proxied by
+    p_retailprice · l_quantity · 0.6 — the join topology (two fact
+    shuffles, part + supplier + nation broadcasts) is what Q9
+    exercises, not the cost constant."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity") * 0.6)
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("l_shipdate").cast("long").alias("o_year"))
+            .agg(F.round(dsum(profit), 2).cast("double").alias("profit"))
+            .orderBy("nation", "o_year"))
+
+
+def returned_revenue(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns
+    (l_returnflag = 'R') in a quarter. The returnflag + date filters
+    push to the scans; customer and nation broadcast; top-k is
+    TakeOrderedAndProject."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01")))
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(dsum(_rev()), 2).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(k))
+
+
+def cust_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer —
+    the one shape that NEEDS an outer join (customers with zero orders
+    must appear in the 0 bucket). Left join preserves them as null
+    orderkeys; count(o_orderkey) skips nulls; the second aggregate
+    histograms the counts."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per year — conditional-sum
+    ratio over a broadcast part join. Numerator and denominator are
+    exact decimal sums; ONE final IEEE division + round(6) keeps the
+    ratio portable across engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    # share = exact-decimal sums cast to double, ONE IEEE multiply +
+    # divide (decimal division scale/rounding rules differ per engine)
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.round(dsum(promo).cast("double") * 100
+                         / dsum(_rev()).cast("double"), 6)
+                 .alias("promo_share"),
+                 F.round(dsum(_rev()), 2).cast("double").alias("revenue"))
+            .orderBy("l_year"))
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter. The scalar-subquery max becomes a 1-row broadcast
+    cross-join; equality ties are exact because both sides are the
+    same rounded DECIMAL (comparing engine-computed doubles here would
+    be hash-roulette)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01")))
+    supp = read_table(spark, sf_dir, "supplier")
+    per_supp = (li.groupBy("l_suppkey")
+                .agg(F.round(dsum(_rev()), 2).alias("_rev")))
+    mx = per_supp.agg(F.max("_rev").alias("_mx"))
+    return (per_supp.join(F.broadcast(mx), per_supp._rev == mx._mx)
+            .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.col("_rev").cast("double").alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+def big_orders(spark: SparkSession, sf_dir: str, threshold: float = 100.0,
+               k: int = 100) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — orders whose lineitems
+    sum past a quantity threshold, joined back to customer + order
+    attributes. The HAVING runs on the exact decimal sum (a double
+    sum's order-dependent last ulp could flip threshold-boundary
+    orders between engines)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(dsum(F.col("l_quantity")).alias("_sq"))
+           .filter(F.col("_sq") > threshold))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.to_date("o_orderdate").alias("o_orderdate"),
+                    "o_totalprice",
+                    F.col("_sq").cast("double").alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(k))
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions over a part ⋈ lineitem
+    broadcast join — brand × size-band × quantity-band alternatives.
+    Catalyst extracts the common l_quantity bounds as a pushed-down
+    range on the fact scan; the full disjunction evaluates post-join
+    in codegen."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#20") & sz.between(1, 50) & q.between(20, 30)))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .filter(cond)
+            .agg(F.round(dsum(_rev()), 2).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO recent orders (none since 2000-01-01 — Q22's "no orders in
+    7 years" window, sized so the result is non-empty at harness SFs)
+    — scalar aggregate subquery (broadcast 1-row cross join) + anti
+    join on the date-filtered fact, per nation. The threshold compare
+    is the division-free exact form  bal · n_pos > sum_pos  over
+    integer CENTS (balances are 2dp; ROUND(bal·100) is the same double
+    op in both engines); an engine-computed float avg differs in the
+    last ulp and flips boundary customers."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") >= F.lit("2000-01-01"))
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = (cust.filter(F.col("c_acctbal") > 0.0)
+           .agg(F.sum(cents).alias("_sum_pos"),
+                F.count("*").alias("_n_pos")))
+    return (cust.crossJoin(F.broadcast(pos))
+            .filter(cents * F.col("_n_pos") > F.col("_sum_pos"))
+            .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("numcust"),
+                 F.round(dsum(F.col("c_acctbal")), 2).cast("double")
+                  .alias("totacctbal"))
+            .orderBy("c_nationkey"))

@@ -71,3 +71,59 @@ def test_qty_band_revenue_broadcast_nested_loop(spark):
     assert len(exchanges(q)) <= 2  # partial->final agg pair
     li_scan = next(c for c in scan_columns(q) if "l_quantity" in c)
     assert set(li_scan) <= {"l_quantity", "l_extendedprice", "l_discount"}
+
+
+def test_nation_trade_volume_dual_alias_broadcasts(spark):
+    # the nation dim joins twice under different aliases; both
+    # instances plus supplier and customer must broadcast — the only
+    # sort-merge-eligible join is lineitem ⋈ orders
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    q = WH.nation_trade_volume(spark, SF)
+    assert broadcast_joins(q) >= 4
+
+
+def test_disjunctive_revenue_or_predicate_pushdown(spark):
+    # the OR-of-conjunctions must reach the parquet scan (Catalyst
+    # pushes the whole Or tree on l_quantity/..), and the fact scan
+    # must read only the 4 referenced columns
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    q = WH.disjunctive_revenue(spark, SF)
+    assert any(f.startswith("Or(") for f in pushed_filters(q))
+    li_scan = next(c for c in scan_columns(q) if "l_quantity" in c)
+    assert set(li_scan) <= {"l_partkey", "l_quantity",
+                            "l_extendedprice", "l_discount"}
+
+
+def test_top_supplier_scalar_max_broadcasts(spark):
+    # the 1-row max and the supplier dim both come back as broadcasts;
+    # the fact is shuffled once for its own aggregate only
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    q = WH.top_supplier(spark, SF)
+    assert broadcast_joins(q) >= 2
+
+
+def test_idle_rich_customers_anti_join_shape(spark):
+    # scalar threshold arrives via a broadcast; the NOT EXISTS is a
+    # left-anti join, never a distinct + outer-join emulation
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = WH.idle_rich_customers(spark, SF)
+    plan = physical_plan(q)
+    assert "LeftAnti" in plan
+    assert broadcast_joins(q) >= 1
+
+
+def test_repetition_score_pure_map_stage(spark):
+    # bigram repetition must stay a single codegen map fused into the
+    # scan — no exchange, no Python stage; and the token array must be
+    # materialized once (a collapsed projection re-splits the text per
+    # transform() element — O(len^2) per doc, 75x slower measured)
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = TX.repetition_score(read_table(spark, SF, "documents"))
+    plan = physical_plan(q)
+    assert len(exchanges(q)) == 0
+    assert "MapInPandas" not in plan
+    # one regexp split total, not one per transform element
+    assert plan.count("regexp_replace") <= 1
