@@ -220,6 +220,25 @@ def _q_normalize_index(spark, sf_dir):
     return WD.normalize_to_100(derive.tick_prices(spark, sf_dir))
 
 
+def _q_benchmark_overlay(spark, sf_dir):
+    tp = derive.tick_prices(spark, sf_dir)
+    port = tp.filter(F.col("ticker") == "click").select("ts", "close")
+    # benchmark prints only every 3rd calendar day → ffill has gaps to fill
+    bench = (tp.filter((F.col("ticker") == "view")
+                       & (F.dayofmonth("ts") % 3 == 0))
+             .select("ts", "close"))
+    return WD.benchmark_overlay(port, bench)
+
+
+def _q_price_with_fallback(spark, sf_dir):
+    tp = derive.tick_prices(spark, sf_dir)
+    # primary source is missing one ticker entirely; fallback carries a
+    # stale-but-complete copy (the DB-latest in the reference's chain)
+    primary = tp.filter(F.col("ticker") != "view")
+    fallback = tp.filter(F.dayofmonth("ts") <= 15)
+    return WD.price_with_fallback(primary, fallback)
+
+
 def _q_first_holding_day(spark, sf_dir):
     return WD.first_holding_day(derive.trades(spark, sf_dir))
 
@@ -540,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_returns": _q_daily_returns,
         "twr_index": _q_twr_index,
         "normalize_index": _q_normalize_index,
+        "benchmark_overlay": _q_benchmark_overlay,
+        "price_with_fallback": _q_price_with_fallback,
         "first_holding_day": _q_first_holding_day,
         "price_panel": _q_price_panel,
         "unpivot_panel": _q_unpivot_panel,
@@ -761,6 +782,41 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS base
                 FROM tick_prices
             )
+        """, TICK_PRICES_CTE),
+        "benchmark_overlay": with_domain("""
+            SELECT ts,
+                   ROUND(close / port_base * 100, 6) AS port_idx,
+                   CASE WHEN filled IS NOT NULL
+                        THEN ROUND(filled / bench_base * 100, 6) END AS bench_idx
+            FROM (
+                SELECT j.ts, j.close, j.bench_close,
+                       LAST_VALUE(bench_close IGNORE NULLS) OVER (ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+                       FIRST_VALUE(close) OVER (ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS port_base,
+                       FIRST_VALUE(bench_close IGNORE NULLS) OVER (ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bench_base
+                FROM (
+                    SELECT p.ts, p.close, b.close AS bench_close
+                    FROM (SELECT ts, close FROM tick_prices WHERE ticker = 'click') p
+                    LEFT JOIN (SELECT ts, close FROM tick_prices
+                               WHERE ticker = 'view' AND day(ts) % 3 = 0) b
+                      ON p.ts = b.ts
+                ) j
+            )
+        """, TICK_PRICES_CTE),
+        "price_with_fallback": with_domain("""
+            SELECT COALESCE(p.ticker, f.ticker) AS ticker,
+                   COALESCE(p_close, f_close) AS close,
+                   COALESCE(p_ts, f_ts) AS ts,
+                   CASE WHEN p_close IS NOT NULL THEN 'primary'
+                        ELSE 'fallback' END AS source
+            FROM (SELECT ticker, arg_max(close, ts) AS p_close, MAX(ts) AS p_ts
+                  FROM tick_prices WHERE ticker <> 'view' GROUP BY ticker) p
+            FULL OUTER JOIN
+                 (SELECT ticker, arg_max(close, ts) AS f_close, MAX(ts) AS f_ts
+                  FROM tick_prices WHERE day(ts) <= 15 GROUP BY ticker) f
+              ON p.ticker = f.ticker
         """, TICK_PRICES_CTE),
         "first_holding_day": with_domain("""
             SELECT "user", MIN(d) AS first_day

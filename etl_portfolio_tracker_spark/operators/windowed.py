@@ -100,3 +100,53 @@ def first_holding_day(trades: DataFrame) -> DataFrame:
     cum = daily.select("user", "d", F.sum("qty_delta").over(w).alias("cum"))
     return (cum.filter(F.col("cum") > 0)
             .groupBy("user").agg(F.min("d").alias("first_day")))
+
+
+def benchmark_overlay(port: DataFrame, bench: DataFrame) -> DataFrame:
+    """J4 + W9 + W11 — the Dashboard's OMXSPI overlay
+    (1_Dashboard.py:349-356): left-join a benchmark close series onto
+    the portfolio calendar, forward-fill the benchmark's gaps, and
+    normalize BOTH series to 100 at their first observation.
+
+    Inputs are single series (ts, close) — the Dashboard overlays one
+    portfolio against one index. At scale this runs per portfolio: add
+    the key to both sides and swap the global orderBy windows for
+    partitionBy(key).orderBy(ts) — every expression below is already
+    key-local. Normalization is close/first·100 in one IEEE divide +
+    multiply; the benchmark index stays null before its first
+    observation (the reference's NaN rows)."""
+    b = bench.select(F.col("ts").alias("b_ts"),
+                     F.col("close").alias("bench_close"))
+    joined = port.join(b, port.ts == b.b_ts, "left").drop("b_ts")
+    w = W.orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    filled = F.last("bench_close", ignorenulls=True).over(w)
+    port_base = F.first("close", ignorenulls=True).over(w)
+    bench_base = F.first("bench_close", ignorenulls=True).over(
+        W.orderBy("ts").rowsBetween(W.unboundedPreceding,
+                                    W.unboundedFollowing))
+    # bench_base uses the FULL frame first: rows before the benchmark's
+    # first print still normalize against it once filled is non-null
+    return joined.select(
+        "ts",
+        F.round(F.col("close") / port_base * 100, 6).alias("port_idx"),
+        F.when(filled.isNotNull(),
+               F.round(filled / bench_base * 100, 6)).alias("bench_idx"))
+
+
+def price_with_fallback(primary: DataFrame, fallback: DataFrame) -> DataFrame:
+    """§2.11 source-fallback chain (2_Trades.py:30-42, 115-117:
+    yfinance → yf.download → DB-latest) as a relation: per-ticker
+    latest close from the primary source COALESCEd with the fallback
+    source's latest, with provenance. Full-outer join of two tiny
+    per-ticker aggregates — broadcast-able both ways; at 100 TB each
+    side is one map-side-combined aggregate of its fact."""
+    p = primary.groupBy("ticker").agg(
+        F.max_by("close", "ts").alias("p_close"), F.max("ts").alias("p_ts"))
+    fb = fallback.groupBy("ticker").agg(
+        F.max_by("close", "ts").alias("f_close"), F.max("ts").alias("f_ts"))
+    return (p.join(fb, "ticker", "full_outer")
+            .select("ticker",
+                    F.coalesce("p_close", "f_close").alias("close"),
+                    F.coalesce("p_ts", "f_ts").alias("ts"),
+                    F.when(F.col("p_close").isNotNull(), F.lit("primary"))
+                     .otherwise(F.lit("fallback")).alias("source")))
