@@ -66,3 +66,21 @@ def write_idempotent(stream: DataFrame, target_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def dedup_stream_jittered(stream: DataFrame,
+                          delay: str = "10 minutes") -> DataFrame:
+    """Dedup for RE-DELIVERIES WITH JITTERED TIMESTAMPS — the failure
+    mode exact-key dedup misses: a retried fetch stamps the same
+    (ticker, day) row a few seconds apart, so (ticker, ts) keys differ
+    and both rows survive dedup_stream. Keyed on the stable identity
+    (ticker + calendar day) via dropDuplicatesWithinWatermark, which
+    drops any later row whose key matches one seen within the
+    watermark delay, while keeping per-key state watermark-bounded
+    (evicted once event time passes ts + delay — unlike a keys-only
+    dropDuplicates, whose state grows forever)."""
+    return (stream
+            .withColumn("ts_day", stream.ts.cast("date"))
+            .withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(["ticker", "ts_day"])
+            .drop("ts_day"))

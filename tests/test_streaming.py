@@ -278,3 +278,25 @@ def test_streaming_query_listener_records_progress(spark, tmpdir):
         spark.streams.removeListener(lst)
     assert lst.started, "start event not delivered"
     assert any(b["num_input_rows"] == 1 for b in lst.batches)
+
+
+def test_streaming_dedup_jittered_timestamps(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    tgt = f"{tmpdir}/tgt"
+    chk = f"{tmpdir}/chk"
+    # the same (A, day-1) price re-delivered 30 s apart (retry jitter):
+    # exact-key dedup would keep both; identity dedup keeps the first
+    rows = [("A", dt.datetime(2025, 1, 1, 12, 0, 0), 10.0),
+            ("A", dt.datetime(2025, 1, 1, 12, 0, 30), 10.0),
+            ("B", dt.datetime(2025, 1, 1, 12, 0, 0), 7.0)]
+    spark.createDataFrame(
+        rows, "ticker string, ts timestamp, close double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = ingest.write_idempotent(
+        ingest.dedup_stream_jittered(ingest.read_price_stream(spark, src)),
+        tgt, chk)
+    q.awaitTermination(120)
+    out = spark.read.parquet(tgt).collect()
+    assert len(out) == 2                              # one A row, one B row
+    a = [r for r in out if r["ticker"] == "A"]
+    assert len(a) == 1 and a[0]["ts"].second == 0     # first delivery wins
