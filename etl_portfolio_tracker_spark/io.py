@@ -28,16 +28,26 @@ def table_path(sf_dir: str, name: str) -> str:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of a harness table; filters/projections push down.
 
-    `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
-    default — read it as raw nanos (legacy conf, runtime-settable) and
-    truncate to microseconds exactly like DuckDB/Arrow do (integer div,
-    not float div), keeping NTZ (naive) semantics.
+    `events.ts` may be stored two ways depending on the writer:
+      - TIMESTAMP(MICROS, NTZ) — Spark reads it natively as
+        `timestamp_ntz`; pass through untouched.
+      - TIMESTAMP(NANOS) — Spark 4 refuses by default; with the legacy
+        conf it surfaces as a raw BIGINT of nanos, which we truncate to
+        micros exactly like DuckDB/Arrow (integer div, not float div),
+        keeping NTZ (naive) semantics.
+    Branch on the dtype Spark actually reads — never assume the
+    physical encoding.
     """
     if name == "events":
-        from .functions.ntz import ntz_from_micros
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", ntz_from_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type.startswith("timestamp"):
+            return df
+        if ts_type == "bigint":  # legacy nanos-as-long encoding
+            from .functions.ntz import ntz_from_micros
+            return df.withColumn("ts", ntz_from_micros(F.expr("ts div 1000")))
+        raise TypeError(f"events.ts has unsupported dtype {ts_type!r}")
     return spark.read.parquet(table_path(sf_dir, name))
 
 

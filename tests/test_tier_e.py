@@ -64,6 +64,26 @@ def test_lsh_buckets_identical_vectors_collide(spark):
     assert (0, 1) in pairs
 
 
+def test_near_dup_bucket_cap_drops_degenerate_buckets(spark):
+    # 6 identical vectors → one band-bucket of 6 in every band; with
+    # cap=5 the bucket is dropped and no pairs survive, with the
+    # default cap all 15 pairs do.  The cap is the hard bound that
+    # keeps worst-case pairing sub-quadratic at scale.
+    e = emb_df(spark, [[1, 2, 3]] * 6)
+    assert SIM.embedding_near_dup_pairs(e, bucket_cap=5).count() == 0
+    assert SIM.embedding_near_dup_pairs(e).count() == 15
+
+
+def test_near_dup_banding_unions_per_band_candidates(spark):
+    # Pairs are DISTINCT across bands: identical vectors collide in
+    # both bands but each pair appears once.
+    e = emb_df(spark, [[1, 2, 3], [1, 2, 3], [1, 2, 3]])
+    rows = SIM.embedding_near_dup_pairs(e).collect()
+    pairs = [(r["vec_a"], r["vec_b"]) for r in rows]
+    assert sorted(pairs) == [(0, 1), (0, 2), (1, 2)]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_quality_and_tokens(spark):
     d = docs_df(spark, ["the cat of doom", "xyz"])
     q = {r["doc_id"]: r for r in TX.quality_score(d).collect()}

@@ -107,6 +107,17 @@ def main() -> None:
         DD.dedup_clusters(d).write.format("noop").mode("overwrite").save()
         print(f"{label}: {time.time() - t0:.2f}s", flush=True)
 
+    # near-dup candidate growth: banded LSH + bucket cap must keep the
+    # pair count growing ~linearly (per-bucket density flat) as the
+    # corpus scales 10× — the r1 single-band formulation grew it
+    # quadratically (VERDICT r1 #6)
+    for label, e in (("embedding_near_dup 1x", emb1),
+                     ("embedding_near_dup 10x", emb10)):
+        t0 = time.time()
+        n_pairs = SIM.embedding_near_dup_pairs(e).count()
+        print(f"{label}: {time.time() - t0:.2f}s  pairs={n_pairs}",
+              flush=True)
+
     # band-only probe for the quantity range join needs no shifted keys
     def qty_fn(li):
         bands = spark.createDataFrame(
