@@ -128,20 +128,43 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
             .json(path))
 
 
-def compact(spark: SparkSession, path: str, target_files: int) -> None:
+def compact(spark: SparkSession, path: str, target_files: int,
+            in_place: bool = True) -> str:
     """Small-files compaction: rewrite a parquet directory into
     `target_files` files. The operational job every long-running
     ingest needs — streaming micro-batches and idempotent appends
     accrete files, and at 100 TB scan throughput is gated by file
     count (driver listing + task scheduling + row-group overhead).
-    Rewrite goes through a temp dir then an atomic-ish swap so a
-    failed compaction never destroys the source."""
-    import shutil
-    tmp = path.rstrip("/") + "._compact_tmp"
+
+    Two modes, because "swap directories" is only safe where rename is
+    atomic (POSIX/HDFS) and is an anti-pattern on object stores (S3/
+    GCS rename = copy+delete, non-atomic, O(bytes)):
+      * `in_place=False` — the object-store/cluster path: write the
+        compacted copy to a NEW versioned directory and return its
+        path; the caller flips whatever pointer names the current
+        version (metastore location, manifest, symlink). The source
+        is never touched, so a failed compaction costs nothing.
+      * `in_place=True` — local/HDFS convenience: versioned write,
+        then swap via rename with the old data kept as `._compact_bak`
+        until the swap has succeeded. Uses Hadoop's FileSystem API
+        (works on any hadoop-compatible FS), not shutil.
+    """
+    base = path.rstrip("/")
+    out = base + "._compacted"
     (spark.read.parquet(path)
      .repartition(target_files)
-     .write.mode("overwrite").parquet(tmp))
-    bak = path.rstrip("/") + "._compact_bak"
-    shutil.move(path, bak)
-    shutil.move(tmp, path)
-    shutil.rmtree(bak)
+     .write.mode("overwrite").parquet(out))
+    if not in_place:
+        return out
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    bak = jvm.org.apache.hadoop.fs.Path(base + "._compact_bak")
+    if not fs.rename(hpath, bak):
+        raise IOError(f"compact: could not move {base} aside")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(out), hpath):
+        fs.rename(bak, hpath)  # roll back; source untouched
+        raise IOError(f"compact: could not promote {out}")
+    fs.delete(bak, True)
+    return base

@@ -282,7 +282,32 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
 
 N_NEAR_DUP_PLANES = 16      # total hyperplanes (2 bands × 8)
 NEAR_DUP_BAND_PLANES = 8    # planes per band → 2^8 sub-buckets/band
-NEAR_DUP_BUCKET_CAP = 1000  # drop band-buckets larger than this
+NEAR_DUP_TARGET_BUCKET = 32  # adaptive sizing: aim for ~this many
+# Cap = 4× the adaptive target: under adaptive sizing a band-bucket 4×
+# over its expected size is degenerate (vectors with identical sign
+# patterns that extra planes cannot split — measured: the max bucket
+# stays ~500 from bp=10 to bp=12 at 10× sf0.1 while p99 drops 387→82).
+# Enumerating its pairs is O(cap²) noise; mass-duplication clusters
+# belong to dedup_clusters (hub contraction), not pair output.  At the
+# oracle scales the cap never binds (max bucket 32 at sf0.001/sf0.01,
+# 99 at sf0.1), so capped and uncapped results coincide there.
+NEAR_DUP_BUCKET_CAP = 4 * NEAR_DUP_TARGET_BUCKET
+
+
+def adaptive_band_planes(n_rows: int,
+                         target_bucket: int = NEAR_DUP_TARGET_BUCKET,
+                         lo: int = NEAR_DUP_BAND_PLANES,
+                         hi: int = 20) -> int:
+    """Planes per band so the expected band-bucket holds
+    ~`target_bucket` vectors: 2^band_planes ≈ n / target_bucket.
+    Measured motivation (tools/scale_probe.py): with the bucket space
+    FIXED at 2^8, a 10× corpus grew candidate pairs 102× (69.8k →
+    7.13M) — quadratic; with the space growing with the corpus,
+    per-bucket density is flat and pair growth is ~linear."""
+    import math
+    if n_rows <= 0:
+        return lo
+    return min(hi, max(lo, math.ceil(math.log2(max(1.0, n_rows / target_bucket)))))
 
 
 def _band_bucket_sql(band: int, band_planes: int) -> str:
@@ -296,8 +321,8 @@ def _band_bucket_sql(band: int, band_planes: int) -> str:
 
 def embedding_near_dup_pairs(
         emb: DataFrame,
-        n_planes: int = N_NEAR_DUP_PLANES,
-        band_planes: int = NEAR_DUP_BAND_PLANES,
+        n_planes: int | None = None,
+        band_planes: int | None = None,
         bucket_cap: int = NEAR_DUP_BUCKET_CAP) -> DataFrame:
     """Candidate near-duplicate pairs via BANDED sign-LSH: `n_planes`
     hyperplanes split into n_planes/band_planes bands; a pair is a
@@ -308,10 +333,15 @@ def embedding_near_dup_pairs(
     Scale posture (fixes the r1 scale-killer, VERDICT r1 #6): the old
     single-band 8-plane formulation had a FIXED 256-bucket space, so
     within-bucket pairing was O(n²/256) — quadratic at 100 TB.  Now:
-      * `band_planes` sets the bucket space per band (2^band_planes);
-        raise it with corpus size (≈ log2(n) − log2(target bucket
-        size)) to keep expected bucket sizes flat — banding keeps
-        recall up while each band's buckets shrink.
+      * `band_planes` sets the bucket space per band (2^band_planes)
+        and by default ADAPTS to the corpus: `adaptive_band_planes`
+        sizes it so the expected bucket holds ~NEAR_DUP_TARGET_BUCKET
+        vectors (one metadata-cheap `count()` to size it).  Fixed
+        bucket spaces are the quadratic trap: the 10× probe measured
+        102× pair growth at 2^8 fixed vs ~linear when the space grows
+        with n.  Banding keeps recall up while buckets shrink.
+        The sf0.01/sf0.1 oracle pins the ≤2^8·target regime, where
+        adaptive resolves to exactly the 8-plane constants.
       * `bucket_cap` is the hard guarantee: a band-bucket bigger than
         the cap is dropped from pairing entirely (a bucket that big is
         not evidence of near-duplication — it's a degenerate region of
@@ -323,6 +353,10 @@ def embedding_near_dup_pairs(
     none quadratic.
 
     Output: distinct (vec_a, vec_b), vec_a < vec_b."""
+    if band_planes is None:
+        band_planes = adaptive_band_planes(emb.count())
+    if n_planes is None:
+        n_planes = 2 * band_planes
     n_bands = n_planes // band_planes
     base = _spread(emb)
     per_band = [

@@ -106,3 +106,17 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     assert len(glob.glob(f"{p}/part-*")) == 2
     assert spark.read.parquet(p).count() == 1000
     assert not glob.glob(f"{p}._compact_*")
+
+
+def test_compact_versioned_leaves_source_untouched(spark, tmp_path):
+    # object-store mode: source dir is never renamed/deleted; caller
+    # gets a new versioned directory and flips the pointer itself
+    from etl_portfolio_tracker_spark import io as eio
+    import glob
+    p = str(tmp_path / "many2")
+    spark.range(500).repartition(10).write.parquet(p)
+    out = eio.compact(spark, p, target_files=1, in_place=False)
+    assert out != p
+    assert len(glob.glob(f"{p}/part-*")) == 10          # untouched
+    assert len(glob.glob(f"{out}/part-*")) == 1
+    assert spark.read.parquet(out).count() == 500

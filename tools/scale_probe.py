@@ -115,7 +115,9 @@ def main() -> None:
                      ("embedding_near_dup 10x", emb10)):
         t0 = time.time()
         n_pairs = SIM.embedding_near_dup_pairs(e).count()
-        print(f"{label}: {time.time() - t0:.2f}s  pairs={n_pairs}",
+        bp = SIM.adaptive_band_planes(e.count())
+        print(f"{label}: {time.time() - t0:.2f}s  pairs={n_pairs} "
+              f"(band_planes={bp}, cap={SIM.NEAR_DUP_BUCKET_CAP})",
               flush=True)
 
     # band-only probe for the quantity range join needs no shifted keys
