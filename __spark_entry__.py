@@ -496,6 +496,15 @@ def _q_embedding_near_dup(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(_emb(spark, sf_dir))
 
 
+def _q_embedding_near_dup_verified(spark, sf_dir):
+    # threshold 0.2 (not the production 0.9 default): the synthetic
+    # embeddings have no true near-dups (max candidate cosine ≈ 0.48
+    # at sf0.01), so a low cut keeps the verify kernel's output
+    # non-trivial end-to-end.
+    return SIM.embedding_near_dup_verified(_emb(spark, sf_dir),
+                                           threshold=0.2)
+
+
 def _q_multimodal_meta(spark, sf_dir):
     return MM.media_meta(MM.docs_as_media(_docs(spark, sf_dir)))
 
@@ -588,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         # -- 1c. gained an oracle since r1 (was no_oracle) -----------
         "frame_sample": _q_frame_sample,
+        # -- 1d. new in r2: candidate→exact-cosine verify pipeline ---
+        "embedding_near_dup_verified": _q_embedding_near_dup_verified,
         # -- 2. never externally checked (r1 50-query cap) -----------
         "ticker_set_ops": _q_ticker_set_ops,
         "trade_validation": _q_trade_validation,
@@ -616,9 +627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": _q_region_revenue,
         "stale_parts": _q_stale_parts,
         "urgent_customers": _q_urgent_customers,
-        "region_rollup": _q_region_rollup,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
+        "region_rollup": _q_region_rollup,
         "small_qty_revenue": _q_small_qty_revenue,
         "multi_supp_orders": _q_multi_supp_orders,
         "nation_trade_volume": _q_nation_trade_volume,
@@ -1073,11 +1084,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {DD.JACCARD_THRESHOLD}
         """,
+        # kept mirrors dedup.MINHASH_BUCKET_CAP: oversized band
+        # buckets are dropped before pairing in both engines (the cap
+        # never binds at sf≤0.01 — max bucket 105 — but mirroring it
+        # keeps the twin exact at every sf).
         "minhash_lsh": _SHINGLES_SQL.replace("SELECT DISTINCT", "SELECT")
         + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
-                            band_rows=DD.LSH_BAND_ROWS) + """
+                            band_rows=DD.LSH_BAND_ROWS) + f"""
+            , kept AS (
+                SELECT band, band_key, doc_id FROM bands
+                QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
+                        <= {DD.MINHASH_BUCKET_CAP}
+            )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-            FROM bands a JOIN bands b USING (band, band_key)
+            FROM kept a JOIN kept b USING (band, band_key)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
         """,
@@ -1201,6 +1221,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM kept a JOIN kept b USING (band, bucket)
             WHERE a.vec_id < b.vec_id
+        """,
+        # candidate pairs (same CTEs as embedding_near_dup) → exact
+        # cosine on candidates only, threshold on the ROUNDED value
+        # (mirrors similarity.embedding_near_dup_verified; decimal-sum
+        # dot/norm arithmetic identical to the cosine_topk oracle).
+        "embedding_near_dup_verified": _PE_SQL + f"""
+            , sums AS (
+                SELECT vec_id, h,
+                       SUM(CAST(CAST((h * 37 + pos * 101) % 19 - 9 AS DOUBLE) * val
+                                AS DECIMAL(38,10))) AS s
+                FROM pe
+                CROSS JOIN (SELECT UNNEST(generate_series(0, {SIM.N_NEAR_DUP_PLANES - 1})) AS h)
+                GROUP BY 1, 2
+            ),
+            buckets AS (
+                SELECT vec_id,
+                       h // {SIM.NEAR_DUP_BAND_PLANES} AS band,
+                       CAST(SUM(CASE WHEN s > 0
+                                THEN CAST(1 AS BIGINT) << (h % {SIM.NEAR_DUP_BAND_PLANES})
+                                ELSE 0 END) AS BIGINT) AS bucket
+                FROM sums GROUP BY vec_id, h // {SIM.NEAR_DUP_BAND_PLANES}
+            ),
+            kept AS (
+                SELECT band, bucket, vec_id FROM buckets
+                QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)
+                        <= {SIM.NEAR_DUP_BUCKET_CAP}
+            ),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM kept a JOIN kept b USING (band, bucket)
+                WHERE a.vec_id < b.vec_id
+            ),
+            dots AS (
+                SELECT c.vec_a, c.vec_b,
+                       CAST(SUM(CAST(pa.val * pb.val AS DECIMAL(38,10))) AS DOUBLE) AS dot
+                FROM cand c
+                JOIN pe pa ON pa.vec_id = c.vec_a
+                JOIN pe pb ON pb.vec_id = c.vec_b AND pb.pos = pa.pos
+                GROUP BY 1, 2
+            ),
+            norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10))) AS DOUBLE)) AS nrm
+                FROM pe GROUP BY vec_id
+            )
+            SELECT d.vec_a, d.vec_b,
+                   ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.vec_a
+            JOIN norms nb ON nb.vec_id = d.vec_b
+            WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= 0.2
         """,
         "multimodal_meta": """
             SELECT doc_id AS media_id,

@@ -169,7 +169,20 @@ def minhash_band_keys(docs: DataFrame,
                     F.col("bk.band_key").alias("band_key")))
 
 
-def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+# Pair-enumeration bucket cap: a band bucket bigger than this is a
+# mass-duplication / boilerplate cluster, not pairwise near-dup signal
+# — enumerating its O(|bucket|²) pairs swamps the output (measured
+# tools/scale_probe.py: the max bucket grows 1025→2050 at 10× sf0.1
+# and in-bucket pairs 13×). Clusters that big belong to dedup_clusters
+# (hub contraction, linear). Chosen to never bind at the oracle scales
+# (max bucket 98 at sf0.001, 105 at sf0.01) so capped and uncapped
+# outputs coincide where the DuckDB twin runs; the oracle mirrors the
+# cap anyway (QUALIFY on the bucket count) so they agree at EVERY sf.
+MINHASH_BUCKET_CAP = 500
+
+
+def minhash_lsh_candidates(docs: DataFrame,
+                           bucket_cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     bucket, with the number of agreeing bands. The verify step
     (exact jaccard on candidates only) keeps the pipeline subquadratic.
@@ -177,11 +190,10 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     Scale note (measured, tools/scale_probe.py): the OUTPUT is
     Σ|bucket|² — at 10× corpus the in-bucket pairs grew 13× (1.14M →
     15.1M). When you need clusters rather than pairs, dedup_clusters
-    star-contracts through bucket hubs and stays linear; when you do
-    need pairs at 100 TB, cap oversized buckets first (a 10³+-member
-    bucket is non-discriminative — drop it or re-band with more rows
-    per band)."""
-    from ..functions.partitioning import spread
+    star-contracts through bucket hubs and stays linear; for pair
+    output, `bucket_cap` drops non-discriminative oversized buckets
+    before pairing (see MINHASH_BUCKET_CAP above)."""
+    from pyspark.sql import Window
     n = docs.sparkSession.sparkContext.defaultParallelism
     # explicit-N co-partition on the join key: the bucket fan-out
     # (20k band rows → ~2.3M joined pairs at sf0.1) and the pair
@@ -190,6 +202,11 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     # Unconditional (not spread()): the band-key frame is always
     # |docs|×B narrow rows, so this exchange is cheap at any scale.
     bk = minhash_band_keys(docs).repartition(n, "band", "band_key")
+    # cap window runs on the co-partitioned frame — no extra exchange
+    w = Window.partitionBy("band", "band_key")
+    bk = (bk.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= bucket_cap)
+            .drop("_bsz"))
     a = bk.alias("a")
     b = bk.alias("b")
     return (a.join(b, ["band", "band_key"])

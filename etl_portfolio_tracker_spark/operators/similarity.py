@@ -353,23 +353,27 @@ def embedding_near_dup_pairs(
     none quadratic.
 
     Output: distinct (vec_a, vec_b), vec_a < vec_b."""
+    from pyspark.sql import Window
     if band_planes is None:
         band_planes = adaptive_band_planes(emb.count())
     if n_planes is None:
         n_planes = 2 * band_planes
     n_bands = n_planes // band_planes
-    base = _spread(emb)
-    per_band = [
-        base.select(
-            "vec_id",
-            F.lit(band).alias("band"),
-            F.expr(_band_bucket_sql(band, band_planes)).alias("bucket"))
-        for band in range(n_bands)]
-    bk = per_band[0]
-    for extra in per_band[1:]:
-        bk = bk.unionByName(extra)
-    sizes = bk.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
-    bk = (bk.join(sizes, ["band", "bucket"])
+    # All band buckets in ONE pass over the source: a row-local array
+    # of (band, bucket) structs exploded to n_bands narrow rows — no
+    # per-band rescan/union of the (wide) embedding column.
+    entries = F.array(*[
+        F.struct(F.lit(band).alias("band"),
+                 F.expr(_band_bucket_sql(band, band_planes)).alias("bucket"))
+        for band in range(n_bands)])
+    bk = (_spread(emb)
+          .select("vec_id", F.explode(entries).alias("_bb"))
+          .select("vec_id", "_bb.band", "_bb.bucket"))
+    # Cap via a count window on (band, bucket): ONE exchange that the
+    # self-join then reuses (same partitioning key) — cheaper than a
+    # groupBy-sizes + join back, which scans bk twice.
+    w = Window.partitionBy("band", "bucket")
+    bk = (bk.withColumn("_bsz", F.count("*").over(w))
             .filter(F.col("_bsz") <= bucket_cap)
             .drop("_bsz"))
     a, b = bk.alias("a"), bk.alias("b")
@@ -378,3 +382,36 @@ def embedding_near_dup_pairs(
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"))
             .distinct())
+
+
+def embedding_near_dup_verified(emb: DataFrame, threshold: float = 0.9,
+                                n_planes: int | None = None,
+                                band_planes: int | None = None,
+                                bucket_cap: int = NEAR_DUP_BUCKET_CAP
+                                ) -> DataFrame:
+    """The full ANN-dedup pipeline: banded-LSH candidate pairs →
+    EXACT cosine on candidates only → keep pairs ≥ `threshold`.
+    This is the verify step every candidate generator's docstring
+    promises; together they are the embedding twin of
+    minhash_lsh_candidates → ngram_jaccard_pairs.
+
+    Plan shape: candidates (bounded by banding + bucket cap) hash-join
+    the embedding table twice on vec_id to fetch both sides' vectors,
+    then the cosine is one row-local exact-decimal kernel (same
+    arithmetic as cosine_topk, so any engine agrees bit-for-bit).
+    Cost is O(candidates), never O(n²): the joins shuffle only the
+    candidate ids plus the (already key-partitioned) embeddings.
+
+    Output: (vec_a, vec_b, cos_sim rounded to 6dp), filtered on the
+    ROUNDED value so the threshold cut is engine-independent."""
+    pairs = embedding_near_dup_pairs(emb, n_planes, band_planes, bucket_cap)
+    va = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("_ea"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("_eb"))
+    cos = F.round(
+        F.expr(_dot_sql("_ea", "_eb"))
+        / (F.expr(_norm_sql("_ea")) * F.expr(_norm_sql("_eb"))), 6)
+    return (pairs.join(va, "vec_a").join(vb, "vec_b")
+            .select("vec_a", "vec_b", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))

@@ -37,6 +37,15 @@ def test_minhash_identical_docs_all_bands_agree(spark):
     assert (0, 2) not in cands and (1, 2) not in cands
 
 
+def test_minhash_bucket_cap_drops_boilerplate_buckets(spark):
+    # 4 identical docs share every band bucket (size 4); cap=3 drops
+    # those buckets so no pairs are enumerated; default cap keeps all
+    # 6 pairs. Pair output stays bounded on mass-duplicated corpora.
+    d = docs_df(spark, ["same boilerplate text here"] * 4)
+    assert DD.minhash_lsh_candidates(d, bucket_cap=3).count() == 0
+    assert DD.minhash_lsh_candidates(d).count() == 6
+
+
 def test_simhash_identical_equal(spark):
     d = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "delta epsilon"])
     s = {r["doc_id"]: r["simhash"] for r in DD.simhash(d).collect()}
@@ -72,6 +81,17 @@ def test_near_dup_bucket_cap_drops_degenerate_buckets(spark):
     e = emb_df(spark, [[1, 2, 3]] * 6)
     assert SIM.embedding_near_dup_pairs(e, bucket_cap=5).count() == 0
     assert SIM.embedding_near_dup_pairs(e).count() == 15
+
+
+def test_near_dup_verified_filters_by_exact_cosine(spark):
+    # candidates: (0,1) identical (cos=1), (0,2)/(1,2) opposite-ish —
+    # all three collide in some band only if signs agree; identical
+    # vectors always pair and survive any threshold ≤ 1
+    e = emb_df(spark, [[1, 2, 3], [1, 2, 3], [-1, -2, -3]])
+    rows = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in SIM.embedding_near_dup_verified(e, threshold=0.9).collect()}
+    assert rows.get((0, 1)) == 1.0
+    assert all(k == (0, 1) for k in rows)
 
 
 def test_near_dup_banding_unions_per_band_candidates(spark):
