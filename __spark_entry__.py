@@ -453,6 +453,18 @@ def _q_quality_score(spark, sf_dir):
     return TX.quality_score(_docs(spark, sf_dir))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    return TX.pii_scrub(_docs(spark, sf_dir))
+
+
+def _q_gopher_filter(spark, sf_dir):
+    return TX.gopher_filter(_docs(spark, sf_dir))
+
+
+def _q_contamination_check(spark, sf_dir):
+    return TX.contamination_check(_docs(spark, sf_dir))
+
+
 def _q_language_id(spark, sf_dir):
     return TX.language_id(_docs(spark, sf_dir))
 
@@ -597,8 +609,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         # -- 1c. gained an oracle since r1 (was no_oracle) -----------
         "frame_sample": _q_frame_sample,
-        # -- 1d. new in r2: candidate→exact-cosine verify pipeline ---
+        # -- 1d. new in r2: verify pipeline + corpus-pruning ops -----
         "embedding_near_dup_verified": _q_embedding_near_dup_verified,
+        "pii_scrub": _q_pii_scrub,
+        "gopher_filter": _q_gopher_filter,
+        "contamination_check": _q_contamination_check,
         # -- 2. never externally checked (r1 50-query cap) -----------
         "ticker_set_ops": _q_ticker_set_ops,
         "trade_validation": _q_trade_validation,
@@ -624,11 +639,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_ticker_list": _q_user_ticker_list,
         "brand_revenue": _q_brand_revenue,
         "top_customers": _q_top_customers,
+        # ---- 50-query cap lands here ----
+        # -- 3. never-checked remainder (front of round 3) -----------
         "region_revenue": _q_region_revenue,
         "stale_parts": _q_stale_parts,
         "urgent_customers": _q_urgent_customers,
-        # ---- 50-query cap lands here ----
-        # -- 3. never-checked remainder (front of round 3) -----------
         "region_rollup": _q_region_rollup,
         "small_qty_revenue": _q_small_qty_revenue,
         "multi_supp_orders": _q_multi_supp_orders,
@@ -1036,6 +1051,87 @@ def oracle_sql() -> dict[str, str]:
                        LENGTH(text) AS n_chars
                 FROM documents
             )
+        """,
+        # patterns interpolated from TX.PII_PATTERNS so Spark and the
+        # oracle can never drift; counts on raw text, replace order
+        # email → ip → phone (as in text.pii_scrub).
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_PATTERNS[0][1]}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_PATTERNS[1][1]}')) AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_PATTERNS[2][1]}')) AS BIGINT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{TX.PII_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+                       '{TX.PII_PATTERNS[1][1]}', '<IP>', 'g'),
+                       '{TX.PII_PATTERNS[2][1]}', '<PHONE>', 'g')) AS scrubbed_md5
+            FROM documents
+        """,
+        "gopher_filter": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(toks) AS n_tok,
+                       len(list_filter(toks,
+                           x -> list_contains({_STOPWORDS_SQL}, x))) AS n_stop,
+                       LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       [toks[i] || ' ' || toks[i+1]
+                        FOR i IN generate_series(1, len(toks)-1)] AS bigrams
+                FROM t
+            ), m2 AS (
+                SELECT doc_id, n_tok, n_stop, n_alpha,
+                       len(bigrams) AS nb,
+                       len(list_distinct(bigrams)) AS ndist
+                FROM m
+            ), fl AS (
+                SELECT doc_id,
+                       (n_tok >= {TX.GOPHER_MIN_TOKENS}
+                        AND n_tok <= {TX.GOPHER_MAX_TOKENS}) AS ok_len,
+                       COALESCE(CASE WHEN n_tok > 0 THEN
+                           CAST(n_stop AS DOUBLE) / n_tok >= {TX.GOPHER_MIN_STOP_RATIO}
+                       END, FALSE) AS ok_stop,
+                       COALESCE(CASE WHEN n_tok > 0 THEN
+                           CAST(n_alpha AS DOUBLE) / n_tok >= {TX.GOPHER_MIN_MEAN_WL}
+                           AND CAST(n_alpha AS DOUBLE) / n_tok <= {TX.GOPHER_MAX_MEAN_WL}
+                       END, FALSE) AS ok_word_len,
+                       (CASE WHEN nb > 0
+                             THEN 1.0 - CAST(ndist AS DOUBLE) / nb
+                             ELSE 0.0 END) <= {TX.GOPHER_MAX_DUP_FRAC} AS ok_repetition
+                FROM m2
+            )
+            SELECT doc_id, ok_len, ok_stop, ok_word_len, ok_repetition,
+                   (ok_len AND ok_stop AND ok_word_len AND ok_repetition) AS keep
+            FROM fl
+        """,
+        # 5-gram overlap vs the doc_id%50==0 probe set (mirrors
+        # text.contamination_check defaults).
+        "contamination_check": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents
+            ), ng AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(toks[i:i+4], ' ')
+                        FOR i IN generate_series(1, len(toks)-4)]) AS ngrams
+                FROM t
+            ), probe AS (
+                SELECT DISTINCT UNNEST(ngrams) AS ngram
+                FROM ng WHERE doc_id % 50 = 0
+            ), train AS (
+                SELECT doc_id, ngrams FROM ng WHERE doc_id % 50 <> 0
+            ), hits AS (
+                SELECT x.doc_id, COUNT(*) AS n_hits
+                FROM (SELECT doc_id, UNNEST(ngrams) AS ngram FROM train) x
+                JOIN probe USING (ngram)
+                GROUP BY x.doc_id
+            )
+            SELECT tr.doc_id,
+                   CAST(len(tr.ngrams) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_probe_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM train tr LEFT JOIN hits h USING (doc_id)
         """,
         "language_id": f"""
             SELECT doc_id, lang,

@@ -144,6 +144,123 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
                     F.col("df").cast("long").alias("df"), "n_docs"))
 
 
+# PII patterns: portable between Java regex (Spark) and RE2 (DuckDB) —
+# no lookaround, no backrefs. Scrub order: email → ip → phone (the
+# phone pattern is digit-greedy and would otherwise eat IP octets).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction for training corpora: emails, IPv4s, and phone-like
+    digit runs replaced with typed placeholder tokens, with per-pattern
+    match counts (counted on the raw text) and the md5 of the scrubbed
+    text for downstream exact dedup.
+
+    Pure map stage — regex replace/count are JVM codegen'd, zero
+    shuffle, linear at any corpus size. The harness documents contain
+    no PII (verified: no '@' or digits in any sf), so on harness data
+    this is an identity scrub with zero counts; the redaction behavior
+    itself is pytest-covered on synthetic rows."""
+    scrubbed = F.col("text")
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count("text", F.lit(pat))
+                       .cast("long").alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return docs.select("doc_id", *counts,
+                       F.md5(scrubbed).alias("scrubbed_md5"))
+
+
+# Gopher-style corpus-pruning thresholds (Rae et al. 2021 §A1.1 shape;
+# values adapted to the harness corpus statistics).
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_STOP_RATIO = 0.02
+GOPHER_MIN_MEAN_WL = 2.0
+GOPHER_MAX_MEAN_WL = 12.0
+GOPHER_MAX_DUP_FRAC = 0.5
+
+
+def gopher_filter(docs: DataFrame) -> DataFrame:
+    """Composite Gopher-style quality filter: token-count bounds,
+    stopword-ratio floor, mean-word-length band, duplicate-bigram
+    ceiling — each as its own flag plus the conjunctive `keep`.
+
+    All four metrics are computed in ONE projection sharing one token
+    array (not a join of quality_score ⋈ repetition_score — that would
+    shuffle twice to recombine per-doc rows the scan already had
+    together). Pure map stage; ratios are exact int/int IEEE divides,
+    so the threshold cuts are engine-independent."""
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    mean_wl = F.when(n_tok > 0, n_alpha.cast("double") / n_tok)
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok)
+    bigrams = F.when(n_tok >= 2, F.transform(
+        F.sequence(F.lit(0), n_tok - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    dup_frac = F.when(nb > 0,
+                      F.lit(1.0) - F.size(F.array_distinct(bigrams))
+                       .cast("double") / nb).otherwise(F.lit(0.0))
+    ok_len = (n_tok >= GOPHER_MIN_TOKENS) & (n_tok <= GOPHER_MAX_TOKENS)
+    ok_stop = F.coalesce(stop_ratio >= GOPHER_MIN_STOP_RATIO, F.lit(False))
+    ok_wl = F.coalesce((mean_wl >= GOPHER_MIN_MEAN_WL)
+                       & (mean_wl <= GOPHER_MAX_MEAN_WL), F.lit(False))
+    ok_rep = dup_frac <= GOPHER_MAX_DUP_FRAC
+    return (docs.select("doc_id", "text", tokens_col().alias("_toks"))
+            .select("doc_id",
+                    ok_len.alias("ok_len"), ok_stop.alias("ok_stop"),
+                    ok_wl.alias("ok_word_len"), ok_rep.alias("ok_repetition"),
+                    (ok_len & ok_stop & ok_wl & ok_rep).alias("keep")))
+
+
+def contamination_check(docs: DataFrame, n: int = 5,
+                        probe_mod: int = 50) -> DataFrame:
+    """Benchmark-decontamination check: for every training document,
+    count its distinct token n-grams that also appear in a held-out
+    probe set (here: docs with doc_id % probe_mod == 0, standing in
+    for an eval benchmark). Docs with any overlap are flagged — the
+    n-gram-overlap decontamination rule used for LLM training corpora
+    (GPT-3 appendix C / PaLM-style 8-gram checks; n is a parameter).
+
+    Plan shape at 100 TB: the probe side is a BENCHMARK (thousands of
+    docs, not the corpus), so its distinct n-gram set broadcasts; the
+    corpus side is one map stage (n-gram array built row-locally,
+    exploded once) + one broadcast-hash semi-join + one groupBy(doc).
+    No corpus self-join, no sort. Output covers every non-probe doc
+    (zero-overlap docs included, via the final left join)."""
+    toks = F.col("_toks")
+    ngrams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    base = (docs.select("doc_id", tokens_col().alias("_toks"))
+            .select("doc_id",
+                    F.array_distinct(ngrams).alias("_ngrams")))
+    probe = (base.filter(F.col("doc_id") % probe_mod == 0)
+             .select(F.explode("_ngrams").alias("ngram")).distinct())
+    train = base.filter(F.col("doc_id") % probe_mod != 0)
+    hits = (train.select("doc_id", F.explode("_ngrams").alias("ngram"))
+            .join(F.broadcast(probe), "ngram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits")))
+    return (train.select("doc_id",
+                         F.size("_ngrams").cast("long").alias("n_ngrams"))
+            .join(hits, "doc_id", "left")
+            .select("doc_id", "n_ngrams",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                     .alias("n_probe_hits"))
+            .withColumn("contaminated", F.col("n_probe_hits") > 0))
+
+
 def repetition_score(docs: DataFrame) -> DataFrame:
     """Repetition scoring (the Gopher "duplicate n-gram fraction"
     filter): fraction of word bigrams that are repeats within the

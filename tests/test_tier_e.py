@@ -113,6 +113,46 @@ def test_quality_and_tokens(spark):
     assert t[0]["n_ws_tokens"] == 4 and t[1]["n_word_tokens"] == 1
 
 
+def test_pii_scrub_redacts_and_counts(spark):
+    d = docs_df(spark, [
+        "contact me at jane.doe@example.com or +1 (555) 123-4567",
+        "server at 192.168.1.100 responded",
+        "no pii in this one",
+    ])
+    out = {r["doc_id"]: r for r in TX.pii_scrub(d).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] >= 1
+    assert out[1]["n_ip"] == 1 and out[1]["n_email"] == 0
+    assert out[2]["n_email"] == out[2]["n_ip"] == out[2]["n_phone"] == 0
+    # identity scrub on clean text: md5 equals the raw text's md5
+    import hashlib
+    assert out[2]["scrubbed_md5"] == hashlib.md5(b"no pii in this one").hexdigest()
+
+
+def test_gopher_filter_flags(spark):
+    d = docs_df(spark, [
+        "the cat sat on the mat with a dog and a bird today",  # keeps
+        "word",                                  # too short (ok_len False)
+        "spam spam spam spam spam spam spam spam",  # repetition + no stopwords
+    ])
+    out = {r["doc_id"]: r for r in TX.gopher_filter(d).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["ok_len"] is False and out[1]["keep"] is False
+    assert out[2]["ok_repetition"] is False and out[2]["keep"] is False
+
+
+def test_contamination_check_flags_probe_overlap(spark):
+    # doc 0 is the probe (0 % 50 == 0); docs 1-2 are train: doc 1
+    # shares a 5-gram with the probe, doc 2 does not.
+    d = docs_df(spark, [
+        "alpha beta gamma delta epsilon zeta",
+        "prefix alpha beta gamma delta epsilon suffix",
+        "completely different words with no shared five gram runs"])
+    out = {r["doc_id"]: r for r in TX.contamination_check(d).collect()}
+    assert set(out) == {1, 2}            # probe doc excluded from output
+    assert out[1]["contaminated"] is True and out[1]["n_probe_hits"] >= 1
+    assert out[2]["contaminated"] is False and out[2]["n_probe_hits"] == 0
+
+
 def test_language_id_markers(spark):
     d = docs_df(spark, ["der hund und die katze ist", "the dog and the cat"])
     out = {r["doc_id"]: r["lang_pred"] for r in TX.language_id(d).collect()}
