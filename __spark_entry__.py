@@ -465,6 +465,10 @@ def _q_contamination_check(spark, sf_dir):
     return TX.contamination_check(_docs(spark, sf_dir))
 
 
+def _q_minhash_verified(spark, sf_dir):
+    return DD.minhash_verified(_docs(spark, sf_dir))
+
+
 def _q_language_id(spark, sf_dir):
     return TX.language_id(_docs(spark, sf_dir))
 
@@ -614,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "gopher_filter": _q_gopher_filter,
         "contamination_check": _q_contamination_check,
+        "minhash_verified": _q_minhash_verified,
         # -- 2. never externally checked (r1 50-query cap) -----------
         "ticker_set_ops": _q_ticker_set_ops,
         "trade_validation": _q_trade_validation,
@@ -638,9 +643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats": _q_approx_stats,
         "user_ticker_list": _q_user_ticker_list,
         "brand_revenue": _q_brand_revenue,
-        "top_customers": _q_top_customers,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
+        "top_customers": _q_top_customers,
         "region_revenue": _q_region_revenue,
         "stale_parts": _q_stale_parts,
         "urgent_customers": _q_urgent_customers,
@@ -1179,6 +1184,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {DD.JACCARD_THRESHOLD}
+        """,
+        # candidates (same CTEs as minhash_lsh, incl. the bucket cap)
+        # → exact Jaccard over DISTINCT shingle sets, candidates only
+        # (mirrors dedup.minhash_verified; bands need the MULTISET
+        # shingle stream, Jaccard the distinct sets — hence dsh).
+        "minhash_verified": _SHINGLES_SQL.replace("SELECT DISTINCT", "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS) + f"""
+            , kept AS (
+                SELECT band, band_key, doc_id FROM bands
+                QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
+                        <= {DD.MINHASH_BUCKET_CAP}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM kept a JOIN kept b USING (band, band_key)
+                WHERE a.doc_id < b.doc_id
+            ),
+            dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+            common AS (
+                SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+                FROM cand c
+                JOIN dsh a ON a.doc_id = c.doc_a
+                JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+                  >= {DD.JACCARD_THRESHOLD}
         """,
         # kept mirrors dedup.MINHASH_BUCKET_CAP: oversized band
         # buckets are dropped before pairing in both engines (the cap

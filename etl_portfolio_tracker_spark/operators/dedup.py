@@ -216,6 +216,42 @@ def minhash_lsh_candidates(docs: DataFrame,
             .agg(F.count("*").alias("n_bands")))
 
 
+def minhash_verified(docs: DataFrame,
+                     threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """The full text near-dup pipeline: MinHash-LSH candidates → exact
+    shingle-Jaccard computed ONLY on candidate pairs → keep pairs ≥
+    `threshold`. The text twin of embedding_near_dup_verified
+    (similarity.py); this is the composition every docstring in this
+    module promises, as one operator.
+
+    Scale shape: unlike ngram_jaccard_pairs (which joins the FULL
+    shingle table to itself — correct but O(pairs-sharing-a-shingle)),
+    every join here is candidate-bounded: candidates ⋈ shingles(doc_a)
+    ⋈ shingles(doc_b) shuffles O(|candidates| · shingles-per-doc)
+    rows, and candidates are already bounded by banding + the bucket
+    cap. Candidates sharing zero shingles drop out of the inner join —
+    their Jaccard is 0, below any useful threshold."""
+    cands = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    sh = shingles(docs)  # distinct shingle sets
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (cands.join(a_sh, "doc_a")
+              .join(b_sh, ["doc_b", "shingle"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").alias("n_common")))
+    return (common
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                       .withColumnRenamed("n_sh", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                       .withColumnRenamed("n_sh", "n_b"), "doc_b")
+            .withColumn("jaccard",
+                        F.col("n_common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "n_common", "jaccard"))
+
+
 def min_label_components(labels: DataFrame, edges: DataFrame,
                          max_iter: int = 25) -> DataFrame:
     """Connected components by iterative min-label propagation.

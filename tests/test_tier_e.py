@@ -37,6 +37,17 @@ def test_minhash_identical_docs_all_bands_agree(spark):
     assert (0, 2) not in cands and (1, 2) not in cands
 
 
+def test_minhash_verified_keeps_only_true_near_dups(spark):
+    # docs 0/1 identical (jaccard 1.0), doc 2 shares nothing; the LSH
+    # candidate (0,1) survives the exact verify, and no spurious pair
+    # appears even at threshold 0
+    d = docs_df(spark, ["the quick brown fox jumps over the lazy dog",
+                        "the quick brown fox jumps over the lazy dog",
+                        "zzzz xxxx yyyy wwww vvvv uuuu tttt ssss"])
+    rows = DD.minhash_verified(d).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows] == [(0, 1, 1.0)]
+
+
 def test_minhash_bucket_cap_drops_boilerplate_buckets(spark):
     # 4 identical docs share every band bucket (size 4); cap=3 drops
     # those buckets so no pairs are enumerated; default cap keeps all
