@@ -226,13 +226,27 @@ def minhash_verified(docs: DataFrame,
 
     Scale shape: unlike ngram_jaccard_pairs (which joins the FULL
     shingle table to itself — correct but O(pairs-sharing-a-shingle)),
-    every join here is candidate-bounded: candidates ⋈ shingles(doc_a)
-    ⋈ shingles(doc_b) shuffles O(|candidates| · shingles-per-doc)
-    rows, and candidates are already bounded by banding + the bucket
-    cap. Candidates sharing zero shingles drop out of the inner join —
-    their Jaccard is 0, below any useful threshold."""
-    cands = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
-    sh = shingles(docs)  # distinct shingle sets
+    every join here is candidate-bounded: the shingle table is first
+    semi-joined to the docs that appear in ANY candidate pair (at
+    scale, candidates touch a small fraction of the corpus — docs
+    outside them never shingle-explode), then candidates ⋈
+    shingles(doc_a) ⋈ shingles(doc_b) → count(*) per pair. An
+    array_intersect formulation (shingle sets carried in-row) was
+    measured SLOWER at sf0.1 (18 s vs 13 s): with ~10⁶ candidate
+    pairs × ~2·10³-element arrays the per-pair set build dominates;
+    the exploded join lets the shuffle machinery do the set
+    intersection once, sorted. Candidates sharing zero shingles drop
+    out of the inner join — their Jaccard is 0, below any useful
+    threshold."""
+    # one materialization of the LSH pipeline: candidates feed the id
+    # restriction AND the pair join — without the checkpoint the whole
+    # minhash stage recomputes per consumer (cluster: persist()).
+    cands = (minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+             .localCheckpoint(eager=False))
+    cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    sh = shingles(docs).join(cand_ids, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

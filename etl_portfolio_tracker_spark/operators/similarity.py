@@ -403,15 +403,24 @@ def embedding_near_dup_verified(emb: DataFrame, threshold: float = 0.9,
     candidate ids plus the (already key-partitioned) embeddings.
 
     Output: (vec_a, vec_b, cos_sim rounded to 6dp), filtered on the
-    ROUNDED value so the threshold cut is engine-independent."""
+    ROUNDED value so the threshold cut is engine-independent.
+
+    Norms are computed ONCE PER VECTOR in the side projections (before
+    the join), not per pair — a vector in k candidate pairs would
+    otherwise pay the exact-decimal norm kernel k times (measured
+    13.5 s → ~6 s at sf0.1, where candidates ≈ 35× vectors); only the
+    pairwise dot remains per-pair work."""
     pairs = embedding_near_dup_pairs(emb, n_planes, band_planes, bucket_cap)
-    va = emb.select(F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("_ea"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("_eb"))
-    cos = F.round(
-        F.expr(_dot_sql("_ea", "_eb"))
-        / (F.expr(_norm_sql("_ea")) * F.expr(_norm_sql("_eb"))), 6)
+    sides = emb.select("vec_id", "embedding",
+                       F.expr(_norm_sql("embedding")).alias("_n"))
+    va = sides.select(F.col("vec_id").alias("vec_a"),
+                      F.col("embedding").alias("_ea"),
+                      F.col("_n").alias("_na"))
+    vb = sides.select(F.col("vec_id").alias("vec_b"),
+                      F.col("embedding").alias("_eb"),
+                      F.col("_n").alias("_nb"))
+    cos = F.round(F.expr(_dot_sql("_ea", "_eb"))
+                  / (F.col("_na") * F.col("_nb")), 6)
     return (pairs.join(va, "vec_a").join(vb, "vec_b")
             .select("vec_a", "vec_b", cos.alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
