@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from etl_portfolio_tracker_spark import derive
 from etl_portfolio_tracker_spark.io import read_table
 from etl_portfolio_tracker_spark.oracle import (
-    FOLD_FINALS_SQL, OVERSELL_SQL, PRICES_CTE, RAW_TRADES_CTE, TICK_PRICES_CTE,
-    TRADES_CTE, UNIVERSE_CTE, with_domain,
+    FOLD_FINALS_SQL, OVERSELL_SQL, PRICES_CTE, RAW_TRADES_CTE,
+    STREAM_FOLD_SQL, TICK_PRICES_CTE, TRADES_CTE, UNIVERSE_CTE, with_domain,
 )
 from etl_portfolio_tracker_spark.operators import asof as AS
 from etl_portfolio_tracker_spark.operators import calendar as C
@@ -469,6 +469,15 @@ def _q_minhash_verified(spark, sf_dir):
     return DD.minhash_verified(_docs(spark, sf_dir))
 
 
+def _q_streaming_fold_replay(spark, sf_dir):
+    # REAL Structured Streaming execution (availableNow → memory
+    # sink), not a batch re-expression: the driver's oracle check
+    # covers the streaming state path end-to-end.
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_fold_replay)
+    return streaming_fold_replay(spark, sf_dir)
+
+
 def _q_language_id(spark, sf_dir):
     return TX.language_id(_docs(spark, sf_dir))
 
@@ -619,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "contamination_check": _q_contamination_check,
         "minhash_verified": _q_minhash_verified,
+        "streaming_fold_replay": _q_streaming_fold_replay,
         # -- 2. never externally checked (r1 50-query cap) -----------
         "ticker_set_ops": _q_ticker_set_ops,
         "trade_validation": _q_trade_validation,
@@ -642,9 +652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver records rows-only); error bounds tested in pytest.
         "approx_stats": _q_approx_stats,
         "user_ticker_list": _q_user_ticker_list,
-        "brand_revenue": _q_brand_revenue,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
+        "brand_revenue": _q_brand_revenue,
         "top_customers": _q_top_customers,
         "region_revenue": _q_region_revenue,
         "stale_parts": _q_stale_parts,
@@ -976,6 +986,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "portfolio_fold": FOLD_FINALS_SQL + """
             SELECT "user", ticker, qty, avg_cost, realized FROM finals
+        """,
+        # streaming fold: REJECT oversell semantics (P10), one
+        # availableNow batch over the whole table → per-key totals
+        "streaming_fold_replay": STREAM_FOLD_SQL + """
+            SELECT "user", ticker, qty, avg_cost, realized, n_rejected
+            FROM sfinals
         """,
         "avg_costs": FOLD_FINALS_SQL + """
             SELECT "user", ticker, qty, avg_cost AS avg_buy_price

@@ -57,18 +57,9 @@ def prices(spark: SparkSession, sf_dir: str,
             .agg(F.min("l_extendedprice").alias("close")))
 
 
-def trades(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """trades(id, user, ticker, ts, side, qty, price, fee) from events.
-
-    Deterministic per-row mapping (no aggregation → bit-exact):
-      id = event_id (monotone, replay tiebreak — SURVEY §2.9)
-      user = 'u' || user_id, ticker = event_type
-      side = SELL when event_id % 3 = 0 else BUY
-      qty = 1 + (event_id % 10), price = abs(value) + 1, fee = (event_id % 5) * 0.25
-    The ledger may oversell — the reference fold clamps sells
-    (portfolio.py:37,106), so any ledger is valid fold input.
-    """
-    ev = read_table(spark, sf_dir, "events")
+def trades_projection(ev: DataFrame) -> DataFrame:
+    """The events→trades per-row mapping, applicable to a batch OR
+    streaming events frame (pure projection, no aggregation)."""
     return ev.select(
         F.col("event_id").alias("id"),
         F.concat(F.lit("u"), F.col("user_id")).alias("user"),
@@ -80,6 +71,20 @@ def trades(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("value")) + F.lit(1.0)).alias("price"),
         ((F.col("event_id") % 5).cast("double") * F.lit(0.25)).alias("fee"),
     )
+
+
+def trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trades(id, user, ticker, ts, side, qty, price, fee) from events.
+
+    Deterministic per-row mapping (no aggregation → bit-exact):
+      id = event_id (monotone, replay tiebreak — SURVEY §2.9)
+      user = 'u' || user_id, ticker = event_type
+      side = SELL when event_id % 3 = 0 else BUY
+      qty = 1 + (event_id % 10), price = abs(value) + 1, fee = (event_id % 5) * 0.25
+    The ledger may oversell — the reference fold clamps sells
+    (portfolio.py:37,106), so any ledger is valid fold input.
+    """
+    return trades_projection(read_table(spark, sf_dir, "events"))
 
 
 def raw_trades(spark: SparkSession, sf_dir: str) -> DataFrame:

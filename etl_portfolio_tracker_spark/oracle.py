@@ -140,6 +140,48 @@ finals AS (
 """
 
 
+# Recursive-CTE twin of streaming/stateful._fold_with_state: the
+# STREAMING fold semantics — oversells are REJECTED (skipped and
+# counted), not clamped like the batch fold. Same left-associated
+# arithmetic as the Python fold, so doubles are bit-identical.
+STREAM_FOLD_SQL = f"""
+WITH RECURSIVE
+{TRADES_CTE.strip().rstrip()},
+tt AS (
+    SELECT *, row_number() OVER (PARTITION BY "user", ticker ORDER BY ts, id) AS rn
+    FROM trades
+),
+keys AS (SELECT "user", ticker, MAX(rn) AS n FROM tt GROUP BY 1, 2),
+sfold AS (
+    SELECT "user", ticker, 0 AS rn,
+           CAST(0.0 AS DOUBLE) AS q, CAST(0.0 AS DOUBLE) AS avg,
+           CAST(0.0 AS DOUBLE) AS realized, CAST(0 AS BIGINT) AS n_rej
+    FROM keys
+    UNION ALL
+    SELECT f."user", f.ticker, t.rn,
+           CASE WHEN t.side = 'BUY' THEN f.q + t.qty
+                WHEN t.qty > f.q + 1e-12 THEN f.q
+                ELSE f.q - t.qty END,
+           CASE WHEN t.side = 'BUY'
+                THEN (f.q * f.avg + t.qty * t.price + t.fee) / (f.q + t.qty)
+                ELSE f.avg END,
+           CASE WHEN t.side = 'SELL' AND t.qty <= f.q + 1e-12
+                THEN f.realized + (t.price - f.avg) * t.qty
+                ELSE f.realized END,
+           f.n_rej + CASE WHEN t.side = 'SELL' AND t.qty > f.q + 1e-12
+                          THEN 1 ELSE 0 END
+    FROM sfold f
+    JOIN tt t ON t."user" = f."user" AND t.ticker = f.ticker AND t.rn = f.rn + 1
+),
+sfinals AS (
+    SELECT f."user", f.ticker, f.q AS qty, f.avg AS avg_cost,
+           f.realized, f.n_rej AS n_rejected
+    FROM sfold f
+    JOIN keys k ON k."user" = f."user" AND k.ticker = f.ticker AND f.rn = k.n
+)
+"""
+
+
 def with_domain(body: str, *ctes: str) -> str:
     """Wrap an oracle query body with the requested domain CTEs."""
     joined = ",\n".join(c.strip().rstrip() for c in ctes)

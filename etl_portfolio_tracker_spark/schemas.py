@@ -79,6 +79,18 @@ EVENTS = T.StructType([
     T.StructField("props", T.StringType(), True),   # JSON string
 ])
 
+# The harness parquet stores ts as TIMESTAMP(MICROS, isAdjustedToUTC=0)
+# → Spark reads timestamp_ntz; streaming scans need the schema
+# declared explicitly (readStream has no inference on a fixed dir).
+EVENTS_NTZ = T.StructType([
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("ts", T.TimestampNTZType(), False),
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("event_type", T.StringType(), False),
+    T.StructField("value", T.DoubleType(), False),
+    T.StructField("props", T.StringType(), True),   # JSON string
+])
+
 DOCUMENTS = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("text", T.StringType(), False),

@@ -1,0 +1,50 @@
+"""Deterministic batch-replay of the streaming stateful fold — the
+bridge that makes §2.12 streaming semantics externally checkable.
+
+`streaming_fold_replay` reads the harness events parquet AS A STREAM
+(`readStream` + explicit schema), derives trades with the same
+projection the batch path uses (derive.trades_projection), folds them
+through `streaming_portfolio_state` (applyInPandasWithState — real
+streaming state store, real Arrow state protocol), executes with
+`trigger(availableNow=True)` into an in-memory sink, and returns the
+sink as a DataFrame.
+
+Determinism: the harness table is a single parquet file, so
+availableNow executes exactly ONE micro-batch; within the batch the
+fold sorts each key's trades by (ts, id) (streaming/stateful.py:47).
+The result is therefore byte-identical to a sequential fold with
+oversell REJECTION (not the batch fold's clamp — P10 semantics,
+app/services/trades.py:51-54), which a recursive-CTE DuckDB oracle
+reproduces exactly (oracle.STREAM_FOLD_SQL). With multiple input
+files Spark may split micro-batches and `n_rejected` would count only
+the final batch's rejections per key — single-file inputs only.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+from ..derive import trades_projection
+from .stateful import streaming_portfolio_state
+
+
+def streaming_fold_replay(spark: SparkSession, sf_dir: str,
+                          timeout_s: int = 300) -> DataFrame:
+    """Run the stateful streaming fold over the events table via one
+    availableNow micro-batch; returns (user, ticker, qty, avg_cost,
+    realized, n_rejected) — one row per traded key."""
+    name = "stream_fold_replay_" + uuid.uuid4().hex[:8]
+    ev = (spark.readStream.schema(schemas.EVENTS_NTZ)
+          # the harness table is a FILE, not a directory: stream the
+          # parent dir restricted to it (readStream needs a basePath
+          # directory)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir))
+    out = streaming_portfolio_state(trades_projection(ev))
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
