@@ -478,6 +478,12 @@ def _q_streaming_fold_replay(spark, sf_dir):
     return streaming_fold_replay(spark, sf_dir)
 
 
+def _q_streaming_window_replay(spark, sf_dir):
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_window_replay)
+    return streaming_window_replay(spark, sf_dir)
+
+
 def _q_language_id(spark, sf_dir):
     return TX.language_id(_docs(spark, sf_dir))
 
@@ -629,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination_check,
         "minhash_verified": _q_minhash_verified,
         "streaming_fold_replay": _q_streaming_fold_replay,
+        "streaming_window_replay": _q_streaming_window_replay,
         # -- 2. never externally checked (r1 50-query cap) -----------
         "ticker_set_ops": _q_ticker_set_ops,
         "trade_validation": _q_trade_validation,
@@ -651,9 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.
         "approx_stats": _q_approx_stats,
-        "user_ticker_list": _q_user_ticker_list,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
+        "user_ticker_list": _q_user_ticker_list,
         "brand_revenue": _q_brand_revenue,
         "top_customers": _q_top_customers,
         "region_revenue": _q_region_revenue,
@@ -992,6 +999,14 @@ def oracle_sql() -> dict[str, str]:
         "streaming_fold_replay": STREAM_FOLD_SQL + """
             SELECT "user", ticker, qty, avg_cost, realized, n_rejected
             FROM sfinals
+        """,
+        # streaming windows in complete mode == the batch rollup shape
+        "streaming_window_replay": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "avg_costs": FOLD_FINALS_SQL + """
             SELECT "user", ticker, qty, avg_cost AS avg_buy_price

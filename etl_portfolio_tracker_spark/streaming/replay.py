@@ -31,20 +31,50 @@ from ..derive import trades_projection
 from .stateful import streaming_portfolio_state
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    return (spark.readStream.schema(schemas.EVENTS_NTZ)
+            # the harness table is a FILE, not a directory: stream the
+            # parent dir restricted to it (readStream needs a basePath
+            # directory)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir))
+
+
 def streaming_fold_replay(spark: SparkSession, sf_dir: str,
                           timeout_s: int = 300) -> DataFrame:
     """Run the stateful streaming fold over the events table via one
     availableNow micro-batch; returns (user, ticker, qty, avg_cost,
     realized, n_rejected) — one row per traded key."""
     name = "stream_fold_replay_" + uuid.uuid4().hex[:8]
-    ev = (spark.readStream.schema(schemas.EVENTS_NTZ)
-          # the harness table is a FILE, not a directory: stream the
-          # parent dir restricted to it (readStream needs a basePath
-          # directory)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(sf_dir))
-    out = streaming_portfolio_state(trades_projection(ev))
+    out = streaming_portfolio_state(
+        trades_projection(_events_stream(spark, sf_dir)))
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
+
+
+def streaming_window_replay(spark: SparkSession, sf_dir: str,
+                            timeout_s: int = 300) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation executed on the STREAMING
+    engine (`window()` over an unbounded-in-principle source), replayed
+    over the events table and emitted in COMPLETE mode — every window
+    appears regardless of watermark progress, so a single availableNow
+    pass yields the same rows as the batch hourly_rollup shape (same
+    exact decimal sum, same rounding).  This is the streaming-windows
+    twin of streaming_fold_replay: it exercises the streaming
+    aggregation state store, not a batch re-expression."""
+    from pyspark.sql import functions as F
+    from ..derive import dsum
+    name = "stream_window_replay_" + uuid.uuid4().hex[:8]
+    ev = _events_stream(spark, sf_dir)
+    agg = (ev.groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(dsum(F.col("value")), 2).cast("double")
+                 .alias("sum_value")))
+    out = agg.select(F.col("window.start").alias("hour"),
+                     "event_type", "n_events", "sum_value")
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     return spark.table(name)
