@@ -484,6 +484,12 @@ def _q_streaming_window_replay(spark, sf_dir):
     return streaming_window_replay(spark, sf_dir)
 
 
+def _q_streaming_session_replay(spark, sf_dir):
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_session_replay)
+    return streaming_session_replay(spark, sf_dir)
+
+
 def _q_language_id(spark, sf_dir):
     return TX.language_id(_docs(spark, sf_dir))
 
@@ -636,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified": _q_minhash_verified,
         "streaming_fold_replay": _q_streaming_fold_replay,
         "streaming_window_replay": _q_streaming_window_replay,
+        "streaming_session_replay": _q_streaming_session_replay,
         # -- 2. never externally checked (r1 50-query cap) -----------
         "ticker_set_ops": _q_ticker_set_ops,
         "trade_validation": _q_trade_validation,
@@ -655,11 +662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": _q_retention,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "stats_summary": _q_stats_summary,
+        # ---- 50-query cap lands here ----
+        # -- 3. never-checked remainder (front of round 3) -----------
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.
         "approx_stats": _q_approx_stats,
-        # ---- 50-query cap lands here ----
-        # -- 3. never-checked remainder (front of round 3) -----------
         "user_ticker_list": _q_user_ticker_list,
         "brand_revenue": _q_brand_revenue,
         "top_customers": _q_top_customers,
@@ -1007,6 +1014,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # session_window boundary rule: event at exactly prev+gap
+        # starts a NEW session → island rule is >= (the batch
+        # sessionize uses >; see streaming/replay.py docstring)
+        "streaming_session_replay": """
+            SELECT user_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM (
+                SELECT user_id, ts,
+                       SUM(CASE WHEN prev_ts IS NULL
+                                  OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM (SELECT user_id, event_id, ts,
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                      FROM events)
+            )
+            GROUP BY user_id, session_id
         """,
         "avg_costs": FOLD_FINALS_SQL + """
             SELECT "user", ticker, qty, avg_cost AS avg_buy_price

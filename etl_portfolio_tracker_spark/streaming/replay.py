@@ -78,3 +78,31 @@ def streaming_window_replay(spark: SparkSession, sf_dir: str,
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+def streaming_session_replay(spark: SparkSession, sf_dir: str,
+                             gap_minutes: int = 30,
+                             timeout_s: int = 300) -> DataFrame:
+    """`session_window` sessionization executed on the streaming
+    engine (merging session state!), replayed over the events table in
+    complete mode. session_window's boundary rule is: an event at
+    exactly prev_ts + gap starts a NEW session (windows are
+    half-open [ts, ts+gap)), so the oracle's island rule uses `>= gap`
+    — one boundary tighter than the batch sessionize's `> gap`.
+    session_end = window.end − gap = the session's last event ts."""
+    from pyspark.sql import functions as F
+    name = "stream_session_replay_" + uuid.uuid4().hex[:8]
+    ev = _events_stream(spark, sf_dir)
+    agg = (ev.groupBy(F.session_window("ts", f"{gap_minutes} minutes"),
+                      "user_id")
+           .agg(F.count("*").alias("n_events")))
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        (F.col("session_window.end")
+         - F.expr(f"INTERVAL {gap_minutes} MINUTES")).alias("session_end"),
+        "n_events")
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
