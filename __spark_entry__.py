@@ -557,6 +557,15 @@ def _q_frame_sample(spark, sf_dir):
         F.hex("frame").alias("frame_hex"), "frame_bytes")
 
 
+def _q_resize_media(spark, sf_dir):
+    # deterministic stub resize (dims + every-k-th-byte thumbnail)
+    # behind real mapInPandas plumbing; thumb projected to hex for the
+    # driver compare (same rationale as frame_sample)
+    r = MM.resize_media(MM.docs_as_media(_docs(spark, sf_dir)))
+    return r.select("media_id", "out_width", "out_height",
+                    F.hex("thumb").alias("thumb_hex"))
+
+
 def _q_dedup_clusters(spark, sf_dir):
     return DD.dedup_clusters(_docs(spark, sf_dir))
 
@@ -643,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_fold_replay": _q_streaming_fold_replay,
         "streaming_window_replay": _q_streaming_window_replay,
         "streaming_session_replay": _q_streaming_session_replay,
+        "resize_media": _q_resize_media,
         # -- 2. never externally checked (r1 50-query cap) -----------
         "ticker_set_ops": _q_ticker_set_ops,
         "trade_validation": _q_trade_validation,
@@ -661,9 +671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "retention": _q_retention,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "stats_summary": _q_stats_summary,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
+        "stats_summary": _q_stats_summary,
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.
         "approx_stats": _q_approx_stats,
@@ -1496,6 +1506,30 @@ def oracle_sql() -> dict[str, str]:
                    hex(CAST(substring(media, CAST(frame_idx AS BIGINT) * 256 + 1, 256) AS BLOB)) AS frame_hex,
                    CAST(octet_length(CAST(substring(media, CAST(frame_idx AS BIGINT) * 256 + 1, 256) AS BLOB)) AS BIGINT) AS frame_bytes
             FROM f
+        """,
+        # resize stub mirror (multimodal.resize_media): dims from the
+        # deterministic fake decode (w = n%640+1, h = n%480+1), scale
+        # to a 64px box with int truncation, thumbnail = every k-th
+        # byte (k = max(1, n // 512)); ASCII docs → char==byte.
+        "resize_media": """
+            WITH m AS (
+                SELECT doc_id AS media_id, text AS media,
+                       octet_length(CAST(text AS BLOB)) AS n
+                FROM documents WHERE text IS NOT NULL
+            ), d AS (
+                SELECT media_id, media, n,
+                       n % 640 + 1 AS w, n % 480 + 1 AS h,
+                       GREATEST(1.0, GREATEST(n % 640 + 1, n % 480 + 1) / 64.0) AS scale,
+                       GREATEST(1, n // 512) AS step
+                FROM m
+            )
+            SELECT media_id,
+                   CAST(FLOOR(w / scale) AS INTEGER) AS out_width,
+                   CAST(FLOOR(h / scale) AS INTEGER) AS out_height,
+                   hex(CAST(array_to_string(
+                       list_filter(string_split(media, ''),
+                                   (x, i) -> (i - 1) % step = 0), '') AS BLOB)) AS thumb_hex
+            FROM d
         """,
         "brand_revenue": """
             SELECT p_brand,
