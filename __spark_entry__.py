@@ -490,6 +490,18 @@ def _q_streaming_session_replay(spark, sf_dir):
     return streaming_session_replay(spark, sf_dir)
 
 
+def _q_streaming_dedup_replay(spark, sf_dir):
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_dedup_replay)
+    return streaming_dedup_replay(spark, sf_dir)
+
+
+def _q_streaming_join_replay(spark, sf_dir):
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_join_replay)
+    return streaming_join_replay(spark, sf_dir)
+
+
 def _q_language_id(spark, sf_dir):
     return TX.language_id(_docs(spark, sf_dir))
 
@@ -652,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_fold_replay": _q_streaming_fold_replay,
         "streaming_window_replay": _q_streaming_window_replay,
         "streaming_session_replay": _q_streaming_session_replay,
+        "streaming_dedup_replay": _q_streaming_dedup_replay,
+        "streaming_join_replay": _q_streaming_join_replay,
         "resize_media": _q_resize_media,
         # -- 2. never externally checked (r1 50-query cap) -----------
         "ticker_set_ops": _q_ticker_set_ops,
@@ -1025,6 +1039,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        # streaming dedup: event_id is unique in the harness data, so
+        # exact output == the full table while the state path runs
+        "streaming_dedup_replay": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+        """,
+        # stream-stream interval join == batch interval join (inner
+        # matches within one availableNow batch always emit)
+        "streaming_join_replay": with_domain("""
+            SELECT tr.ticker,
+                   tr.ts AS trade_ts,
+                   tr.qty,
+                   tk.ts AS tick_ts,
+                   tk.close AS tick_close
+            FROM trades tr
+            JOIN (SELECT event_type AS ticker, ts, value AS close
+                  FROM events) tk
+              ON tr.ticker = tk.ticker
+             AND tk.ts >= tr.ts - INTERVAL 1 HOUR
+             AND tk.ts <= tr.ts
+        """, TRADES_CTE),
         # session_window boundary rule: event at exactly prev+gap
         # starts a NEW session → island rule is >= (the batch
         # sessionize uses >; see streaming/replay.py docstring)

@@ -80,6 +80,79 @@ def streaming_window_replay(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+# Watermarks and stream-stream join conditions require TIMESTAMP
+# (with local tz), but the harness `ts` is timestamp_ntz and every
+# session-tz-dependent conversion (cast, to_utc_timestamp) would make
+# results depend on the driver's timezone (and hit DST anomalies).
+# Pin the naive components AS UTC instead — make_timestamp(..., 'UTC')
+# is session-tz-independent (verified: identical unix_micros under UTC
+# and America/New_York sessions) and UTC has no DST, so the mapping is
+# a monotone bijection of the naive timeline.
+_UTC_PIN = ("make_timestamp(year({c}), month({c}), day({c}), hour({c}), "
+            "minute({c}), extract(SECOND FROM {c}), 'UTC')")
+
+
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str,
+                           timeout_s: int = 300) -> DataFrame:
+    """Watermarked streaming dropDuplicates on event_id, replayed over
+    the events table (append mode — each first-seen key emits
+    immediately; the watermark only bounds dedup state). event_ids
+    are unique in the harness data, so the exact output is the full
+    table — which is precisely what makes the oracle trivial while
+    the state-store path stays fully exercised."""
+    from pyspark.sql import functions as F
+    name = "stream_dedup_replay_" + uuid.uuid4().hex[:8]
+    ev = (_events_stream(spark, sf_dir)
+          .withColumn("_wm", F.expr(_UTC_PIN.format(c="ts")))
+          .withWatermark("_wm", "7 days")
+          .dropDuplicates(["event_id"])
+          .drop("_wm"))
+    q = (ev.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
+
+
+def streaming_join_replay(spark: SparkSession, sf_dir: str,
+                          tolerance: str = "1 hour",
+                          watermark: str = "2 hours",
+                          timeout_s: int = 300) -> DataFrame:
+    """Stream-stream interval join replay: the trades projection of
+    the events stream inner-joined to a tick projection of the SAME
+    stream (ticker match, tick in [trade_ts − 1 hour, trade_ts]).
+    Inner joins emit as soon as both sides are processed — one
+    availableNow batch sees both sides completely, so the output
+    equals the batch interval join exactly (watermarks only bound
+    join state, never filter an inner match within the batch).
+    Event time for watermark + join condition is the UTC-pinned twin
+    of the naive ts (see _UTC_PIN); the OUTPUT carries the original
+    timestamp_ntz columns."""
+    from pyspark.sql import functions as F
+    name = "stream_join_replay_" + uuid.uuid4().hex[:8]
+    pin = _UTC_PIN.format(c="ts")
+    t = (trades_projection(_events_stream(spark, sf_dir))
+         .select("ticker", "ts", "qty", F.expr(pin).alias("ts_evt"))
+         .withWatermark("ts_evt", watermark).alias("t"))
+    p = (_events_stream(spark, sf_dir)
+         .select(F.col("event_type").alias("ticker"), "ts",
+                 F.col("value").alias("close"), F.expr(pin).alias("ts_evt"))
+         .withWatermark("ts_evt", watermark).alias("p"))
+    cond = F.expr(
+        "t.ticker = p.ticker"
+        f" AND p.ts_evt >= t.ts_evt - INTERVAL {tolerance}"
+        " AND p.ts_evt <= t.ts_evt")
+    out = (t.join(p, cond, "inner")
+           .select(F.col("t.ticker").alias("ticker"),
+                   F.col("t.ts").alias("trade_ts"),
+                   F.col("t.qty").alias("qty"),
+                   F.col("p.ts").alias("tick_ts"),
+                   F.col("p.close").alias("tick_close")))
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
+
+
 def streaming_session_replay(spark: SparkSession, sf_dir: str,
                              gap_minutes: int = 30,
                              timeout_s: int = 300) -> DataFrame:
