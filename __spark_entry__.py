@@ -1046,7 +1046,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         # stream-stream interval join == batch interval join (inner
-        # matches within one availableNow batch always emit)
+        # matches within one availableNow batch always emit); trade
+        # side restricted to id % 20 = 0 (replay.py trade_mod — the
+        # memory sink is driver-resident)
         "streaming_join_replay": with_domain("""
             SELECT tr.ticker,
                    tr.ts AS trade_ts,
@@ -1059,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
               ON tr.ticker = tk.ticker
              AND tk.ts >= tr.ts - INTERVAL 1 HOUR
              AND tk.ts <= tr.ts
+            WHERE tr.id % 20 = 0
         """, TRADES_CTE),
         # session_window boundary rule: event at exactly prev+gap
         # starts a NEW session → island rule is >= (the batch

@@ -40,6 +40,18 @@ def _events_stream(spark: SparkSession, sf_dir: str):
             .parquet(sf_dir))
 
 
+def _run_to_completion(writer, name: str, timeout_s: int):
+    """Start, await FULL termination, fail loudly on timeout — a
+    timed-out availableNow query would otherwise silently hand back a
+    PARTIAL memory sink (exactly the kind of flaky wrongness a
+    correctness gate must never produce)."""
+    q = writer.start()
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming replay {name!r} did not finish in {timeout_s}s")
+
+
 def streaming_fold_replay(spark: SparkSession, sf_dir: str,
                           timeout_s: int = 300) -> DataFrame:
     """Run the stateful streaming fold over the events table via one
@@ -48,9 +60,9 @@ def streaming_fold_replay(spark: SparkSession, sf_dir: str,
     name = "stream_fold_replay_" + uuid.uuid4().hex[:8]
     out = streaming_portfolio_state(
         trades_projection(_events_stream(spark, sf_dir)))
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    _run_to_completion(
+        out.writeStream.format("memory").queryName(name)
+           .outputMode("update").trigger(availableNow=True), name, timeout_s)
     return spark.table(name)
 
 
@@ -74,9 +86,9 @@ def streaming_window_replay(spark: SparkSession, sf_dir: str,
                  .alias("sum_value")))
     out = agg.select(F.col("window.start").alias("hour"),
                      "event_type", "n_events", "sum_value")
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    _run_to_completion(
+        out.writeStream.format("memory").queryName(name)
+           .outputMode("complete").trigger(availableNow=True), name, timeout_s)
     return spark.table(name)
 
 
@@ -107,15 +119,16 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str,
           .withWatermark("_wm", "7 days")
           .dropDuplicates(["event_id"])
           .drop("_wm"))
-    q = (ev.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    _run_to_completion(
+        ev.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True), name, timeout_s)
     return spark.table(name)
 
 
 def streaming_join_replay(spark: SparkSession, sf_dir: str,
                           tolerance: str = "1 hour",
                           watermark: str = "2 hours",
+                          trade_mod: int = 20,
                           timeout_s: int = 300) -> DataFrame:
     """Stream-stream interval join replay: the trades projection of
     the events stream inner-joined to a tick projection of the SAME
@@ -126,11 +139,19 @@ def streaming_join_replay(spark: SparkSession, sf_dir: str,
     join state, never filter an inner match within the batch).
     Event time for watermark + join condition is the UTC-pinned twin
     of the naive ts (see _UTC_PIN); the OUTPUT carries the original
-    timestamp_ntz columns."""
+    timestamp_ntz columns.
+
+    `trade_mod` keeps the probe side to trades with id % mod == 0:
+    the memory sink materializes every joined row ON THE DRIVER, and
+    an unrestricted replay at sf0.1 emits ~10M rows (~5 min — it
+    timed out a 300 s bench run). The restriction bounds the sink
+    while the join state still processes BOTH full streams; a real
+    deployment writes to a distributed sink and needs no cap."""
     from pyspark.sql import functions as F
     name = "stream_join_replay_" + uuid.uuid4().hex[:8]
     pin = _UTC_PIN.format(c="ts")
     t = (trades_projection(_events_stream(spark, sf_dir))
+         .filter(F.col("id") % trade_mod == 0)
          .select("ticker", "ts", "qty", F.expr(pin).alias("ts_evt"))
          .withWatermark("ts_evt", watermark).alias("t"))
     p = (_events_stream(spark, sf_dir)
@@ -147,9 +168,9 @@ def streaming_join_replay(spark: SparkSession, sf_dir: str,
                    F.col("t.qty").alias("qty"),
                    F.col("p.ts").alias("tick_ts"),
                    F.col("p.close").alias("tick_close")))
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    _run_to_completion(
+        out.writeStream.format("memory").queryName(name)
+           .outputMode("append").trigger(availableNow=True), name, timeout_s)
     return spark.table(name)
 
 
@@ -175,7 +196,7 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str,
         (F.col("session_window.end")
          - F.expr(f"INTERVAL {gap_minutes} MINUTES")).alias("session_end"),
         "n_events")
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    _run_to_completion(
+        out.writeStream.format("memory").queryName(name)
+           .outputMode("complete").trigger(availableNow=True), name, timeout_s)
     return spark.table(name)
