@@ -32,11 +32,13 @@ from etl_portfolio_tracker_spark.oracle import (
 from etl_portfolio_tracker_spark.operators import asof as AS
 from etl_portfolio_tracker_spark.operators import calendar as C
 from etl_portfolio_tracker_spark.operators import dedup as DD
+from etl_portfolio_tracker_spark.operators import finance as FIN
 from etl_portfolio_tracker_spark.operators import fold as FD
 from etl_portfolio_tracker_spark.operators import headline as HL
 from etl_portfolio_tracker_spark.operators import trade_ops as TO
 from etl_portfolio_tracker_spark.operators import warehouse as WH
 from etl_portfolio_tracker_spark.operators import multimodal as MM
+from etl_portfolio_tracker_spark.operators import packing as PK
 from etl_portfolio_tracker_spark.operators import similarity as SIM
 from etl_portfolio_tracker_spark.operators import text as TX
 from etl_portfolio_tracker_spark.operators import pivots as PV
@@ -612,6 +614,43 @@ def _q_nation_spend_quartiles(spark, sf_dir):
     return HL.nation_spend_quartiles(spark, sf_dir)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    return PK.pack_sequences(_docs(spark, sf_dir))
+
+
+def _q_chunk_dedup(spark, sf_dir):
+    return PK.chunk_dedup(_docs(spark, sf_dir))
+
+
+def _q_rolling_vol(spark, sf_dir):
+    return FIN.rolling_volatility(derive.tick_prices(spark, sf_dir), n=20)
+
+
+def _q_drawdown(spark, sf_dir):
+    return FIN.drawdown(derive.tick_prices(spark, sf_dir))
+
+
+def _q_max_drawdown(spark, sf_dir):
+    return FIN.max_drawdown(derive.tick_prices(spark, sf_dir))
+
+
+def _q_ema(spark, sf_dir):
+    return FIN.ema_final(derive.tick_prices(spark, sf_dir), alpha=0.2)
+
+
+def _q_vwap(spark, sf_dir):
+    return FIN.vwap(derive.trades(spark, sf_dir))
+
+
+def _q_rolling_beta(spark, sf_dir):
+    return FIN.rolling_beta(derive.tick_prices(spark, sf_dir),
+                            benchmark="click", n=20)
+
+
+def _q_corr_matrix(spark, sf_dir):
+    return FIN.corr_matrix(derive.tick_prices(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order encodes verification priority: the driver only
     records external correctness rows for the FIRST 50 declared queries
@@ -685,6 +724,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "retention": _q_retention,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_dedup": _q_chunk_dedup,
+        "rolling_vol": _q_rolling_vol,
+        "drawdown": _q_drawdown,
+        "max_drawdown": _q_max_drawdown,
+        "ema": _q_ema,
+        "vwap": _q_vwap,
+        "rolling_beta": _q_rolling_beta,
+        "corr_matrix": _q_corr_matrix,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
         "stats_summary": _q_stats_summary,
@@ -738,6 +786,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_per_brand": _q_top_parts_per_brand,
         "kmeans_train": _q_kmeans_train,
     }
+
+
+# Daily per-ticker returns over tick_prices — SQL twin of
+# windowed.daily_returns / finance._returns (first row ret=0, zero
+# prev guarded). Shared by the finance-tier oracles.
+_RETS_SQL = """
+                SELECT ticker, ts,
+                       CASE WHEN LAG(close) OVER v IS NULL
+                                 OR LAG(close) OVER v = 0 THEN 0.0
+                            ELSE close / LAG(close) OVER v - 1 END AS ret
+                FROM tick_prices
+                WINDOW v AS (PARTITION BY ticker ORDER BY ts)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1823,6 +1884,164 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM documents) AS n_docs
             FROM ranked WHERE rank <= 3
         """,
+        "pack_sequences": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(doc_id % {PK.PACK_BINS} AS INTEGER) AS bin,
+                       CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT bin, doc_id, n_tokens,
+                   CAST(FLOOR((cum - n_tokens) / {PK.PACK_BUDGET}.0)
+                        AS BIGINT) AS seq,
+                   (cum - n_tokens) % {PK.PACK_BUDGET} AS "offset"
+            FROM (
+                SELECT bin, doc_id, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY bin
+                           ORDER BY n_tokens DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+                FROM base
+            )
+        """,
+        "chunk_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l
+                FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                       array_to_string(
+                           l[(i*{PK.CHUNK_TOKENS}+1):(i*{PK.CHUNK_TOKENS}+{PK.CHUNK_TOKENS})],
+                           ' ') AS chunk
+                FROM toks,
+                     UNNEST(generate_series(0,
+                         CAST(CEIL(len(l)/{PK.CHUNK_TOKENS}.0) AS BIGINT) - 1))
+                     AS u(i)
+            ),
+            flagged AS (
+                SELECT doc_id, pos, chunk,
+                       ROW_NUMBER() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, pos) = 1 AS kept
+                FROM chunks
+            )
+            SELECT doc_id, COUNT(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(SUM(CASE WHEN kept THEN LEN(chunk) ELSE 0 END)
+                        AS BIGINT) AS kept_chars
+            FROM flagged GROUP BY doc_id
+        """,
+        # --- finance tier: all moment formulas evaluate in DOUBLE from
+        # exact DECIMAL(38,10) window/group sums, mirroring finance.py
+        # expression-for-expression ---
+        "rolling_vol": with_domain(f"""
+            SELECT ticker, ts, ret,
+                   CASE WHEN cnt >= 2 THEN
+                        ROUND(SQRT(GREATEST((sr2 - sr*sr/cnt)/(cnt-1), 0.0)), 6)
+                   END AS vol
+            FROM (
+                SELECT ticker, ts, ret,
+                       CAST(SUM(CAST(ret AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sr,
+                       CAST(SUM(CAST(ret*ret AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sr2,
+                       CAST(COUNT(ret) OVER w AS DOUBLE) AS cnt
+                FROM ({_RETS_SQL})
+                WINDOW w AS (PARTITION BY ticker ORDER BY ts
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            )
+        """, TICK_PRICES_CTE),
+        "drawdown": with_domain("""
+            SELECT ticker, ts, close, peak, ROUND(close/peak - 1, 6) AS dd
+            FROM (
+                SELECT ticker, ts, close,
+                       MAX(close) OVER (PARTITION BY ticker ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+                FROM tick_prices
+            )
+        """, TICK_PRICES_CTE),
+        "max_drawdown": with_domain("""
+            SELECT ticker, MIN(dd) AS max_dd, COUNT(*) AS n_obs
+            FROM (
+                SELECT ticker, ROUND(close / MAX(close) OVER (
+                           PARTITION BY ticker ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1,
+                       6) AS dd
+                FROM tick_prices
+            )
+            GROUP BY ticker
+            ORDER BY ticker
+        """, TICK_PRICES_CTE),
+        "ema": with_domain("""
+            SELECT ticker, CAST(len(lst) AS INTEGER) AS n_obs,
+                   ROUND(list_reduce(lst,
+                         (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc),
+                         6) AS ema
+            FROM (SELECT ticker, list(close ORDER BY ts) AS lst
+                  FROM tick_prices GROUP BY ticker)
+            ORDER BY ticker
+        """, TICK_PRICES_CTE),
+        "vwap": with_domain("""
+            SELECT ticker, d,
+                   ROUND(CAST(pv AS DOUBLE) / CAST(v AS DOUBLE), 6) AS vwap,
+                   CAST(v AS DOUBLE) AS volume
+            FROM (
+                SELECT ticker, CAST(ts AS DATE) AS d,
+                       SUM(CAST(price*qty AS DECIMAL(38,10))) AS pv,
+                       SUM(CAST(qty AS DECIMAL(38,10))) AS v
+                FROM trades GROUP BY 1, 2
+            )
+        """, TRADES_CTE),
+        "rolling_beta": with_domain(f"""
+            , rets AS ({_RETS_SQL}),
+            bench AS (SELECT ts, ret AS bench_ret FROM rets
+                      WHERE ticker = 'click'),
+            j AS (SELECT r.ticker, r.ts, r.ret, b.bench_ret
+                  FROM rets r JOIN bench b ON r.ts = b.ts)
+            SELECT ticker, ts,
+                   CASE WHEN cnt >= 2 AND denom <> 0 THEN
+                        ROUND((cnt*sxy - sx*sy) / denom, 6)
+                   END AS beta
+            FROM (
+                SELECT ticker, ts,
+                       CAST(SUM(CAST(bench_ret AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(ret AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(bench_ret*ret AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sxy,
+                       CAST(COUNT(ret) OVER w AS DOUBLE) AS cnt,
+                       CAST(COUNT(ret) OVER w AS DOUBLE)
+                           * CAST(SUM(CAST(bench_ret*bench_ret AS DECIMAL(38,10))) OVER w AS DOUBLE)
+                           - CAST(SUM(CAST(bench_ret AS DECIMAL(38,10))) OVER w AS DOUBLE)
+                           * CAST(SUM(CAST(bench_ret AS DECIMAL(38,10))) OVER w AS DOUBLE) AS denom
+                FROM j
+                WINDOW w AS (PARTITION BY ticker ORDER BY ts
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            )
+        """, TICK_PRICES_CTE),
+        "corr_matrix": with_domain(f"""
+            , rets AS ({_RETS_SQL}),
+            j AS (SELECT a.ticker AS t1, b.ticker AS t2,
+                         a.ret AS x, b.ret AS y
+                  FROM rets a JOIN rets b
+                    ON a.ts = b.ts AND a.ticker < b.ticker),
+            agg AS (
+                SELECT t1, t2,
+                       CAST(COUNT(*) AS DOUBLE) AS cnt,
+                       CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(x*y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(x*x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(y*y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+                FROM j GROUP BY t1, t2
+            )
+            SELECT t1, t2, CAST(cnt AS BIGINT) AS n_obs,
+                   CASE WHEN cnt >= 2 AND (cnt*sxx - sx*sx) > 0
+                             AND (cnt*syy - sy*sy) > 0 THEN
+                        ROUND((cnt*sxy - sx*sy)
+                              / SQRT((cnt*sxx - sx*sx) * (cnt*syy - sy*sy)), 6)
+                   END AS corr
+            FROM agg
+            ORDER BY t1, t2
+        """, TICK_PRICES_CTE),
         "stale_parts": """
             SELECT p_brand, COUNT(*) AS n_stale, MIN(p_retailprice) AS min_price
             FROM part p
