@@ -651,6 +651,14 @@ def _q_corr_matrix(spark, sf_dir):
     return FIN.corr_matrix(derive.tick_prices(spark, sf_dir))
 
 
+def _q_pq_codes(spark, sf_dir):
+    return SIM.pq_codes(_emb(spark, sf_dir))
+
+
+def _q_pq_topk(spark, sf_dir):
+    return SIM.pq_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order encodes verification priority: the driver only
     records external correctness rows for the FIRST 50 declared queries
@@ -733,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap": _q_vwap,
         "rolling_beta": _q_rolling_beta,
         "corr_matrix": _q_corr_matrix,
+        "pq_codes": _q_pq_codes,
+        "pq_topk": _q_pq_topk,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
         "stats_summary": _q_stats_summary,
@@ -798,6 +808,31 @@ _RETS_SQL = """
                             ELSE close / LAG(close) OVER v - 1 END AS ret
                 FROM tick_prices
                 WINDOW v AS (PARTITION BY ticker ORDER BY ts)
+"""
+
+
+# PQ code assignment — SQL twin of similarity.pq_codes: subspace
+# m = (pos-1) // PQ_SUBDIM, exact decimal ‖x_m − c_m‖² per centroid,
+# argmin with ties to the lowest centroid id. Appended after _PE_SQL.
+_PQ_CODES_SQL = f"""
+    , cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval
+              FROM pe WHERE vec_id < {SIM.PQ_K}),
+    dists AS (
+        SELECT pe.vec_id,
+               CAST((pe.pos - 1) // {SIM.PQ_SUBDIM} AS INTEGER) AS m,
+               cid,
+               SUM(CAST((val - cval) * (val - cval)
+                        AS DECIMAL(38,10))) AS dist
+        FROM pe JOIN cpe ON pe.pos = cpe.cpos
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, cid AS code
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY dist ASC, cid ASC) AS rn
+              FROM dists)
+        WHERE rn = 1
+    )
 """
 
 
@@ -2042,6 +2077,24 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             ORDER BY t1, t2
         """, TICK_PRICES_CTE),
+        "pq_codes": _PE_SQL + _PQ_CODES_SQL + f"""
+            SELECT vec_id,
+                   {', '.join(f'CAST(MAX(CASE WHEN m = {m} THEN code END) AS INTEGER) AS code_{m}' for m in range(SIM.PQ_M))},
+                   CAST({' + '.join(f'{SIM.PQ_K ** m} * MAX(CASE WHEN m = {m} THEN code END)' for m in range(SIM.PQ_M))}
+                        AS BIGINT) AS packed_code
+            FROM codes GROUP BY vec_id
+        """,
+        "pq_topk": _PE_SQL + _PQ_CODES_SQL + f"""
+            , qd AS (SELECT m, cid, dist FROM dists WHERE vec_id = 0),
+            adc AS (
+                SELECT c.vec_id, SUM(q.dist) AS du
+                FROM codes c JOIN qd q ON q.m = c.m AND q.cid = c.code
+                WHERE c.vec_id <> 0
+                GROUP BY 1
+            )
+            SELECT vec_id, ROUND(CAST(du AS DOUBLE), 6) AS adc_dist
+            FROM adc ORDER BY du ASC, vec_id ASC LIMIT 10
+        """,
         "stale_parts": """
             SELECT p_brand, COUNT(*) AS n_stale, MIN(p_retailprice) AS min_price
             FROM part p

@@ -424,3 +424,103 @@ def embedding_near_dup_verified(emb: DataFrame, threshold: float = 0.9,
     return (pairs.join(va, "vec_a").join(vb, "vec_b")
             .select("vec_a", "vec_b", cos.alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression half of a
+# large-scale ANN index (IVF-PQ). Each 64-dim vector is cut into
+# PQ_M subvectors; each subvector is replaced by the id of its
+# nearest codebook centroid, so a vector stores as PQ_M small ints
+# instead of 64 floats (16× compression here; 32-64× in production
+# codebooks). Queries score against codes with an asymmetric
+# distance computation (ADC): one tiny lookup table of
+# query-to-centroid distances per subspace, then a per-row sum of
+# PQ_M table entries — no float math per candidate at all.
+#
+# Scale shape: code assignment is a broadcast (codebook) + a
+# shuffle-free map; ADC is a second 1-row broadcast (the lookup
+# table) + a shuffle-free map + TakeOrderedAndProject. Nothing here
+# grows with corpus size except the linear scan itself, which IVF
+# (ivf_topk) already bounds to a cell subset.
+#
+# Exactness: distances accumulate as BIGINT 1e-10 units (see
+# _agg_units) so comparisons are integer-exact and the argmin /
+# top-k order is identical in any engine.
+PQ_M = 4                    # subspaces
+PQ_SUBDIM = 16              # dims per subspace (64 / PQ_M)
+PQ_K = 4                    # centroids per subspace codebook
+
+
+def _pq_dist_units_sql(m: int, a: str, b: str) -> str:
+    """SQL: ‖a_m − b_m‖² of subspace m in exact 1e-10 units (BIGINT).
+    Per-element (a−b)² is plain DOUBLE (identical in any engine);
+    each square is snapped to DECIMAL(28,10) and summed as integer
+    units."""
+    s, w = m * PQ_SUBDIM + 1, PQ_SUBDIM
+    return _agg_units(
+        f"zip_with(slice({a}, {s}, {w}), slice({b}, {s}, {w}), "
+        f"(a, b) -> CAST(CAST("
+        f"(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        f" * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        f" AS DECIMAL(28,10)) * {_UNITS} AS BIGINT))")
+
+
+def _argmin_code(m: int, k: int):
+    """argmin over du_{m}_0..du_{m}_{k-1} (exact BIGINTs), ties to the
+    LOWEST centroid id — same tie rule as _argmax_cell."""
+    best = F.least(*[F.col(f"du_{m}_{j}") for j in range(k)])
+    code = F.lit(0)
+    for j in reversed(range(k)):
+        code = F.when(F.col(f"du_{m}_{j}") == best, F.lit(j)).otherwise(code)
+    return code
+
+
+def pq_codes(emb: DataFrame, n_codes: int = PQ_K) -> DataFrame:
+    """PQ encode every vector: code_m = nearest codebook centroid of
+    subspace m. Codebook = subvectors of the first `n_codes` vectors
+    (deterministic stand-in for a trained codebook — per-subspace
+    kmeans_step would train it; the assignment kernel is what's
+    exercised here). One broadcast + shuffle-free map."""
+    base = _spread(emb).crossJoin(F.broadcast(_centroids_row(emb, n_codes)))
+    with_d = base.select("vec_id", "embedding", *[
+        F.expr(_pq_dist_units_sql(m, "embedding", f"_c{j}"))
+         .alias(f"du_{m}_{j}")
+        for m in range(PQ_M) for j in range(n_codes)])
+    code_cols = [_argmin_code(m, n_codes).alias(f"code_{m}")
+                 for m in range(PQ_M)]
+    packed = None
+    for m in range(PQ_M):
+        term = _argmin_code(m, n_codes).cast("bigint") * (n_codes ** m)
+        packed = term if packed is None else packed + term
+    return with_d.select("vec_id", *code_cols,
+                         packed.alias("packed_code"))
+
+
+def pq_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+            n_codes: int = PQ_K) -> DataFrame:
+    """ADC top-k: approx dist(q, x) = Σ_m lut[m][code_m(x)], where
+    lut holds the exact query-to-centroid subspace distances. The
+    lut is a 1-row broadcast; scoring is PQ_M integer CASE lookups +
+    adds per row; the cut is TakeOrderedAndProject on the exact
+    integer total (ties → vec_id)."""
+    q = (emb.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("_q")))
+    lut = (q.crossJoin(F.broadcast(_centroids_row(emb, n_codes)))
+           .select(*[F.expr(_pq_dist_units_sql(m, "_q", f"_c{j}"))
+                     .alias(f"qd_{m}_{j}")
+                     for m in range(PQ_M) for j in range(n_codes)]))
+    codes = pq_codes(emb, n_codes).filter(F.col("vec_id") != query_vec_id)
+    scored = codes.crossJoin(F.broadcast(lut))
+    total = None
+    for m in range(PQ_M):
+        pick = F.lit(None).cast("bigint")
+        for j in reversed(range(n_codes)):
+            pick = F.when(F.col(f"code_{m}") == j,
+                          F.col(f"qd_{m}_{j}")).otherwise(pick)
+        total = pick if total is None else total + pick
+    return (scored
+            .select("vec_id", total.alias("_du"),
+                    F.round(total.cast("double") / 1e10, 6).alias("adc_dist"))
+            .orderBy(F.asc("_du"), F.asc("vec_id"))   # exact-integer order
+            .limit(k)
+            .drop("_du"))
