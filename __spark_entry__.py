@@ -659,6 +659,14 @@ def _q_pq_topk(spark, sf_dir):
     return SIM.pq_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def _q_multi_rollup(spark, sf_dir):
+    return SE.multi_rollup(read_table(spark, sf_dir, "events"))
+
+
+def _q_median_order_value(spark, sf_dir):
+    return WH.median_order_value(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order encodes verification priority: the driver only
     records external correctness rows for the FIRST 50 declared queries
@@ -743,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": _q_corr_matrix,
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
+        "multi_rollup": _q_multi_rollup,
+        "median_order_value": _q_median_order_value,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
         "stats_summary": _q_stats_summary,
@@ -2083,6 +2093,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST({' + '.join(f'{SIM.PQ_K ** m} * MAX(CASE WHEN m = {m} THEN code END)' for m in range(SIM.PQ_M))}
                         AS BIGINT) AS packed_code
             FROM codes GROUP BY vec_id
+        """,
+        "multi_rollup": """
+            SELECT event_type, month_d, day_d, hour_ts,
+                   CASE WHEN hour_ts IS NOT NULL THEN 'hour'
+                        WHEN day_d IS NOT NULL THEN 'day'
+                        WHEN month_d IS NOT NULL THEN 'month'
+                        ELSE 'type' END AS lvl,
+                   n_events, sum_value
+            FROM (
+                SELECT event_type,
+                       CAST(date_trunc('month', ts) AS DATE) AS month_d,
+                       CAST(ts AS DATE) AS day_d,
+                       date_trunc('hour', ts) AS hour_ts,
+                       COUNT(*) AS n_events,
+                       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2)
+                            AS DOUBLE) AS sum_value
+                FROM events
+                GROUP BY event_type, ROLLUP(month_d, day_d, hour_ts)
+            )
+        """,
+        "median_order_value": """
+            WITH ranked AS (
+                SELECT o_orderpriority, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS rn,
+                       COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+                FROM orders
+            )
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+                       / COUNT(*) AS median_value,
+                   MAX(cnt) AS n_orders
+            FROM ranked
+            WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "pq_topk": _PE_SQL + _PQ_CODES_SQL + f"""
             , qd AS (SELECT m, cid, dist FROM dists WHERE vec_id = 0),

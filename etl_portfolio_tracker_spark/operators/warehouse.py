@@ -14,9 +14,9 @@ flip a boundary row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..derive import dsum
+from ..derive import DEC, dsum
 from ..io import read_table
 
 def _rev():
@@ -217,3 +217,28 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(dsum(F.col("c_acctbal")), 2).cast("double")
                   .alias("totacctbal"))
             .orderBy("c_nationkey"))
+
+
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median of o_totalprice per order priority — the
+    row_number formulation ((n+1)//2 and (n+2)//2 picked, averaged),
+    which is engine-portable where percentile()/quantile_cont
+    interpolation rules are not. One shuffle for the per-key sort;
+    the average of the two middles goes through the decimal-sum rule.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice",
+                                                 "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            W.partitionBy("o_orderpriority")).alias("cnt"))
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2)) |
+        (F.col("rn") == F.floor((F.col("cnt") + 2) / 2)))
+    return (mid.groupBy("o_orderpriority")
+            .agg((F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+                  / F.count(F.lit(1))).alias("median_value"),
+                 F.max("cnt").alias("n_orders"))
+            .orderBy("o_orderpriority"))
