@@ -667,6 +667,15 @@ def _q_median_order_value(spark, sf_dir):
     return WH.median_order_value(spark, sf_dir)
 
 
+def _q_value_outliers(spark, sf_dir):
+    return SE.value_outliers(read_table(spark, sf_dir, "events"))
+
+
+def _q_ivfpq_topk(spark, sf_dir):
+    return SIM.ivfpq_topk(_emb(spark, sf_dir), query_vec_id=0,
+                          k=10, nprobe=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order encodes verification priority: the driver only
     records external correctness rows for the FIRST 50 declared queries
@@ -753,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "multi_rollup": _q_multi_rollup,
         "median_order_value": _q_median_order_value,
+        "value_outliers": _q_value_outliers,
+        "ivfpq_topk": _q_ivfpq_topk,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
         "stats_summary": _q_stats_summary,
@@ -2129,6 +2140,62 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "value_outliers": """
+            WITH stats AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS DOUBLE) AS cnt,
+                       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sv,
+                       CAST(SUM(CAST(value*value AS DECIMAL(38,10))) AS DOUBLE) AS sv2
+                FROM events GROUP BY 1
+            )
+            SELECT event_type, COUNT(*) AS n_outliers,
+                   ROUND(MIN((value - sv/cnt)
+                             / SQRT((sv2 - sv*sv/cnt)/(cnt-1))), 6) AS min_z,
+                   ROUND(MAX((value - sv/cnt)
+                             / SQRT((sv2 - sv*sv/cnt)/(cnt-1))), 6) AS max_z
+            FROM events JOIN stats USING (event_type)
+            WHERE ABS((value - sv/cnt)
+                      / SQRT((sv2 - sv*sv/cnt)/(cnt-1))) > 3.0
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "ivfpq_topk": _PE_SQL + _PQ_CODES_SQL + f"""
+            , c8 AS (SELECT vec_id AS ccid, pos AS cpos, val AS cval
+                     FROM pe WHERE vec_id < {SIM.N_IVF_CELLS}),
+            cdots AS (
+                SELECT pe.vec_id, ccid,
+                       CAST(SUM(CAST(val * cval AS DECIMAL(38,10)))
+                            AS DOUBLE) AS dot
+                FROM pe JOIN c8 ON pe.pos = c8.cpos
+                GROUP BY 1, 2
+            ),
+            assign AS (
+                SELECT vec_id, CAST(ccid AS INTEGER) AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, ccid ASC) AS rn
+                      FROM cdots)
+                WHERE rn = 1
+            ),
+            probe AS (
+                SELECT CAST(ccid AS INTEGER) AS cell
+                FROM (SELECT ccid, row_number() OVER (ORDER BY dot DESC,
+                                                      ccid ASC) AS rn
+                      FROM cdots WHERE vec_id = 0)
+                WHERE rn <= 2
+            ),
+            qd AS (SELECT m, cid, dist FROM dists WHERE vec_id = 0),
+            adc AS (
+                SELECT c.vec_id, a.cell, SUM(q.dist) AS du
+                FROM codes c
+                JOIN assign a USING (vec_id)
+                JOIN probe p ON p.cell = a.cell
+                JOIN qd q ON q.m = c.m AND q.cid = c.code
+                WHERE c.vec_id <> 0
+                GROUP BY 1, 2
+            )
+            SELECT vec_id, cell, ROUND(CAST(du AS DOUBLE), 6) AS adc_dist
+            FROM adc ORDER BY du ASC, vec_id ASC LIMIT 10
         """,
         "pq_topk": _PE_SQL + _PQ_CODES_SQL + f"""
             , qd AS (SELECT m, cid, dist FROM dists WHERE vec_id = 0),

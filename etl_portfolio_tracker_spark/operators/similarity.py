@@ -524,3 +524,70 @@ def pq_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
             .orderBy(F.asc("_du"), F.asc("vec_id"))   # exact-integer order
             .limit(k)
             .drop("_du"))
+
+
+def ivfpq_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+               nprobe: int = 2, n_cells: int = N_IVF_CELLS,
+               n_codes: int = PQ_K) -> DataFrame:
+    """IVF-PQ: the composed large-scale ANN index — coarse quantizer
+    restricts the scan to the query's `nprobe` nearest cells, PQ/ADC
+    scores what's left. This is the plan shape of a production
+    billion-vector index (FAISS IVFPQ): at 100 TB the coarse cells
+    are the partition key of the stored codes, so a probe touches
+    nprobe/n_cells of the data; here both quantizers evaluate in ONE
+    row-local projection over one scan (coarse centroids + codebook +
+    query lookup table are all broadcasts), so the only many-row
+    operator after the scan is TakeOrderedAndProject.
+
+    Exactness: cell choice, probe choice, codes, and ADC totals all
+    reduce to exact integer-unit comparisons (ties → lowest id), so
+    the result is engine-reproducible.
+    """
+    coarse = F.broadcast(_centroids_row(emb, n_cells))
+    q = (emb.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("_q")))
+    # query's nprobe nearest coarse cells (1×n_cells — driver-sized)
+    qdots = _with_centroid_dots(q.crossJoin(coarse), n_cells, vec_col="_q")
+    cells = (qdots.select(F.explode(F.array(*[
+                 F.struct(F.lit(i).alias("cell"),
+                          F.col(f"dot_{i}").alias("dot"))
+                 for i in range(n_cells)])).alias("s"))
+             .select("s.cell", "s.dot")
+             .orderBy(F.desc("dot"), F.asc("cell"))
+             .limit(nprobe).select("cell"))
+    # query→codebook subspace distance lookup table (1 row)
+    lut = (q.crossJoin(F.broadcast(_centroids_row(emb, n_codes)))
+           .select(*[F.expr(_pq_dist_units_sql(m, "_q", f"_c{j}"))
+                     .alias(f"qd_{m}_{j}")
+                     for m in range(PQ_M) for j in range(n_codes)]))
+    # one projection: coarse cell + PQ codes, row-local
+    base = (_spread(emb)
+            .crossJoin(coarse)
+            .crossJoin(F.broadcast(_centroids_row(emb, n_codes)
+                                   .select(*[F.col(f"_c{j}").alias(f"_p{j}")
+                                             for j in range(n_codes)]))))
+    with_all = _with_centroid_dots(base, n_cells).select(
+        "vec_id", _argmax_cell(n_cells).alias("cell"), *[
+            F.expr(_pq_dist_units_sql(m, "embedding", f"_p{j}"))
+             .alias(f"du_{m}_{j}")
+            for m in range(PQ_M) for j in range(n_codes)])
+    coded = with_all.select(
+        "vec_id", "cell",
+        *[_argmin_code(m, n_codes).alias(f"code_{m}") for m in range(PQ_M)])
+    scored = (coded
+              .join(F.broadcast(cells), "cell")          # probe filter
+              .filter(F.col("vec_id") != query_vec_id)
+              .crossJoin(F.broadcast(lut)))
+    total = None
+    for m in range(PQ_M):
+        pick = F.lit(None).cast("bigint")
+        for j in reversed(range(n_codes)):
+            pick = F.when(F.col(f"code_{m}") == j,
+                          F.col(f"qd_{m}_{j}")).otherwise(pick)
+        total = pick if total is None else total + pick
+    return (scored
+            .select("vec_id", "cell", total.alias("_du"),
+                    F.round(total.cast("double") / 1e10, 6).alias("adc_dist"))
+            .orderBy(F.asc("_du"), F.asc("vec_id"))
+            .limit(k)
+            .drop("_du"))

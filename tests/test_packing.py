@@ -1,0 +1,55 @@
+"""Unit tests for packing.pack_sequences / chunk_dedup semantics."""
+
+import pytest
+
+from etl_portfolio_tracker_spark.operators import packing as PK
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+def test_pack_sequences_lays_docs_head_to_tail(spark):
+    texts = ["a " * 100, "b " * 60, "c " * 50]   # 100, 60, 50 tokens
+    out = (PK.pack_sequences(_docs(spark, texts), budget=128, n_bins=1)
+           .orderBy("doc_id").toPandas().set_index("doc_id"))
+    # order within the bin: by n_tokens desc -> doc0(100), doc1(60), doc2(50)
+    # stream offsets: 0, 100, 160 -> seqs 0, 0, 1; offsets 0, 100, 32
+    assert list(out["n_tokens"]) == [100, 60, 50]
+    assert list(out["seq"]) == [0, 0, 1]
+    assert list(out["offset"]) == [0, 100, 32]
+
+
+def test_pack_sequences_respects_bins(spark):
+    texts = ["x " * 10] * 8
+    out = PK.pack_sequences(_docs(spark, texts), budget=64, n_bins=4) \
+            .toPandas()
+    assert set(out["bin"]) == {0, 1, 2, 3}
+    assert (out["bin"] == out["doc_id"] % 4).all()
+
+
+def test_chunk_dedup_drops_repeats_keeps_first(spark):
+    # doc0 and doc1 share an identical 4-token chunk; doc0 wins
+    texts = ["one two three four five six seven eight",
+             "one two three four nine ten eleven twelve"]
+    out = (PK.chunk_dedup(_docs(spark, texts), chunk_tokens=4)
+           .orderBy("doc_id").toPandas().set_index("doc_id"))
+    assert out.loc[0, "n_chunks"] == 2 and out.loc[0, "n_kept"] == 2
+    assert out.loc[1, "n_chunks"] == 2 and out.loc[1, "n_kept"] == 1
+    # kept_chars counts only surviving chunk text
+    assert out.loc[1, "kept_chars"] == len("nine ten eleven twelve")
+
+
+def test_chunk_dedup_identical_docs_collapse(spark):
+    texts = ["same words in every doc here now ok"] * 3
+    out = PK.chunk_dedup(_docs(spark, texts), chunk_tokens=4).toPandas()
+    assert out["n_kept"].sum() == out[out.doc_id == 0]["n_chunks"].iloc[0]
+
+
+def test_pack_total_tokens_conserved(spark):
+    texts = ["w " * n for n in (5, 17, 90, 33, 260, 7)]
+    df = PK.pack_sequences(_docs(spark, texts), budget=64, n_bins=2)
+    got = df.groupBy().sum("n_tokens").first()[0]
+    assert got == 5 + 17 + 90 + 33 + 260 + 7

@@ -133,6 +133,17 @@ def main() -> None:
     bench("qty_band 1x", lambda: qty_fn(li1))
     bench("qty_band 10x", lambda: qty_fn(li10))
 
+    # round-2 additions: sequence packing, chunk dedup, PQ — all
+    # should scale ~linearly (packing: one shuffle on the bin key;
+    # chunk_dedup: one shuffle on chunk text; PQ: broadcast + map)
+    from etl_portfolio_tracker_spark.operators import packing as PK
+    bench("pack_sequences 1x", lambda: PK.pack_sequences(docs1))
+    bench("pack_sequences 10x", lambda: PK.pack_sequences(docs10))
+    bench("chunk_dedup 1x", lambda: PK.chunk_dedup(docs1))
+    bench("chunk_dedup 10x", lambda: PK.chunk_dedup(docs10))
+    bench("pq_codes 1x", lambda: SIM.pq_codes(emb1))
+    bench("pq_codes 10x", lambda: SIM.pq_codes(emb10))
+
 
 if __name__ == "__main__":
     main()
