@@ -676,6 +676,10 @@ def _q_ivfpq_topk(spark, sf_dir):
                           k=10, nprobe=2)
 
 
+def _q_bigram_lm_score(spark, sf_dir):
+    return TX.bigram_lm_score(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order encodes verification priority: the driver only
     records external correctness rows for the FIRST 50 declared queries
@@ -764,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_order_value": _q_median_order_value,
         "value_outliers": _q_value_outliers,
         "ivfpq_topk": _q_ivfpq_topk,
+        "bigram_lm_score": _q_bigram_lm_score,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
         "stats_summary": _q_stats_summary,
@@ -2159,6 +2164,30 @@ def oracle_sql() -> dict[str, str]:
                       / SQRT((sv2 - sv*sv/cnt)/(cnt-1))) > 3.0
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "bigram_lm_score": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+                FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+            ),
+            pc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+            hc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM bg),
+            model AS (
+                SELECT w1, w2,
+                       LN(CAST(c12 + 1 AS DOUBLE)
+                          / CAST(c1 + vocab AS DOUBLE)) AS lp
+                FROM pc JOIN hc USING (w1) CROSS JOIN v
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_logprob
+            FROM bg JOIN model USING (w1, w2)
+            GROUP BY doc_id
         """,
         "ivfpq_topk": _PE_SQL + _PQ_CODES_SQL + f"""
             , c8 AS (SELECT vec_id AS ccid, pos AS cpos, val AS cval

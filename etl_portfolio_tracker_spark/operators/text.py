@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..derive import DEC
+
 # naive stopword lists per language for the heuristic language-ID
 # (the classic n-gram/stopword-hit approach, cf. McNamee 2005 "Language
 # identification: a solved problem"); deterministic and SQL-expressible.
@@ -294,3 +296,58 @@ def repetition_score(docs: DataFrame) -> DataFrame:
         nd.cast("long").alias("n_distinct"),
         F.when(nb > 0, F.lit(1.0) - nd.cast("double") / nb)
          .alias("dup_frac"))
+
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    statistical-quality filter of a pre-training pipeline (docs whose
+    token transitions are improbable under the corpus model are
+    boilerplate/garble candidates).
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)   [add-one
+    smoothing, V = distinct first-token vocabulary]; score = mean
+    ln P over the doc's bigrams.
+
+    Two aggregation passes over the exploded bigram stream (count
+    model, then score join) — both shuffle on token keys, which is
+    how a 100 TB corpus trains a count model (the model is itself too
+    big to broadcast; the score join co-shuffles doc bigrams with
+    model rows). ln() of integer-count ratios is IEEE-deterministic;
+    the per-doc mean goes through the decimal-sum rule.
+    """
+    bg = (docs.select("doc_id",
+                      F.explode(_bigrams_col()).alias("bg"))
+          .select("doc_id", F.col("bg.w1").alias("w1"),
+                  F.col("bg.w2").alias("w2")))
+    pair_counts = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"))
+    # c(w1,·) and V both derive from the pair counts — one shuffle
+    # over the exploded stream builds the whole model, and the vocab
+    # count (model state, O(1) result) reads the pre-aggregated side
+    head_counts = pair_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1"))
+    vocab = head_counts.count()
+    model = (pair_counts.join(head_counts, "w1")
+             .select("w1", "w2",
+                     F.log((F.col("c12") + 1).cast("double")
+                           / (F.col("c1") + F.lit(vocab)).cast("double"))
+                      .alias("lp")))
+    scored = (bg.join(model, ["w1", "w2"])
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   (F.sum(F.col("lp").cast(DEC)).cast("double")
+                    / F.count(F.lit(1))).alias("avg_logprob")))
+    return scored.select("doc_id", "n_bigrams",
+                         F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+def _bigrams_col(text_col: str = "text"):
+    """array<struct<w1,w2>> of adjacent token pairs of the normalized
+    token stream (row-local; empty for 1-token docs)."""
+    toks = F.split(_norm(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.when(F.size(toks) < 2, F.array().cast(
+        "array<struct<w1:string,w2:string>>")).otherwise(
+        F.transform(idx, lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"))))

@@ -53,3 +53,20 @@ def test_pack_total_tokens_conserved(spark):
     df = PK.pack_sequences(_docs(spark, texts), budget=64, n_bins=2)
     got = df.groupBy().sum("n_tokens").first()[0]
     assert got == 5 + 17 + 90 + 33 + 260 + 7
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    import math
+    from etl_portfolio_tracker_spark.operators import text as TX
+    # corpus: "a b a b" and "a c" ->
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1 ; c1: a=3, b=1 ; V=2
+    out = (TX.bigram_lm_score(_docs(spark, ["a b a b", "a c"]))
+           .orderBy("doc_id").toPandas().set_index("doc_id"))
+    p_ab = math.log((2 + 1) / (3 + 2))
+    p_ba = math.log((1 + 1) / (1 + 2))
+    p_ac = math.log((1 + 1) / (3 + 2))
+    assert out.loc[0, "n_bigrams"] == 3
+    assert out.loc[0, "avg_logprob"] == pytest.approx(
+        (2 * p_ab + p_ba) / 3, abs=1e-6)
+    assert out.loc[1, "n_bigrams"] == 1
+    assert out.loc[1, "avg_logprob"] == pytest.approx(p_ac, abs=1e-6)
