@@ -680,6 +680,14 @@ def _q_bigram_lm_score(spark, sf_dir):
     return TX.bigram_lm_score(_docs(spark, sf_dir))
 
 
+def _q_range_window_avg(spark, sf_dir):
+    return FIN.range_window_avg(_prices_subset(spark, sf_dir), days=7)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    return DD.stratified_sample(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order encodes verification priority: the driver only
     records external correctness rows for the FIRST 50 declared queries
@@ -769,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": _q_value_outliers,
         "ivfpq_topk": _q_ivfpq_topk,
         "bigram_lm_score": _q_bigram_lm_score,
+        "range_window_avg": _q_range_window_avg,
+        "stratified_sample": _q_stratified_sample,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
         "stats_summary": _q_stats_summary,
@@ -2165,6 +2175,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
             ORDER BY event_type
         """,
+        "stratified_sample": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END)
+                        AS BIGINT) AS kept_chars
+            FROM (
+                SELECT source, n_chars,
+                       (('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT
+                        % 10000) <
+                       (CASE WHEN CAST(regexp_replace(source, '[^0-9]', '', 'g')
+                                       AS INTEGER) % 2 = 0
+                             THEN 7500 ELSE 2500 END) AS kept
+                FROM documents
+            )
+            GROUP BY source
+            ORDER BY source
+        """,
+        "range_window_avg": with_domain(f"""
+            SELECT ticker, ts, close,
+                   CAST(SUM(CAST(close AS DECIMAL(38,10))) OVER w AS DOUBLE)
+                       / COUNT(close) OVER w AS avg_7d,
+                   COUNT(close) OVER w AS n_in_window
+            FROM prices
+            WHERE ticker IN ({", ".join(f"'P{i}'" for i in range(1, SPINE_MAX_PARTKEY + 1))})
+            WINDOW w AS (PARTITION BY ticker ORDER BY ts
+                         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                                   AND CURRENT ROW)
+        """, PRICES_CTE),
         "bigram_lm_score": f"""
             WITH toks AS (
                 SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l

@@ -406,3 +406,38 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
                 .otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return bitsums.select("doc_id", fp.alias("simhash"))
+
+
+SAMPLE_RATES_BP = {"even": 7500, "odd": 2500}   # basis points of 10000
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic per-source downsampling — the data-mixing step of
+    a pre-training pipeline (each source gets a target keep-rate; the
+    keep decision is a pure content-hash threshold, so re-runs,
+    engines, and partitionings all agree, unlike rand()-based
+    sampling).
+
+    keep ⇔ first-32-bits-of-md5('sample:' || doc_id) mod 10000 <
+    rate_bp(source); demo rates: even-numbered sources keep 75%,
+    odd-numbered 25%. Pure map + one rollup shuffle; emits per-source
+    survival stats (the mixing report).
+    """
+    u = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("sample:"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("bigint"),
+        F.lit(10000))
+    src_num = F.regexp_replace("source", "[^0-9]", "").cast("int")
+    rate_bp = F.when(src_num % 2 == 0,
+                     F.lit(SAMPLE_RATES_BP["even"])) \
+               .otherwise(F.lit(SAMPLE_RATES_BP["odd"]))
+    kept = (u < rate_bp)
+    return (docs.select("source", "n_chars", kept.alias("kept"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("kept"), 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.sum(F.when(F.col("kept"), F.col("n_chars"))
+                        .otherwise(F.lit(0))).alias("kept_chars"))
+            .orderBy("source"))

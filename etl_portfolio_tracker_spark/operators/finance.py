@@ -188,3 +188,25 @@ def corr_matrix(tick_prices: DataFrame) -> DataFrame:
     return (agg.select("t1", "t2", F.col("cnt").cast("bigint").alias("n_obs"),
                        corr.alias("corr"))
             .orderBy("t1", "t2"))
+
+
+def range_window_avg(prices: DataFrame, days: int = 7) -> DataFrame:
+    """Trailing `days`-day average close per ticker over a SPARSE
+    series — a RANGE frame keyed on calendar distance, not row count
+    (a ROWS frame silently widens its time span wherever dates are
+    missing; this one is exact over gaps).
+
+    Spark needs a numeric range key: `unix_date` (days since epoch)
+    makes the frame `RANGE BETWEEN days-1 PRECEDING AND CURRENT ROW`
+    in day units — the exact twin of DuckDB's
+    `RANGE BETWEEN INTERVAL n DAYS PRECEDING AND CURRENT ROW` over the
+    DATE column. Same single ticker-shuffle as every window here.
+    """
+    w = (W.partitionBy("ticker").orderBy(F.unix_date(F.col("ts")))
+         .rangeBetween(-(days - 1), W.currentRow))
+    s = F.sum(F.col("close").cast(DEC)).over(w).cast("double")
+    n = F.count("close").over(w)
+    return prices.select(
+        "ticker", "ts", "close",
+        (s / n).alias("avg_7d"),
+        n.alias("n_in_window"))
