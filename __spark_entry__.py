@@ -688,6 +688,18 @@ def _q_stratified_sample(spark, sf_dir):
     return DD.stratified_sample(_docs(spark, sf_dir))
 
 
+def _q_epoch_shuffle(spark, sf_dir):
+    return PK.epoch_shuffle(_docs(spark, sf_dir))
+
+
+def _q_token_budget_mix(spark, sf_dir):
+    return PK.token_budget_mix(_docs(spark, sf_dir))
+
+
+def _q_ann_recall(spark, sf_dir):
+    return SIM.ann_recall(_emb(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order encodes verification priority: the driver only
     records external correctness rows for the FIRST 50 declared queries
@@ -781,6 +793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
+        "epoch_shuffle": _q_epoch_shuffle,
+        "token_budget_mix": _q_token_budget_mix,
+        "ann_recall": _q_ann_recall,
         "stats_summary": _q_stats_summary,
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.
@@ -1130,7 +1145,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "sessionize": """
-            SELECT user_id, session_id,
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    MIN(ts) AS session_start, MAX(ts) AS session_end,
                    COUNT(*) AS n_events
             FROM (
@@ -1742,13 +1757,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "trade_validation": with_domain("""
             SELECT COUNT(*) AS n_rows,
-                   SUM(CASE WHEN "user" IS NULL OR trim("user") = '' THEN 1 ELSE 0 END) AS bad_user,
-                   SUM(CASE WHEN ticker IS NULL OR trim(ticker) = '' THEN 1 ELSE 0 END) AS bad_ticker,
-                   SUM(CASE WHEN upper(trim(side)) NOT IN ('BUY', 'SELL') THEN 1 ELSE 0 END) AS bad_side,
-                   SUM(CASE WHEN qty IS NULL OR qty <= 0 THEN 1 ELSE 0 END) AS bad_qty,
-                   SUM(CASE WHEN price IS NULL OR price <= 0 THEN 1 ELSE 0 END) AS bad_price,
-                   SUM(CASE WHEN fee IS NULL OR fee < 0 THEN 1 ELSE 0 END) AS bad_fee,
-                   SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS bad_ts
+                   CAST(SUM(CASE WHEN "user" IS NULL OR trim("user") = '' THEN 1 ELSE 0 END) AS BIGINT) AS bad_user,
+                   CAST(SUM(CASE WHEN ticker IS NULL OR trim(ticker) = '' THEN 1 ELSE 0 END) AS BIGINT) AS bad_ticker,
+                   CAST(SUM(CASE WHEN upper(trim(side)) NOT IN ('BUY', 'SELL') THEN 1 ELSE 0 END) AS BIGINT) AS bad_side,
+                   CAST(SUM(CASE WHEN qty IS NULL OR qty <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+                   CAST(SUM(CASE WHEN price IS NULL OR price <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+                   CAST(SUM(CASE WHEN fee IS NULL OR fee < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_fee,
+                   CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_ts
             FROM raw_trades
         """, RAW_TRADES_CTE),
         "oversell_guard": OVERSELL_SQL + """
@@ -1776,7 +1791,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM pe JOIN cpe ON pe.pos = cpe.cpos
                 GROUP BY 1, 2
             )
-            SELECT vec_id, cid AS cell
+            SELECT vec_id, CAST(cid AS INTEGER) AS cell
             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                                ORDER BY dot DESC, cid ASC) AS rn
                   FROM dots)
@@ -1798,7 +1813,7 @@ def oracle_sql() -> dict[str, str]:
                       FROM dots)
                 WHERE rn = 1
             )
-            SELECT cell, pos,
+            SELECT CAST(cell AS INTEGER) AS cell, CAST(pos AS INTEGER) AS pos,
                    ROUND(CAST(SUM(CAST(val AS DECIMAL(38,10))) AS DOUBLE)
                          / COUNT(*), 6) AS c_val,
                    COUNT(*) AS n_members
@@ -1951,7 +1966,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY tf DESC, df ASC, term ASC) AS rank
                 FROM tf JOIN df_ USING (term)
             )
-            SELECT doc_id, rank, term, tf, df,
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df,
                    (SELECT COUNT(*) FROM documents) AS n_docs
             FROM ranked WHERE rank <= 3
         """,
@@ -1966,7 +1981,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, doc_id, n_tokens,
                    CAST(FLOOR((cum - n_tokens) / {PK.PACK_BUDGET}.0)
                         AS BIGINT) AS seq,
-                   (cum - n_tokens) % {PK.PACK_BUDGET} AS "offset"
+                   CAST((cum - n_tokens) % {PK.PACK_BUDGET} AS BIGINT) AS "offset"
             FROM (
                 SELECT bin, doc_id, n_tokens,
                        SUM(n_tokens) OVER (PARTITION BY bin
@@ -2486,8 +2501,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shipmode_priority": """
             SELECT l_linestatus,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_linestatus
             ORDER BY l_linestatus
@@ -2500,5 +2515,107 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k)
             GROUP BY 1, 2
+        """,
+        "epoch_shuffle": f"""
+            SELECT doc_id, bucket,
+                   CAST(row_number() OVER (PARTITION BY bucket
+                                           ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM (
+                SELECT doc_id,
+                       md5('epoch{PK.EPOCH_SEED}:' || doc_id) AS h,
+                       ('0x' || substr(md5('epoch{PK.EPOCH_SEED}:' || doc_id), 1, 8))::BIGINT
+                           % {PK.EPOCH_BUCKETS} AS bucket
+                FROM documents
+            )
+        """,
+        "token_budget_mix": f"""
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END)
+                        AS BIGINT) AS kept_tokens
+            FROM (
+                SELECT source, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY n_tokens DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       <= {PK.MIX_TOKEN_BUDGET} AS kept
+                FROM (SELECT doc_id, source,
+                             LEN(string_split({_NORM_SQL}, ' ')) AS n_tokens
+                      FROM documents)
+            )
+            GROUP BY source
+            ORDER BY source
+        """,
+        "ann_recall": _PE_SQL + f"""
+            , norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10))) AS DOUBLE)) AS norm
+                FROM pe GROUP BY vec_id
+            ),
+            cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval
+                    FROM pe WHERE vec_id < {SIM.N_IVF_CELLS}),
+            cdots AS (
+                SELECT pe.vec_id, cid,
+                       CAST(SUM(CAST(val * cval AS DECIMAL(38,10))) AS DOUBLE) AS dot
+                FROM pe JOIN cpe ON pe.pos = cpe.cpos
+                GROUP BY 1, 2
+            ),
+            assign AS (
+                SELECT vec_id, cid AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY dot DESC, cid ASC) AS rn
+                      FROM cdots)
+                WHERE rn = 1
+            ),
+            qids AS (SELECT CAST(UNNEST([{", ".join(str(q) for q in SIM.ANN_RECALL_QIDS)}]) AS BIGINT) AS qid),
+            qpe AS (SELECT q.qid, pe.pos AS qpos, pe.val AS qval
+                    FROM pe JOIN qids q ON pe.vec_id = q.qid),
+            dots AS (
+                SELECT qid, pe.vec_id,
+                       CAST(SUM(CAST(val * qval AS DECIMAL(38,10))) AS DOUBLE) AS dot
+                FROM pe JOIN qpe ON pe.pos = qpe.qpos
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT d.qid, d.vec_id,
+                       ROUND(d.dot / (n.norm * qn.norm), 6) AS cos_sim,
+                       a.cell, qa.cell AS qcell
+                FROM dots d
+                JOIN norms n ON n.vec_id = d.vec_id
+                JOIN norms qn ON qn.vec_id = d.qid
+                JOIN assign a ON a.vec_id = d.vec_id
+                JOIN assign qa ON qa.vec_id = d.qid
+                WHERE d.vec_id <> d.qid
+            ),
+            exact AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id,
+                           row_number() OVER (PARTITION BY qid
+                                              ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                    FROM scored) WHERE rn <= {SIM.ANN_RECALL_K}
+            ),
+            ivf AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id,
+                           row_number() OVER (PARTITION BY qid
+                                              ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                    FROM scored WHERE cell = qcell) WHERE rn <= {SIM.ANN_RECALL_K}
+            ),
+            hits AS (SELECT e.qid, e.vec_id
+                     FROM exact e JOIN ivf i
+                       ON e.qid = i.qid AND e.vec_id = i.vec_id)
+            SELECT e.qid,
+                   CAST(e.n AS BIGINT) AS n_exact,
+                   CAST(COALESCE(i.n, 0) AS BIGINT) AS n_ivf,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit,
+                   ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE)
+                         / {float(SIM.ANN_RECALL_K)}, 6) AS recall
+            FROM (SELECT qid, COUNT(*) AS n FROM exact GROUP BY 1) e
+            LEFT JOIN (SELECT qid, COUNT(*) AS n FROM ivf GROUP BY 1) i USING (qid)
+            LEFT JOIN (SELECT qid, COUNT(*) AS n FROM hits GROUP BY 1) h USING (qid)
+            ORDER BY e.qid
         """,
     }

@@ -21,6 +21,13 @@ estimator, but bounded: the retry pass only touches the outliers, so
 total wall stays ~1.5× a single pass even when the host is loaded
 (an unconditional best-of-2 doubled exposure and could crawl past
 30 min under contention).
+
+Output contract: full per-query timings are written to
+BENCH_FULL.json; the printed one-line JSON keeps the headline fields
+plus as many per-query entries as fit under ~1.8 kB (failures and
+slowest queries first), because the harness records only the last
+2 kB of output — round 1's all-inline line was truncated there and
+recorded as unparseable.
 """
 
 from __future__ import annotations
@@ -67,17 +74,44 @@ def main() -> None:
             retry = time_one(name, qs[name])
             if retry >= 0:
                 timings[name] = min(timings[name], retry)
-    timings = {n: round(t, 3) for n, t in timings.items()}
+    timings = {n: round(t, 2) for n, t in timings.items()}
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
-        "metric": "total_query_wall_time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail goes to a file; the printed line must fit
+    # the harness's 2 kB tail capture (r1's ~2.4 kB line with all
+    # queries inline was truncated and recorded as unparseable).
+    full = {"metric": "total_query_wall_time", "value": total,
+            "unit": "sec", "queries": timings, "sf": sf_val}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
+
+    # Printed line: failures first (always visible), then slowest-first
+    # per-query entries while the serialized line stays under budget;
+    # the remainder is folded into other_sec/other_n.
+    budget = 1800
+    ordered = sorted(timings.items(), key=lambda kv: (kv[1] >= 0, -kv[1]))
+    line_qs: dict[str, float] = {}
+    out = {"metric": "total_query_wall_time", "value": total, "unit": "sec",
+           "queries": line_qs, "sf": sf_val, "n_queries": len(timings),
+           "other_sec": 0.0, "other_n": 0, "full": "BENCH_FULL.json"}
+    dumps = lambda: json.dumps(out, separators=(",", ":"))  # noqa: E731
+    for name, t in ordered:
+        line_qs[name] = t
+        if len(dumps()) > budget:
+            del line_qs[name]
+            break
+    rest = [t for n, t in timings.items() if n not in line_qs]
+    out["other_sec"] = round(sum(t for t in rest if t >= 0), 2)
+    out["other_n"] = len(rest)
+    print(dumps())
 
 
 if __name__ == "__main__":

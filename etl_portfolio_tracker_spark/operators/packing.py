@@ -96,3 +96,75 @@ def chunk_dedup(docs: DataFrame,
                   .alias("n_kept"),
                  F.sum(F.when(F.col("kept"), F.length("chunk"))
                         .otherwise(F.lit(0))).alias("kept_chars")))
+
+
+EPOCH_SEED = 17
+EPOCH_BUCKETS = 64
+
+
+def epoch_shuffle(docs: DataFrame, seed: int = EPOCH_SEED,
+                  n_buckets: int = EPOCH_BUCKETS) -> DataFrame:
+    """Deterministic global epoch shuffle — the "shuffle the corpus
+    per training epoch" step, without rand() (whose draw order depends
+    on partitioning, so re-runs and engines disagree).
+
+    Global stream position of a doc = (bucket, pos): bucket = top
+    hash bits mod n_buckets, pos = rank of the hash inside the
+    bucket.  Readers consume bucket-major.
+
+    Scale posture: an orderBy(hash) global sort would range-sample
+    and repartition the whole corpus; hash-bucketing gets the same
+    statistical shuffle with ONE hash-partition shuffle and
+    embarrassingly parallel in-bucket sorts — and the hash key is
+    uniform by construction, so no skew. n_buckets scales with the
+    cluster (100k buckets at 100 TB keeps each sort executor-sized).
+    """
+    h = F.md5(F.concat(F.lit(f"epoch{seed}:"),
+                       F.col("doc_id").cast("string")))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+                    F.lit(n_buckets))
+    w = W.partitionBy("bucket").orderBy("h", "doc_id")
+    return (docs.select("doc_id", h.alias("h"), bucket.alias("bucket"))
+            .select("doc_id", "bucket",
+                    (F.row_number().over(w) - 1).cast("bigint").alias("pos"))
+            )
+
+
+MIX_TOKEN_BUDGET = 800   # ≈ half of a demo source's token mass at sf0.01
+
+
+def token_budget_mix(docs: DataFrame,
+                     budget: int = MIX_TOKEN_BUDGET) -> DataFrame:
+    """Curriculum / data-mixing selection: each source contributes its
+    best documents until a per-source token budget is exhausted (the
+    "sample each source to a target token share" step of assembling a
+    pre-training mix).  "Best" here is the deterministic proxy
+    (n_tokens DESC, doc_id) — swap in quality_score's rank for a real
+    mix; the plan shape is identical.
+
+    A doc is kept while the running token total (including itself)
+    stays ≤ budget, so the boundary doc that would overflow is cut.
+    Emits the per-source mixing report.
+
+    Scale posture: one shuffle on source + an in-partition cumsum
+    window. A single giant source serializes its own cumsum — the
+    100 TB mitigation is two-pass: bucket the source by rank ranges
+    (range-partition on the order key), cumsum within buckets, then
+    add the tiny per-bucket offsets (O(buckets) broadcast), same as
+    any distributed prefix-sum.
+    """
+    from .text import _norm
+    toks = F.split(_norm(F.col("text")), " ")
+    base = docs.select(
+        "doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"))
+    w = (W.partitionBy("source").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    sel = base.select("source", "n_tokens", (cum <= budget).alias("kept"))
+    return (sel.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("kept"), 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.sum(F.when(F.col("kept"), F.col("n_tokens"))
+                        .otherwise(F.lit(0))).alias("kept_tokens"))
+            .orderBy("source"))

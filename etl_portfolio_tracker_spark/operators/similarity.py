@@ -34,7 +34,7 @@ keep every bucket and cell assignment engine-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 N_PLANES = 8
 N_IVF_CELLS = 8
@@ -591,3 +591,63 @@ def ivfpq_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
             .orderBy(F.asc("_du"), F.asc("vec_id"))
             .limit(k)
             .drop("_du"))
+
+
+ANN_RECALL_QIDS = (100, 200, 300)
+ANN_RECALL_K = 10
+
+
+def ann_recall(emb: DataFrame, query_ids=ANN_RECALL_QIDS,
+               k: int = ANN_RECALL_K,
+               n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """Recall@k of the IVF index against the exact scan, per query —
+    the index-quality gate a production ANN deployment monitors
+    (recall = |ivf_topk ∩ exact_topk| / k).
+
+    Plan: ONE scan computes every row's coarse cell (row-local argmax
+    over broadcast centroid dots); the |Q| query rows (with their own
+    cell + norm) broadcast onto it, so exact and IVF candidate scores
+    come out of the same |Q|·n-row map stage. Two qid-partitioned
+    row_number windows cut both top-k lists (the only shuffles —
+    O(|Q|·n) rows hashed on qid, |Q| tiny, rows thin), then the
+    overlap count is a self-join of two ≤k-row-per-qid frames.
+
+    Exactness: cos_sim is the usual integer-unit dot (bit-identical
+    across engines), ties → vec_id ASC, so both top-k cuts are
+    total-ordered and the recall fraction is deterministic.
+    """
+    qid_list = list(query_ids)
+    base = _spread(emb).crossJoin(F.broadcast(_centroids_row(emb, n_cells)))
+    withcell = _with_centroid_dots(base, n_cells).select(
+        "vec_id", "embedding", _argmax_cell(n_cells).alias("cell"))
+    qmeta = (withcell.filter(F.col("vec_id").isin(qid_list))
+             .select(F.col("vec_id").alias("qid"),
+                     F.col("embedding").alias("_q"),
+                     F.col("cell").alias("qcell"))
+             .withColumn("_qnorm", F.expr(_norm_sql("_q"))))
+    cand = (withcell.crossJoin(F.broadcast(qmeta))
+            .filter(F.col("vec_id") != F.col("qid")))
+    dot = F.expr(_dot_sql("embedding", "_q"))
+    norm = F.expr(_norm_sql("embedding"))
+    scored = cand.select(
+        "qid", "vec_id", "cell", "qcell",
+        F.round(dot / (norm * F.col("_qnorm")), 6).alias("cos_sim"))
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    exact = (scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= k).select("qid", "vec_id"))
+    ivf = (scored.filter(F.col("cell") == F.col("qcell"))
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= k).select("qid", "vec_id"))
+    hits = exact.join(ivf, ["qid", "vec_id"])
+    return (exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+            .join(ivf.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ivf")),
+                  "qid", "left")
+            .join(hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit")),
+                  "qid", "left")
+            .select("qid",
+                    "n_exact",
+                    F.coalesce("n_ivf", F.lit(0)).alias("n_ivf"),
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.round(F.coalesce("n_hit", F.lit(0)).cast("double")
+                            / F.lit(float(k)), 6).alias("recall"))
+            .orderBy("qid"))
