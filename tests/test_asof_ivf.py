@@ -39,3 +39,18 @@ def test_ivf_assign_and_topk(spark):
     ids = [r["vec_id"] for r in top]
     assert 2 in ids           # same cell, most similar
     assert 3 not in ids       # different cell → pruned (ANN trade-off)
+
+
+def test_ann_recall_bounds_and_self_consistency(spark):
+    import numpy as np
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = (SIM.ann_recall(emb, query_ids=(10, 20), k=5, n_cells=4)
+           .toPandas().set_index("qid"))
+    assert list(out.index) == [10, 20]
+    for q in (10, 20):
+        assert out.loc[q, "n_exact"] == 5
+        assert 0 <= out.loc[q, "n_hit"] <= min(out.loc[q, "n_ivf"], 5)
+        assert abs(out.loc[q, "recall"] - out.loc[q, "n_hit"] / 5.0) < 1e-9

@@ -70,3 +70,34 @@ def test_bigram_lm_score_hand_computed(spark):
         (2 * p_ab + p_ba) / 3, abs=1e-6)
     assert out.loc[1, "n_bigrams"] == 1
     assert out.loc[1, "avg_logprob"] == pytest.approx(p_ac, abs=1e-6)
+
+
+def test_epoch_shuffle_is_permutation_and_deterministic(spark):
+    texts = ["w"] * 50
+    a = PK.epoch_shuffle(_docs(spark, texts), n_buckets=4).toPandas()
+    b = PK.epoch_shuffle(_docs(spark, texts), n_buckets=4).toPandas()
+    # every doc exactly once; positions are 0..count-1 within a bucket
+    assert sorted(a["doc_id"]) == list(range(50))
+    for _, grp in a.groupby("bucket"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    # deterministic across runs (no rand())
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
+    # different seed -> different permutation (overwhelmingly)
+    c = PK.epoch_shuffle(_docs(spark, texts), seed=18, n_buckets=4).toPandas()
+    assert not a.sort_values("doc_id").reset_index(drop=True).equals(
+        c.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_token_budget_mix_cuts_at_budget(spark):
+    # source col required: build frame directly
+    rows = [(0, "a " * 10, "s1"), (1, "b " * 8, "s1"), (2, "c " * 5, "s1"),
+            (3, "d " * 3, "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = (PK.token_budget_mix(df, budget=18)
+           .toPandas().set_index("source"))
+    # s1 ranked 10, 8, 5: cum 10, 18, 23 -> keep first two (cum<=18)
+    assert out.loc["s1", "n_docs"] == 3
+    assert out.loc["s1", "n_kept"] == 2
+    assert out.loc["s1", "kept_tokens"] == 18
+    assert out.loc["s2", "n_kept"] == 1 and out.loc["s2", "kept_tokens"] == 3

@@ -26,6 +26,7 @@ from etl_portfolio_tracker_spark.io import read_table  # noqa: E402
 from etl_portfolio_tracker_spark.operators import dedup as DD  # noqa: E402
 from etl_portfolio_tracker_spark.operators import headline as HL  # noqa: E402
 from etl_portfolio_tracker_spark.operators import similarity as SIM  # noqa: E402
+from etl_portfolio_tracker_spark.operators import text as TX  # noqa: E402
 from etl_portfolio_tracker_spark.session import get_spark  # noqa: E402
 
 CONS = "tnsrhldcm"
@@ -33,12 +34,16 @@ CONS = "tnsrhldcm"
 
 def docs_10x(docs: DataFrame) -> DataFrame:
     n = docs.count()
+    extra = [c for c in docs.columns if c not in ("doc_id", "text")]
     parts = []
     for i in range(10):
         rot = CONS[i:] + CONS[:i]
         parts.append(docs.select(
             (F.col("doc_id") + i * n).alias("doc_id"),
-            F.translate("text", CONS, rot).alias("text")))
+            F.translate("text", CONS, rot).alias("text"),
+            # sources/lang survive unchanged: the 10× corpus means 10×
+            # docs per source, which is the realistic skew direction
+            *extra))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -143,6 +148,18 @@ def main() -> None:
     bench("chunk_dedup 10x", lambda: PK.chunk_dedup(docs10))
     bench("pq_codes 1x", lambda: SIM.pq_codes(emb1))
     bench("pq_codes 10x", lambda: SIM.pq_codes(emb10))
+
+    # round-2 late additions: epoch shuffle (hash-bucket + in-bucket
+    # rank — one uniform shuffle), token-budget mix (source shuffle +
+    # cumsum window), ANN recall (one scan + one qid window)
+    bench("epoch_shuffle 1x", lambda: PK.epoch_shuffle(docs1))
+    bench("epoch_shuffle 10x", lambda: PK.epoch_shuffle(docs10))
+    bench("token_budget_mix 1x", lambda: PK.token_budget_mix(docs1))
+    bench("token_budget_mix 10x", lambda: PK.token_budget_mix(docs10))
+    bench("ann_recall 1x", lambda: SIM.ann_recall(emb1))
+    bench("ann_recall 10x", lambda: SIM.ann_recall(emb10))
+    bench("bigram_lm_score 1x", lambda: TX.bigram_lm_score(docs1))
+    bench("bigram_lm_score 10x", lambda: TX.bigram_lm_score(docs10))
 
 
 if __name__ == "__main__":
