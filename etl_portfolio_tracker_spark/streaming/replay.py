@@ -22,6 +22,7 @@ the final batch's rejections per key — single-file inputs only.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +30,15 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import schemas
 from ..derive import trades_projection
 from .stateful import streaming_portfolio_state
+
+# State partition count for the replay queries. Stateful operators
+# ignore AQE, so every micro-batch pays per-partition state-store
+# commit overhead regardless of data volume; at replay scale that
+# overhead dominates (measured streaming_join_replay at sf0.1:
+# 32 partitions 22.5 s, 16 → 20.9 s, 8 → 11.2 s, 4 → 12.2 s —
+# same 143 754 rows). On a real cluster size this to state volume /
+# executor count instead; the knob is env-overridable for that.
+STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
@@ -44,12 +54,25 @@ def _run_to_completion(writer, name: str, timeout_s: int):
     """Start, await FULL termination, fail loudly on timeout — a
     timed-out availableNow query would otherwise silently hand back a
     PARTIAL memory sink (exactly the kind of flaky wrongness a
-    correctness gate must never produce)."""
-    q = writer.start()
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(
-            f"streaming replay {name!r} did not finish in {timeout_s}s")
+    correctness gate must never produce).
+
+    The session's shuffle-partition conf is pinned to STATE_PARTITIONS
+    for the duration of the start (a streaming query's state
+    partitioning is fixed from the session conf at start time) and
+    restored after — batch queries keep their own setting."""
+    spark = SparkSession.getActiveSession()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        # start() is async — micro-batch planning reads the conf after
+        # it returns, so the restore must wait for termination.
+        q = writer.start()
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streaming replay {name!r} did not finish in {timeout_s}s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def streaming_fold_replay(spark: SparkSession, sf_dir: str,

@@ -127,3 +127,37 @@ def test_repetition_score_pure_map_stage(spark):
     assert "MapInPandas" not in plan
     # one regexp split total, not one per transform element
     assert plan.count("regexp_replace") <= 1
+
+
+def test_ann_recall_single_window_no_smj(spark):
+    # the recall report must come out of ONE qid window + one agg —
+    # the joined-aggregates draft audited at 72 exchanges / 6 SMJ
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = SIM.ann_recall(read_table(spark, SF, "embeddings"))
+    plan = physical_plan(q)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 20
+
+
+def test_epoch_shuffle_one_uniform_shuffle(spark):
+    # one hash exchange on the bucket key; no global sort exchange
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import packing as PK
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    plan = physical_plan(PK.epoch_shuffle(read_table(spark, SF, "documents")))
+    assert plan.count("Exchange") <= 2      # bucket hash (+AQE read)
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_bigram_lm_score_no_per_element_resplit(spark):
+    # the token split must appear ONCE per branch in the plan, not
+    # inlined into the transform lambda (the O(len^2) trap)
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    plan = physical_plan(TX.bigram_lm_score(read_table(spark, SF, "documents")))
+    # one split per scan branch (model build + score) is fine; the
+    # inlined form shows split() nested inside transform(lambda...)
+    assert "transform(split(" not in plan.replace(" ", "")
