@@ -700,6 +700,18 @@ def _q_ann_recall(spark, sf_dir):
     return SIM.ann_recall(_emb(spark, sf_dir))
 
 
+def _q_vocab_coverage(spark, sf_dir):
+    return TX.vocab_coverage(_docs(spark, sf_dir))
+
+
+def _q_doc_length_histogram(spark, sf_dir):
+    return TX.doc_length_histogram(_docs(spark, sf_dir))
+
+
+def _q_source_divergence(spark, sf_dir):
+    return TX.source_divergence(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order encodes verification priority: the driver only
     records external correctness rows for the FIRST 50 declared queries
@@ -796,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "token_budget_mix": _q_token_budget_mix,
         "ann_recall": _q_ann_recall,
+        "vocab_coverage": _q_vocab_coverage,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "source_divergence": _q_source_divergence,
         "stats_summary": _q_stats_summary,
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.
@@ -2617,5 +2632,63 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT qid, COUNT(*) AS n FROM ivf GROUP BY 1) i USING (qid)
             LEFT JOIN (SELECT qid, COUNT(*) AS n FROM hits GROUP BY 1) h USING (qid)
             ORDER BY e.qid
+        """,
+        "vocab_coverage": f"""
+            WITH toks AS (
+                SELECT UNNEST(string_split({_NORM_SQL}, ' ')) AS token
+                FROM documents
+            ),
+            freq AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
+            total AS (SELECT COUNT(*) AS n FROM toks),
+            top AS (SELECT token, freq FROM freq
+                    ORDER BY freq DESC, token ASC LIMIT {TX.VOCAB_TOP_K})
+            SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+                        AS INTEGER) AS rank,
+                   token, freq,
+                   ROUND(CAST(SUM(freq) OVER (ORDER BY freq DESC, token ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS DOUBLE)
+                         / (SELECT n FROM total), 6) AS cum_frac
+            FROM top
+        """,
+        "doc_length_histogram": f"""
+            SELECT CAST(LENGTH(printf('%b', n_tokens)) - 1 AS INTEGER)
+                       AS len_bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   MIN(n_tokens) AS min_tokens,
+                   MAX(n_tokens) AS max_tokens
+            FROM (SELECT CAST(LEN(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+                             AS n_tokens
+                  FROM documents)
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "source_divergence": f"""
+            WITH tok AS (
+                SELECT source,
+                       UNNEST(string_split({_NORM_SQL}, ' ')) AS token
+                FROM documents
+            ),
+            by_src AS (SELECT source, token, COUNT(*) AS c_sw
+                       FROM tok GROUP BY 1, 2),
+            by_tok AS (SELECT token, COUNT(*) AS c_w FROM tok GROUP BY 1),
+            totals AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+                       FROM by_src GROUP BY 1),
+            grand AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM by_tok),
+            term AS (
+                SELECT s.source,
+                       (CAST(c_sw AS DOUBLE) / n_s)
+                       * LN(CAST(c_sw * n AS DOUBLE)
+                            / CAST(n_s * c_w AS DOUBLE)) AS t
+                FROM by_src s
+                JOIN by_tok USING (token)
+                JOIN totals USING (source)
+                CROSS JOIN grand
+            )
+            SELECT source, COUNT(*) AS vocab,
+                   CAST(ROUND(SUM(CAST(t AS DECIMAL(38,10))), 6) AS DOUBLE)
+                       AS kl_div
+            FROM term GROUP BY 1 ORDER BY 1
         """,
     }

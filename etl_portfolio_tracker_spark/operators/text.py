@@ -360,3 +360,100 @@ def _bigrams_col(toks_col: str):
         F.transform(idx, lambda i: F.struct(
             F.element_at(toks, i).alias("w1"),
             F.element_at(toks, i + 1).alias("w2"))))
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: the "know your data" reports every pre-training
+# run produces before filtering decisions — Zipf/vocabulary coverage,
+# length distribution, and per-source distribution shift.
+
+VOCAB_TOP_K = 100
+
+
+def vocab_coverage(docs: DataFrame, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Top-k corpus vocabulary with cumulative token-mass coverage
+    (the Zipf curve head: "the 100 most frequent tokens cover X% of
+    the stream"). rank ties break on the token string so the cut and
+    the cumulative order are total.
+
+    Scale shape: one token-key shuffle builds the frequency table;
+    the top-k cut is TakeOrderedAndProject (per-partition heaps —
+    never a global sort); the cumulative window then runs over
+    EXACTLY k rows (bounded by construction, not by data), and the
+    total-token count joins as a broadcast 1-row aggregate.
+    """
+    from pyspark.sql import Window as W
+    toks = docs.select(F.explode(tokens_col()).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    top = (freq.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+           .crossJoin(F.broadcast(total)))
+    w = (W.orderBy(F.desc("freq"), F.asc("token"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (top.select(
+        F.row_number().over(
+            W.orderBy(F.desc("freq"), F.asc("token"))).alias("rank"),
+        "token", "freq",
+        F.round(F.sum("freq").over(w).cast("double") / F.col("_total"), 6)
+         .alias("cum_frac")))
+
+
+def doc_length_histogram(docs: DataFrame) -> DataFrame:
+    """Log2-bucketed document-length (token-count) histogram — the
+    length-distribution report behind truncation/packing decisions.
+    Pure map + one bounded-key shuffle (≤ ~40 buckets at any corpus
+    size). The bucket is the integer bit-length − 1, computed via the
+    binary-string length — floor(log2(n)) in libm could round
+    2^k − ε to the wrong side on some engine; string length of the
+    base-2 representation is exact everywhere."""
+    n = F.size(tokens_col())
+    bucket = (F.length(F.conv(n.cast("string"), 10, 2)) - 1).cast("int")
+    return (docs.select(bucket.alias("len_bucket"),
+                        n.cast("bigint").alias("n_tokens"))
+            .groupBy("len_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("n_tokens").alias("min_tokens"),
+                 F.max("n_tokens").alias("max_tokens"))
+            .orderBy("len_bucket"))
+
+
+def source_divergence(docs: DataFrame) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the domain-shift report (a source whose token distribution
+    diverges hard from the pool is over/under-represented or out of
+    domain).
+
+    KL(Q_s ‖ P) = Σ_w (c_sw/N_s) · ln( (c_sw·N) / (N_s·c_w) ), summed
+    over the source's tokens (Q > 0; P > 0 by containment).
+
+    Determinism: ln() takes ONE exact integer-ratio division
+    (c_sw·N and N_s·c_w are exact BIGINT products), the weight is one
+    exact division, their product is a single IEEE multiply — all
+    bit-identical across engines on identical counts; the final
+    per-source sum goes through the decimal rule.
+
+    Scale shape: two count aggregations (token key, then
+    (source, token) key), one hash join between them on the token key,
+    and a final per-source rollup — every stage key-partitioned, model
+    never broadcast (vocabulary-sized, like the bigram LM).
+    """
+    tok = docs.select("source", F.explode(tokens_col()).alias("token"))
+    by_src = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c_sw"))
+    by_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c_w"))
+    totals = by_src.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    grand = by_tok.agg(F.sum("c_w").alias("_n"))
+    term = (by_src.join(by_tok, "token")
+            .join(totals, "source")
+            .crossJoin(F.broadcast(grand))
+            .select("source",
+                    ((F.col("c_sw").cast("double") / F.col("n_s"))
+                     * F.log((F.col("c_sw") * F.col("_n")).cast("double")
+                             / (F.col("n_s") * F.col("c_w")).cast("double"))
+                     ).alias("_t")))
+    return (term.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("vocab"),
+                 F.round(F.sum(F.col("_t").cast(DEC)), 6).cast("double")
+                  .alias("kl_div"))
+            .orderBy("source"))

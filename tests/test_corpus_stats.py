@@ -1,0 +1,51 @@
+"""Hand-computed unit tests for the corpus-statistics operators."""
+
+import math
+
+from etl_portfolio_tracker_spark.operators import text as TX
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+
+
+def test_vocab_coverage_ranks_and_cumulates(spark):
+    rows = [(0, "a a a b", "s"), (1, "b c", "s")]
+    out = TX.vocab_coverage(_docs(spark, rows), k=2).toPandas()
+    # freqs: a=3, b=2, c=1; total=6; top-2 = a, b
+    assert list(out["token"]) == ["a", "b"]
+    assert list(out["freq"]) == [3, 2]
+    assert abs(out["cum_frac"][0] - round(3 / 6, 6)) < 1e-12
+    assert abs(out["cum_frac"][1] - round(5 / 6, 6)) < 1e-12
+
+
+def test_doc_length_histogram_buckets_by_bit_length(spark):
+    rows = [(0, "w " * 1, "s"),        # 1 token  -> bucket 0
+            (1, "w " * 2, "s"),        # 2 tokens -> bucket 1
+            (2, "w " * 3, "s"),        # 3 tokens -> bucket 1
+            (3, "w " * 8, "s")]        # 8 tokens -> bucket 3
+    out = (TX.doc_length_histogram(_docs(spark, rows))
+           .toPandas().set_index("len_bucket"))
+    assert out.loc[0, "n_docs"] == 1 and out.loc[0, "max_tokens"] == 1
+    assert out.loc[1, "n_docs"] == 2 and out.loc[1, "total_tokens"] == 5
+    assert out.loc[3, "n_docs"] == 1 and out.loc[3, "min_tokens"] == 8
+
+
+def test_source_divergence_zero_for_identical_distribution(spark):
+    # both sources have the SAME unigram distribution as the corpus
+    rows = [(0, "a b", "s1"), (1, "a b", "s2")]
+    out = TX.source_divergence(_docs(spark, rows)).toPandas()
+    assert list(out["kl_div"]) == [0.0, 0.0]
+    assert list(out["vocab"]) == [2, 2]
+
+
+def test_source_divergence_hand_value(spark):
+    # corpus: a x3, b x1 (N=4); s1 = {a,a} (N_s=2), s2 = {a,b}
+    rows = [(0, "a a", "s1"), (1, "a b", "s2")]
+    out = (TX.source_divergence(_docs(spark, rows))
+           .toPandas().set_index("source"))
+    kl1 = 1.0 * math.log((2 * 4) / (2 * 3))        # only token a
+    kl2 = 0.5 * math.log((1 * 4) / (2 * 3)) + 0.5 * math.log((1 * 4) / (2 * 1))
+    assert abs(out.loc["s1", "kl_div"] - round(kl1, 6)) < 1e-9
+    assert abs(out.loc["s2", "kl_div"] - round(kl2, 6)) < 1e-9
