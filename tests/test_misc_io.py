@@ -120,3 +120,27 @@ def test_compact_versioned_leaves_source_untouched(spark, tmp_path):
     assert len(glob.glob(f"{p}/part-*")) == 10          # untouched
     assert len(glob.glob(f"{out}/part-*")) == 1
     assert spark.read.parquet(out).count() == 500
+
+
+def test_wavg_cost_udaf_matches_builtin(spark):
+    from pyspark.sql import functions as F
+    from etl_portfolio_tracker_spark.functions.udfs import wavg_cost_udaf
+    df = spark.createDataFrame(
+        [("a", 2.0, 10.0), ("a", 3.0, 20.0), ("b", 1.0, 5.0)],
+        "k string, qty double, price double")
+    got = (df.groupBy("k").agg(wavg_cost_udaf("qty", "price").alias("w"))
+           .orderBy("k").toPandas())
+    ref = (df.groupBy("k")
+           .agg((F.sum(F.col("qty") * F.col("price")) / F.sum("qty")).alias("w"))
+           .orderBy("k").toPandas())
+    assert list(got["w"]) == list(ref["w"])
+
+
+def test_ngram_udtf_expands_rows(spark):
+    from pyspark.sql.functions import udtf, lit
+    from etl_portfolio_tracker_spark.functions.udfs import ngram_udtf_class
+    cls, schema = ngram_udtf_class()
+    fn = udtf(cls, returnType=schema)
+    out = fn(lit("One  two three"), lit(2)).collect()
+    assert [(r.pos, r.ngram) for r in out] == [
+        (0, "one two"), (1, "two three")]
