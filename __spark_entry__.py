@@ -783,6 +783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rollup": _q_sliding_rollup,
         "positions_salted": _q_positions_salted,
         "funnel": _q_funnel,
+        # ---- driver's 50-query cap lands HERE (funnel is #50) ----
+        # everything below needs an external row in round 3+; keep the
+        # never-checked block contiguous so the next reorder is a move
         "retention": _q_retention,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "pack_sequences": _q_pack_sequences,
@@ -803,7 +806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": _q_bigram_lm_score,
         "range_window_avg": _q_range_window_avg,
         "stratified_sample": _q_stratified_sample,
-        # ---- 50-query cap lands here ----
         # -- 3. never-checked remainder (front of round 3) -----------
         "epoch_shuffle": _q_epoch_shuffle,
         "token_budget_mix": _q_token_budget_mix,

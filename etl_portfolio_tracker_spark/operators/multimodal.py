@@ -2,10 +2,15 @@
 columns with typed metadata, processed in Arrow batches via
 mapInPandas (SURVEY §7 tier E / task brief).
 
-The decode kernels are STUBS (this container has no image/audio
-libraries — see `_decode_image_bytes`): the Spark-side contract —
-schema, batch iteration, partition independence — is real and tested.
-A production deploy swaps `_decode_image_bytes` for PIL/libvips/ffmpeg
+Decode support (no image libraries exist in this container):
+uncompressed formats with trivially parseable containers — binary
+NetPBM (P5/P6) and 24-bpp uncompressed BMP — are decoded FOR REAL
+(pure struct + numpy, `_decode_netpbm` / `_decode_bmp`: header dims +
+Rec.601 mean luminance over the actual pixels). Compressed formats
+(JPEG/PNG/audio/video) would need PIL/libvips/ffmpeg; for those and
+for unknown payloads `_decode_image_bytes` falls back to a documented
+deterministic fake so the plumbing stays testable on the harness's
+synthetic blobs. A production deploy swaps the fallback for a codec
 without touching the plan shape. The mapInPandas form is the correct
 scale pattern: executors stream Arrow record batches through Python,
 memory bounded by `maxRecordsPerBatch`, no per-row serialization.
@@ -13,8 +18,11 @@ memory bounded by `maxRecordsPerBatch`, no per-row serialization.
 
 from __future__ import annotations
 
+import struct
+
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -37,15 +45,66 @@ DECODED_SCHEMA = T.StructType([
     T.StructField("mean_luma", T.DoubleType()),
 ])
 
-_REAL_DECODE = False  # flipped when a real codec is wired in
+def _decode_netpbm(b: bytes) -> tuple[int, int, float]:
+    """Binary NetPBM (P5 grayscale / P6 RGB): whitespace/comment-
+    tolerant header parse, then one numpy pass for Rec.601 luma."""
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(b) and b[i:i + 1].isspace():
+            i += 1
+        if b[i:i + 1] == b"#":                     # comment to EOL
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j:j + 1].isspace():
+            j += 1
+        toks.append(int(b[i:j]))
+        i = j
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit NetPBM not supported")
+    i += 1                                         # single ws after maxval
+    ch = 3 if b[:2] == b"P6" else 1
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * ch,
+                       offset=i).astype(np.float64)
+    if ch == 3:
+        rgb = px.reshape(-1, 3)
+        luma = 0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2]
+    else:
+        luma = px
+    return w, h, float(luma.mean())
+
+
+def _decode_bmp(b: bytes) -> tuple[int, int, float]:
+    """24-bpp uncompressed BMP: little-endian header fields, 4-byte
+    row padding stripped, BGR order; Rec.601 luma."""
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w = struct.unpack_from("<i", b, 18)[0]
+    h = abs(struct.unpack_from("<i", b, 22)[0])    # may be top-down
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bpp uncompressed BMP supported")
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h,
+                         offset=data_off).reshape(h, row_bytes)[:, :w * 3]
+    bgr = rows.reshape(-1, 3).astype(np.float64)
+    luma = 0.299 * bgr[:, 2] + 0.587 * bgr[:, 1] + 0.114 * bgr[:, 0]
+    return w, h, float(luma.mean())
 
 
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, float]:
-    """STUB decode. Real implementation: PIL.Image.open(BytesIO(payload))
-    → (width, height, mean luminance). Here: a deterministic fake
-    derived from the payload so tests exercise the full plumbing."""
-    if _REAL_DECODE:  # pragma: no cover
-        raise NotImplementedError("wire PIL/libvips here")
+    """(width, height, mean_luma). REAL decode for binary NetPBM and
+    24-bpp BMP (see module docstring); a deterministic payload-derived
+    fake for every other format — compressed codecs need external
+    libraries this container doesn't ship, and the harness's synthetic
+    blobs must keep flowing through the same plumbing either way."""
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     n = len(payload)
     return (n % 640 + 1, n % 480 + 1, float(sum(payload[:16]) % 256))
 

@@ -144,3 +144,34 @@ def test_ngram_udtf_expands_rows(spark):
     out = fn(lit("One  two three"), lit(2)).collect()
     assert [(r.pos, r.ngram) for r in out] == [
         (0, "one two"), (1, "two three")]
+
+
+def _ppm6(w, h, pixels):
+    return b"P6\n# c\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def test_decode_media_real_netpbm_and_bmp(spark):
+    import struct
+    from etl_portfolio_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_media)
+    # 2x1 P6: red + green pixels
+    ppm = _ppm6(2, 1, [255, 0, 0, 0, 255, 0])
+    # 2x1 24bpp BMP, bottom-up, row padded to 8 bytes: blue + white
+    px_row = bytes([255, 0, 0,  255, 255, 255, 0, 0])   # BGR BGR pad
+    bmp = (b"BM" + struct.pack("<IHHI", 14 + 40 + len(px_row), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0,
+                         len(px_row), 2835, 2835, 0, 0) + px_row)
+    rows = [(1, bytearray(ppm), "image/x-portable-pixmap", None, None),
+            (2, bytearray(bmp), "image/bmp", None, None),
+            (3, bytearray(b"opaque-blob"), "application/octet-stream",
+             None, None)]
+    out = (decode_media(spark.createDataFrame(rows, MEDIA_SCHEMA))
+           .toPandas().set_index("media_id"))
+    assert (out.loc[1, "decoded_width"], out.loc[1, "decoded_height"]) == (2, 1)
+    assert abs(out.loc[1, "mean_luma"]
+               - (0.299 * 255 + 0.587 * 255) / 2) < 1e-9
+    assert (out.loc[2, "decoded_width"], out.loc[2, "decoded_height"]) == (2, 1)
+    # blue: .114*255 ; white: 255 -> mean
+    assert abs(out.loc[2, "mean_luma"] - (0.114 * 255 + 255.0) / 2) < 1e-9
+    # unknown payload keeps the deterministic fallback
+    assert out.loc[3, "decoded_width"] == len(b"opaque-blob") % 640 + 1
