@@ -45,9 +45,9 @@ DECODED_SCHEMA = T.StructType([
     T.StructField("mean_luma", T.DoubleType()),
 ])
 
-def _decode_netpbm(b: bytes) -> tuple[int, int, float]:
-    """Binary NetPBM (P5 grayscale / P6 RGB): whitespace/comment-
-    tolerant header parse, then one numpy pass for Rec.601 luma."""
+def _decode_netpbm(b: bytes) -> np.ndarray:
+    """Binary NetPBM (P5 grayscale / P6 RGB) → (h, w, 3) uint8 RGB:
+    whitespace/comment-tolerant header parse, one numpy reshape."""
     toks: list[int] = []
     i = 2
     while len(toks) < 3:
@@ -66,33 +66,52 @@ def _decode_netpbm(b: bytes) -> tuple[int, int, float]:
     if maxval > 255:
         raise ValueError("16-bit NetPBM not supported")
     i += 1                                         # single ws after maxval
-    ch = 3 if b[:2] == b"P6" else 1
-    px = np.frombuffer(b, dtype=np.uint8, count=w * h * ch,
-                       offset=i).astype(np.float64)
-    if ch == 3:
-        rgb = px.reshape(-1, 3)
-        luma = 0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2]
-    else:
-        luma = px
-    return w, h, float(luma.mean())
+    if b[:2] == b"P6":
+        return np.frombuffer(b, dtype=np.uint8, count=w * h * 3,
+                             offset=i).reshape(h, w, 3)
+    gray = np.frombuffer(b, dtype=np.uint8, count=w * h,
+                         offset=i).reshape(h, w)
+    return np.stack([gray] * 3, axis=-1)
 
 
-def _decode_bmp(b: bytes) -> tuple[int, int, float]:
-    """24-bpp uncompressed BMP: little-endian header fields, 4-byte
-    row padding stripped, BGR order; Rec.601 luma."""
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """24-bpp uncompressed BMP → (h, w, 3) uint8 RGB: little-endian
+    header fields, 4-byte row padding stripped, BGR→RGB, bottom-up
+    rows flipped."""
     data_off = struct.unpack_from("<I", b, 10)[0]
     w = struct.unpack_from("<i", b, 18)[0]
-    h = abs(struct.unpack_from("<i", b, 22)[0])    # may be top-down
+    h_raw = struct.unpack_from("<i", b, 22)[0]
     bpp = struct.unpack_from("<H", b, 28)[0]
     comp = struct.unpack_from("<I", b, 30)[0]
     if bpp != 24 or comp != 0:
         raise ValueError("only 24-bpp uncompressed BMP supported")
+    h = abs(h_raw)
     row_bytes = (w * 3 + 3) // 4 * 4
     rows = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h,
                          offset=data_off).reshape(h, row_bytes)[:, :w * 3]
-    bgr = rows.reshape(-1, 3).astype(np.float64)
-    luma = 0.299 * bgr[:, 2] + 0.587 * bgr[:, 1] + 0.114 * bgr[:, 0]
-    return w, h, float(luma.mean())
+    rgb = rows.reshape(h, w, 3)[:, :, ::-1]
+    return rgb[::-1] if h_raw > 0 else rgb        # positive h = bottom-up
+
+
+def _decode_pixels(payload: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB for REAL-decodable payloads (binary NetPBM,
+    24-bpp BMP), None for anything compressed/unknown."""
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    return None
+
+
+def _mean_luma(px: np.ndarray) -> float:
+    rgb = px.reshape(-1, 3).astype(np.float64)
+    return float((0.299 * rgb[:, 0] + 0.587 * rgb[:, 1]
+                  + 0.114 * rgb[:, 2]).mean())
+
+
+def _encode_ppm(px: np.ndarray) -> bytes:
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(px).tobytes()
 
 
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, float]:
@@ -101,10 +120,9 @@ def _decode_image_bytes(payload: bytes) -> tuple[int, int, float]:
     fake for every other format — compressed codecs need external
     libraries this container doesn't ship, and the harness's synthetic
     blobs must keep flowing through the same plumbing either way."""
-    if payload[:2] in (b"P5", b"P6"):
-        return _decode_netpbm(payload)
-    if payload[:2] == b"BM":
-        return _decode_bmp(payload)
+    px = _decode_pixels(payload)
+    if px is not None:
+        return px.shape[1], px.shape[0], _mean_luma(px)
     n = len(payload)
     return (n % 640 + 1, n % 480 + 1, float(sum(payload[:16]) % 256))
 
@@ -150,25 +168,35 @@ RESIZED_SCHEMA = T.StructType([
 
 
 def resize_media(media: DataFrame, max_px: int = 64) -> DataFrame:
-    """mapInPandas resize: fit the (stub-)decoded dims into a
-    max_px box preserving aspect ratio, emit a thumbnail payload.
-    Real implementation: PIL `Image.thumbnail((max_px, max_px))` →
-    re-encode. Stub: scaled dims from the deterministic fake decode,
-    thumbnail = every k-th byte of the payload (deterministic,
-    size-proportional). 1→1 rows, partition-parallel, no shuffle."""
+    """mapInPandas resize: fit into a max_px box preserving aspect
+    ratio, emit a thumbnail payload. 1→1 rows, partition-parallel, no
+    shuffle.
+
+    REAL-decodable payloads (NetPBM/24-bpp BMP) get a genuine
+    nearest-neighbor downsample re-encoded as binary PPM; everything
+    else keeps the deterministic fallback (scaled fake dims +
+    every-k-th-byte thumbnail) so the harness blobs stay exercised."""
+    def _resize_one(b: bytes):
+        px = _decode_pixels(b)
+        if px is not None:
+            h, w = px.shape[:2]
+            scale = max(1.0, max(w, h) / max_px)
+            ow, oh = max(1, int(w / scale)), max(1, int(h / scale))
+            yi = (np.arange(oh) * h) // oh        # nearest-neighbor
+            xi = (np.arange(ow) * w) // ow
+            return ow, oh, _encode_ppm(px[yi][:, xi])
+        w, h, _ = _decode_image_bytes(b)
+        scale = max(1.0, max(w, h) / max_px)
+        step = max(1, len(b) // max(1, max_px * max_px // 8))
+        return int(w / scale), int(h / scale), b[::step]
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"media_id": [], "out_width": [], "out_height": [],
                    "thumb": []}
             for mid, p in zip(pdf["media_id"], pdf["media"]):
-                if p is None:
-                    row = (None, None, None)
-                else:
-                    b = bytes(p)
-                    w, h, _ = _decode_image_bytes(b)
-                    scale = max(1.0, max(w, h) / max_px)
-                    step = max(1, len(b) // max(1, max_px * max_px // 8))
-                    row = (int(w / scale), int(h / scale), b[::step])
+                row = (None, None, None) if p is None \
+                    else _resize_one(bytes(p))
                 out["media_id"].append(mid)
                 out["out_width"].append(row[0])
                 out["out_height"].append(row[1])

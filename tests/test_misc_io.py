@@ -175,3 +175,20 @@ def test_decode_media_real_netpbm_and_bmp(spark):
     assert abs(out.loc[2, "mean_luma"] - (0.114 * 255 + 255.0) / 2) < 1e-9
     # unknown payload keeps the deterministic fallback
     assert out.loc[3, "decoded_width"] == len(b"opaque-blob") % 640 + 1
+
+
+def test_resize_media_real_thumbnail_roundtrip(spark):
+    from etl_portfolio_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA, _decode_netpbm, resize_media)
+    # 4x2 P6 gradient
+    pix = bytes(v for i in range(8) for v in (i * 30, 0, 255 - i * 30))
+    ppm = _ppm6(4, 2, pix)
+    rows = [(1, bytearray(ppm), "image/x-portable-pixmap", None, None)]
+    out = (resize_media(spark.createDataFrame(rows, MEDIA_SCHEMA), max_px=2)
+           .toPandas().iloc[0])
+    assert (out["out_width"], out["out_height"]) == (2, 1)
+    thumb = _decode_netpbm(bytes(out["thumb"]))
+    assert thumb.shape == (1, 2, 3)
+    # nearest-neighbor picks source pixels (0,0) and (0,2)
+    assert list(thumb[0, 0]) == [0, 0, 255]
+    assert list(thumb[0, 1]) == [60, 0, 195]
