@@ -712,6 +712,13 @@ def _q_source_divergence(spark, sf_dir):
     return TX.source_divergence(_docs(spark, sf_dir))
 
 
+def _q_audio_meta(spark, sf_dir):
+    # rows-only by design: RMS/peak are float reductions over raw
+    # bytes — not expressible as portable DuckDB SQL over blobs; the
+    # REAL wav decode is pytest-verified on constructed RIFF payloads.
+    return MM.audio_meta(MM.docs_as_media(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order encodes verification priority: the driver only
     records external correctness rows for the FIRST 50 declared queries
@@ -813,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "doc_length_histogram": _q_doc_length_histogram,
         "source_divergence": _q_source_divergence,
+        "audio_meta": _q_audio_meta,
         "stats_summary": _q_stats_summary,
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.

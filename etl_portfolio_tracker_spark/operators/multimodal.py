@@ -2,12 +2,13 @@
 columns with typed metadata, processed in Arrow batches via
 mapInPandas (SURVEY §7 tier E / task brief).
 
-Decode support (no image libraries exist in this container):
+Decode support (no image/audio libraries exist in this container):
 uncompressed formats with trivially parseable containers — binary
-NetPBM (P5/P6) and 24-bpp uncompressed BMP — are decoded FOR REAL
-(pure struct + numpy, `_decode_netpbm` / `_decode_bmp`: header dims +
-Rec.601 mean luminance over the actual pixels). Compressed formats
-(JPEG/PNG/audio/video) would need PIL/libvips/ffmpeg; for those and
+NetPBM (P5/P6), 24-bpp uncompressed BMP, and RIFF/WAVE PCM audio —
+are decoded FOR REAL (pure struct + numpy: header dims + Rec.601
+mean luminance over the actual pixels; sample rate / duration /
+RMS / peak over the actual samples). Compressed formats
+(JPEG/PNG/MP3/video) would need PIL/libvips/ffmpeg; for those and
 for unknown payloads `_decode_image_bytes` falls back to a documented
 deterministic fake so the plumbing stays testable on the harness's
 synthetic blobs. A production deploy swaps the fallback for a codec
@@ -251,3 +252,88 @@ def media_meta(media: DataFrame) -> DataFrame:
         "media_id",
         F.length("media").cast("long").alias("n_bytes"),
         F.md5("media").alias("content_md5"))
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("bits_per_sample", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+])
+
+
+def _decode_wav(b: bytes):
+    """RIFF/WAVE PCM parse — REAL audio decode, no codec library:
+    walk the chunk list (fmt / data may be preceded by LIST etc.),
+    then one numpy pass for RMS and peak of the normalized signal.
+    Supports 8-bit unsigned and 16-bit signed PCM (format tag 1)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)              # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, n_ch, rate, _byte_rate, _block, bits = fmt
+    if tag != 1 or bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM supported")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2",
+                          count=len(data) // 2).astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    n_samples = len(x) // n_ch
+    rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+    peak = float(np.abs(x).max()) if len(x) else 0.0
+    return rate, n_ch, bits, n_samples, rms, peak
+
+
+def audio_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction: REAL decode for RIFF/WAVE
+    PCM payloads (sample rate, channels, duration, RMS, peak); other
+    payloads yield a deterministic fake (8 kHz mono, bytes as 8-bit
+    samples) so the harness's synthetic blobs exercise the identical
+    plumbing. Partition-parallel map, no shuffle — the audio twin of
+    decode_media."""
+    def _one(b: bytes):
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            return _decode_wav(b)
+        x = (np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+        rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+        peak = float(np.abs(x).max()) if len(x) else 0.0
+        return 8000, 1, 8, len(x), rms, peak
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_channels",
+                                   "bits_per_sample", "n_samples",
+                                   "duration_ms", "rms", "peak")}
+            for mid, p in zip(pdf["media_id"], pdf["media"]):
+                out["media_id"].append(mid)
+                if p is None:
+                    for k in list(out)[1:]:
+                        out[k].append(None)
+                    continue
+                rate, n_ch, bits, n, rms, peak = _one(bytes(p))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["bits_per_sample"].append(bits)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(1000.0 * n / rate if rate else None)
+                out["rms"].append(rms)
+                out["peak"].append(peak)
+            yield pd.DataFrame(out)
+    return media.mapInPandas(_batches, schema=AUDIO_SCHEMA)

@@ -192,3 +192,34 @@ def test_resize_media_real_thumbnail_roundtrip(spark):
     # nearest-neighbor picks source pixels (0,0) and (0,2)
     assert list(thumb[0, 0]) == [0, 0, 255]
     assert list(thumb[0, 1]) == [60, 0, 195]
+
+
+def _wav(rate, samples16):
+    import struct as st
+    data = b"".join(st.pack("<h", s) for s in samples16)
+    fmt = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data)
+
+
+def test_audio_meta_real_wav_decode(spark):
+    import math
+    from etl_portfolio_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_meta)
+    wav = _wav(8000, [0, 16384, -16384, 0])
+    rows = [(1, bytearray(wav), "audio/wav", None, None),
+            (2, bytearray(b"not-audio"), "application/octet-stream",
+             None, None)]
+    out = (audio_meta(spark.createDataFrame(rows, MEDIA_SCHEMA))
+           .toPandas().set_index("media_id"))
+    assert out.loc[1, "sample_rate"] == 8000
+    assert out.loc[1, "n_channels"] == 1
+    assert out.loc[1, "bits_per_sample"] == 16
+    assert out.loc[1, "n_samples"] == 4
+    assert abs(out.loc[1, "duration_ms"] - 0.5) < 1e-9
+    assert abs(out.loc[1, "rms"] - math.sqrt(2 * 0.5 ** 2 / 4)) < 1e-9
+    assert abs(out.loc[1, "peak"] - 0.5) < 1e-9
+    # fallback path: bytes-as-8-bit-samples
+    assert out.loc[2, "sample_rate"] == 8000
+    assert out.loc[2, "n_samples"] == len(b"not-audio")
