@@ -712,6 +712,22 @@ def _q_source_divergence(spark, sf_dir):
     return TX.source_divergence(_docs(spark, sf_dir))
 
 
+def _q_returned_order_priority(spark, sf_dir):
+    return WH.returned_order_priority(spark, sf_dir)
+
+
+def _q_market_share(spark, sf_dir):
+    return WH.market_share(spark, sf_dir)
+
+
+def _q_key_parts(spark, sf_dir):
+    return WH.key_parts(spark, sf_dir)
+
+
+def _q_cheapest_supplier_per_part(spark, sf_dir):
+    return WH.cheapest_supplier_per_part(spark, sf_dir)
+
+
 def _q_audio_meta(spark, sf_dir):
     # rows-only by design: RMS/peak are float reductions over raw
     # bytes — not expressible as portable DuckDB SQL over blobs; the
@@ -821,6 +837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_histogram": _q_doc_length_histogram,
         "source_divergence": _q_source_divergence,
         "audio_meta": _q_audio_meta,
+        "returned_order_priority": _q_returned_order_priority,
+        "market_share": _q_market_share,
+        "key_parts": _q_key_parts,
+        "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
         "stats_summary": _q_stats_summary,
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.
@@ -2700,5 +2720,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(CAST(t AS DECIMAL(38,10))), 6) AS DOUBLE)
                        AS kl_div
             FROM term GROUP BY 1 ORDER BY 1
+        """,
+        "returned_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "market_share": f"""
+            WITH dims AS (
+                SELECT c_custkey, n_name
+                FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = '{WH.MARKET_REGION}'
+            ),
+            j AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
+                           AS o_year,
+                       n_name,
+                       CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(38,10)) AS rev
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN dims ON o_custkey = c_custkey
+            )
+            SELECT o_year,
+                   ROUND(CAST(SUM(CASE WHEN n_name = '{WH.MARKET_NATION}'
+                                       THEN rev ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share,
+                   CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "key_parts": f"""
+            WITH per_part AS (
+                SELECT l_partkey,
+                       SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(38,10))) AS rev
+                FROM lineitem GROUP BY 1
+            ),
+            total AS (SELECT SUM(rev) AS t FROM per_part)
+            SELECT l_partkey,
+                   CAST(ROUND(rev, 2) AS DOUBLE) AS revenue
+            FROM per_part, total
+            WHERE rev * 10000 > t * {WH.KEY_PART_SHARE_BP}
+            ORDER BY revenue DESC, l_partkey ASC
+        """,
+        "cheapest_supplier_per_part": f"""
+            WITH best AS (
+                SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity
+                           AS unit_price,
+                       row_number() OVER (PARTITION BY l_partkey
+                           ORDER BY l_extendedprice / l_quantity ASC,
+                                    l_suppkey ASC, l_orderkey ASC,
+                                    l_linenumber ASC) AS rn
+                FROM lineitem
+                WHERE l_partkey <= {WH.CHEAPEST_MAX_PARTKEY}
+            )
+            SELECT l_partkey, s_name, n_name,
+                   ROUND(unit_price, 6) AS unit_price
+            FROM best
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE rn = 1
+            ORDER BY l_partkey
         """,
     }

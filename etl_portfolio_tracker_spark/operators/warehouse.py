@@ -242,3 +242,131 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.count(F.lit(1))).alias("median_value"),
                  F.max("cnt").alias("n_orders"))
             .orderBy("o_orderpriority"))
+
+
+def returned_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders that have AT LEAST ONE returned line
+    (EXISTS semi-join on the fact), counted per priority. The harness
+    lineitem has no commit/receipt dates, so `l_returnflag = 'R'`
+    stands in for Q4's lateness predicate — the plan shape (filtered
+    fact semi-join into the order dimension, then a tiny rollup) is
+    identical.
+
+    Scale: the returned-lines side is filtered BEFORE the semi-join
+    (predicate pushes to the scan); LeftSemi hash join keeps only
+    order keys — no row multiplication regardless of lines per order."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (orders.join(returned,
+                        orders.o_orderkey == returned.l_orderkey,
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+MARKET_REGION = "ASIA"
+MARKET_NATION = "NATION_2"
+
+
+def market_share(spark: SparkSession, sf_dir: str,
+                 region: str = MARKET_REGION,
+                 nation: str = MARKET_NATION) -> DataFrame:
+    """TPC-H Q8 shape: per order-year, the focus nation's share of
+    revenue from customers in one region — a conditional-sum ratio
+    over a 4-way dim join.
+
+    Scale: region/nation/customer broadcast onto the fact exactly
+    once; numerator and denominator come from the SAME aggregation
+    pass (two conditional decimal sums), so the fact is scanned and
+    shuffled once. The share is one double division of two
+    exactly-summed decimals, rounded to 6dp."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region")
+    dims = (cust.join(F.broadcast(nat),
+                      cust.c_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .filter(F.col("r_name") == region)
+            .select("c_custkey", "n_name"))
+    rev = _rev()
+    joined = (li.join(orders.select("o_orderkey", "o_custkey",
+                                    "o_orderdate"),
+                      li.l_orderkey == F.col("o_orderkey"))
+              .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+              .select(F.year("o_orderdate").alias("o_year"),
+                      F.col("n_name"), rev.alias("_rev")))
+    num = dsum(F.when(F.col("n_name") == nation, F.col("_rev"))
+                .otherwise(F.lit(0.0)))
+    den = dsum(F.col("_rev"))
+    return (joined.groupBy("o_year")
+            .agg(F.round((num.cast("double") / den.cast("double")), 6)
+                 .alias("mkt_share"),
+                 F.round(den, 2).cast("double").alias("total_revenue"))
+            .orderBy("o_year"))
+
+
+KEY_PART_SHARE_BP = 7    # basis points of total revenue (0.07%)
+
+
+def key_parts(spark: SparkSession, sf_dir: str,
+              share_bp: int = KEY_PART_SHARE_BP) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total revenue exceeds a fraction
+    of GLOBAL revenue — a HAVING against a scalar aggregate subquery.
+
+    Scale + exactness: per-part revenue is one hash aggregation; the
+    global total re-aggregates the per-part partials (never a second
+    fact scan) and broadcasts as a 1-row frame. The threshold compare
+    is division-free integer-scaled decimal (rev · 10000 > total · bp)
+    — a float share at the boundary could flip a row between engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy("l_partkey")
+                .agg(dsum(_rev()).alias("_rev")))
+    total = per_part.agg(F.sum("_rev").cast(DEC).alias("_total"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("_rev") * 10000 > F.col("_total") * share_bp)
+            .select("l_partkey",
+                    F.round("_rev", 2).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_partkey")))
+
+
+CHEAPEST_MAX_PARTKEY = 50
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str,
+                               max_partkey: int = CHEAPEST_MAX_PARTKEY
+                               ) -> DataFrame:
+    """TPC-H Q2 shape: for each part (bounded subset), the supplier
+    offering the minimum unit price, with supplier/nation attributes —
+    groupwise-min + join-back, without a partsupp table (lineitem is
+    the part↔supplier bridge; unit price = extendedprice/quantity).
+
+    Determinism: the unit price is one IEEE division of identical
+    doubles in any engine; ties (same price from two suppliers) break
+    on (s_suppkey, l_orderkey, l_linenumber). row_number — not a
+    min-join — so exactly one row per part survives.
+
+    Scale: the part-key bound prunes the fact scan; the window
+    partitions by part key (the natural shuffle key); supplier and
+    nation broadcast onto the ≤|parts| winners."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    w = W.partitionBy("l_partkey").orderBy(
+        F.asc("unit_price"), F.asc("l_suppkey"),
+        F.asc("l_orderkey"), F.asc("l_linenumber"))
+    best = (li.filter(F.col("l_partkey") <= max_partkey)
+            .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
+                    unit)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (best.join(F.broadcast(supp),
+                      best.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .select("l_partkey", "s_name", "n_name",
+                    F.round("unit_price", 6).alias("unit_price"))
+            .orderBy("l_partkey"))
