@@ -728,6 +728,14 @@ def _q_cheapest_supplier_per_part(spark, sf_dir):
     return WH.cheapest_supplier_per_part(spark, sf_dir)
 
 
+def _q_customer_spend_percentile(spark, sf_dir):
+    return WH.customer_spend_percentile(spark, sf_dir)
+
+
+def _q_high_volume_part_suppliers(spark, sf_dir):
+    return WH.high_volume_part_suppliers(spark, sf_dir)
+
+
 def _q_audio_meta(spark, sf_dir):
     # rows-only by design: RMS/peak are float reductions over raw
     # bytes — not expressible as portable DuckDB SQL over blobs; the
@@ -841,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "customer_spend_percentile": _q_customer_spend_percentile,
+        "high_volume_part_suppliers": _q_high_volume_part_suppliers,
         "stats_summary": _q_stats_summary,
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.
@@ -2786,5 +2796,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE rn = 1
             ORDER BY l_partkey
+        """,
+        "customer_spend_percentile": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(38,10))) AS sp
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1
+            )
+            SELECT o_custkey,
+                   CAST(ROUND(sp, 2) AS DOUBLE) AS spend,
+                   ROUND(percent_rank() OVER (ORDER BY sp ASC, o_custkey ASC),
+                         6) AS pct_rank,
+                   ROUND(cume_dist() OVER (ORDER BY sp ASC, o_custkey ASC),
+                         6) AS cume
+            FROM spend
+            ORDER BY spend DESC, o_custkey ASC
+            LIMIT 25
+        """,
+        "high_volume_part_suppliers": f"""
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                GROUP BY l_partkey, l_suppkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(38,10)))
+                       > {WH.HIGH_VOLUME_QTY}
+            )
+            ORDER BY s_suppkey
         """,
     }

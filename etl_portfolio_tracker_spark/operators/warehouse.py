@@ -370,3 +370,65 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str,
             .select("l_partkey", "s_name", "n_name",
                     F.round("unit_price", 6).alias("unit_price"))
             .orderBy("l_partkey"))
+
+
+def customer_spend_percentile(spark: SparkSession, sf_dir: str,
+                              k: int = 25) -> DataFrame:
+    """Distribution-rank window family: percent_rank + cume_dist of
+    per-customer total spend (top-k emitted). One fact aggregation,
+    one global-order window over the |customers| aggregate — the
+    window input is key-cardinality-sized, not fact-sized; at 100 TB
+    per-customer totals are ~millions of rows, where a single-ordered
+    window is still the wrong shape — the scale path is the two-pass
+    range-partitioned rank (range-sample the keys, rank within range
+    buckets, add broadcast per-bucket offsets), same plan as any
+    distributed ORDER BY. Here |customers| is dimension-sized and one
+    window partition is the honest local plan.
+
+    Exactness: ranks are count ratios of exactly-summed decimal
+    totals; percent_rank = (rank-1)/(n-1), cume_dist = rank_max/n —
+    integer divisions in double, bit-identical cross-engine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    spend = (li.join(orders.select("o_orderkey", "o_custkey"),
+                     li.l_orderkey == F.col("o_orderkey"))
+             .groupBy("o_custkey")
+             .agg(dsum(_rev()).alias("_spend")))
+    w = W.orderBy(F.asc("_spend"), F.asc("o_custkey"))
+    return (spend.select(
+                "o_custkey",
+                F.round("_spend", 2).cast("double").alias("spend"),
+                F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                F.round(F.cume_dist().over(w), 6).alias("cume"))
+            .orderBy(F.desc("spend"), F.asc("o_custkey"))
+            .limit(k))
+
+
+HIGH_VOLUME_QTY = 90.0
+
+
+def high_volume_part_suppliers(spark: SparkSession, sf_dir: str,
+                               min_qty: float = HIGH_VOLUME_QTY
+                               ) -> DataFrame:
+    """TPC-H Q20 shape: suppliers that supply at least one part whose
+    shipped quantity (for that part+supplier) exceeds a threshold —
+    an aggregate-filtered inner subquery driving a semi-join into the
+    supplier dimension.
+
+    Scale: the (part, supplier) aggregate is one fact shuffle on the
+    composite key; the HAVING prunes it to the qualifying bridge rows;
+    the semi-join ships only distinct supplier keys."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    # decimal sum: a float SUM(l_quantity) is partial-order-sensitive
+    # and could flip a boundary bridge row between engines
+    qualifying = (li.groupBy("l_partkey", "l_suppkey")
+                  .agg(dsum(F.col("l_quantity")).alias("_qty"))
+                  .filter(F.col("_qty") > min_qty)
+                  .select("l_suppkey"))
+    return (supp.join(qualifying,
+                      supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .select("s_suppkey", "s_name", "n_name")
+            .orderBy("s_suppkey"))
