@@ -728,6 +728,14 @@ def _q_cheapest_supplier_per_part(spark, sf_dir):
     return WH.cheapest_supplier_per_part(spark, sf_dir)
 
 
+def _q_canonical_docs(spark, sf_dir):
+    return DD.canonical_docs(_docs(spark, sf_dir))
+
+
+def _q_corpus_prune(spark, sf_dir):
+    return DD.corpus_prune(_docs(spark, sf_dir))
+
+
 def _q_customer_spend_percentile(spark, sf_dir):
     return WH.customer_spend_percentile(spark, sf_dir)
 
@@ -851,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
         "customer_spend_percentile": _q_customer_spend_percentile,
         "high_volume_part_suppliers": _q_high_volume_part_suppliers,
+        "canonical_docs": _q_canonical_docs,
+        "corpus_prune": _q_corpus_prune,
         "stats_summary": _q_stats_summary,
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.
@@ -943,6 +953,36 @@ _PQ_CODES_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
+    # reusable: the near-dup clustering oracle (recursive-CTE
+    # transitive closure) is also embedded as a subquery by the
+    # canonical_docs / corpus_prune composites below.
+    dedup_clusters_sql = (_SHINGLES_SQL
+        .replace("WITH shingles", "WITH RECURSIVE shingles")
+        .replace("SELECT DISTINCT", "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS) + """
+            , pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b USING (band, band_key)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            -- transitive closure: label set per node; cluster = min
+            -- reachable doc_id (matches min-label propagation fixpoint)
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach
+            GROUP BY 1
+        """)
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1544,33 +1584,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
         """,
-        "dedup_clusters": _SHINGLES_SQL
-        .replace("WITH shingles", "WITH RECURSIVE shingles")
-        .replace("SELECT DISTINCT", "SELECT")
-        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
-                            band_rows=DD.LSH_BAND_ROWS) + """
-            , pairs AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM bands a JOIN bands b USING (band, band_key)
-                WHERE a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ),
-            edges AS (
-                SELECT doc_a AS src, doc_b AS dst FROM pairs
-                UNION ALL
-                SELECT doc_b, doc_a FROM pairs
-            ),
-            -- transitive closure: label set per node; cluster = min
-            -- reachable doc_id (matches min-label propagation fixpoint)
-            reach(node, label) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
-            )
-            SELECT node AS doc_id, MIN(label) AS cluster_id
-            FROM reach
-            GROUP BY 1
-        """,
+        "dedup_clusters": dedup_clusters_sql,
         "hash_split": """
             SELECT doc_id,
                    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,
@@ -2827,4 +2841,80 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY s_suppkey
         """,
+        "canonical_docs": f"""
+            SELECT c.doc_id, c.cluster_id, d.n_chars,
+                   CAST(COUNT(*) OVER (PARTITION BY c.cluster_id)
+                        AS BIGINT) AS cluster_size,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS kept
+            FROM ({{dedup}}) c
+            JOIN documents d ON d.doc_id = c.doc_id
+        """.replace("{dedup}", dedup_clusters_sql),
+        "corpus_prune": f"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace({_NORM_SQL},
+                                          '[^a-z0-9 ]', '', 'g')) AS f
+                FROM documents
+            ),
+            exact_k AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY f
+                                          ORDER BY doc_id) = 1 AS ek
+                FROM fp
+            ),
+            near_k AS (
+                SELECT c.doc_id, c.cluster_id,
+                       CAST(COUNT(*) OVER (PARTITION BY c.cluster_id)
+                            AS BIGINT) AS cluster_size,
+                       row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS nk
+                FROM ({{dedup}}) c
+                JOIN documents d ON d.doc_id = c.doc_id
+            ),
+            t AS (
+                SELECT doc_id, text,
+                       string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(toks) AS n_tok,
+                       len(list_filter(toks,
+                           x -> list_contains({_STOPWORDS_SQL}, x))) AS n_stop,
+                       LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS n_alpha,
+                       [toks[i] || ' ' || toks[i+1]
+                        FOR i IN generate_series(1, len(toks)-1)] AS bigrams
+                FROM t
+            ),
+            qual_k AS (
+                SELECT doc_id,
+                       (n_tok >= {TX.GOPHER_MIN_TOKENS}
+                        AND n_tok <= {TX.GOPHER_MAX_TOKENS})
+                       AND COALESCE(CASE WHEN n_tok > 0 THEN
+                           CAST(n_stop AS DOUBLE) / n_tok
+                               >= {TX.GOPHER_MIN_STOP_RATIO} END, FALSE)
+                       AND COALESCE(CASE WHEN n_tok > 0 THEN
+                           CAST(n_alpha AS DOUBLE) / n_tok
+                               >= {TX.GOPHER_MIN_MEAN_WL}
+                           AND CAST(n_alpha AS DOUBLE) / n_tok
+                               <= {TX.GOPHER_MAX_MEAN_WL} END, FALSE)
+                       AND ((CASE WHEN len(bigrams) > 0
+                                  THEN 1.0 - CAST(len(list_distinct(bigrams))
+                                                  AS DOUBLE) / len(bigrams)
+                                  ELSE 0.0 END)
+                            <= {TX.GOPHER_MAX_DUP_FRAC}) AS qk
+                FROM m
+            )
+            SELECT e.doc_id, n.cluster_id, n.cluster_size,
+                   (ek AND nk AND qk) AS kept,
+                   CASE WHEN NOT ek THEN 'exact_dup'
+                        WHEN NOT nk THEN 'near_dup'
+                        WHEN NOT qk THEN 'quality'
+                        ELSE 'kept' END AS reason
+            FROM exact_k e
+            JOIN near_k n USING (doc_id)
+            JOIN qual_k q USING (doc_id)
+        """.replace("{dedup}", dedup_clusters_sql),
     }

@@ -16,7 +16,7 @@ quadratic in corpus size, only in bucket size (bounded by banding).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 SHINGLE_K = 5          # character shingle width
 MINHASH_SEEDS = 8      # K hash functions
@@ -447,3 +447,58 @@ def stratified_sample(docs: DataFrame) -> DataFrame:
                  F.sum(F.when(F.col("kept"), F.col("n_chars"))
                         .otherwise(F.lit(0))).alias("kept_chars"))
             .orderBy("source"))
+
+
+def canonical_docs(docs: DataFrame) -> DataFrame:
+    """Cluster → representative selection: for every near-dup cluster
+    (dedup_clusters), keep the LONGEST member (ties → lowest doc_id) —
+    the "keep the most complete version" policy real pipelines apply
+    after clustering, rather than blindly keeping the lowest id.
+
+    Emits every doc with its cluster, the cluster size, and the kept
+    flag. One window over the (doc → cluster) frame, partitioned by
+    cluster — the natural key; both the rank and the size share the
+    same partitioning, so it is one shuffle past clustering."""
+    cl = dedup_clusters(docs)                    # doc_id, cluster_id
+    j = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("cluster_id")
+    w_rank = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return j.select(
+        "doc_id", "cluster_id", "n_chars",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.row_number().over(w_rank) == 1).alias("kept"))
+
+
+def corpus_prune(docs: DataFrame) -> DataFrame:
+    """End-to-end corpus curation verdict — the composition a
+    training-data pipeline actually ships: exact dedup (canonical-form
+    fingerprint, first doc_id wins) → near-dup dedup (cluster
+    representative, longest wins) → quality filter (Gopher rules).
+    Emits per-doc kept + the FIRST failing stage as the reason
+    ('exact_dup' → 'near_dup' → 'quality' → 'kept').
+
+    The three stage verdicts are computed independently (each its own
+    documented plan: fingerprint is a pure map + one window,
+    clustering is the star-contracted CC, gopher is a pure map) and
+    combined with one three-way join on doc_id — at 100 TB each stage
+    is separately cacheable/checkpointable, which is exactly how a
+    multi-stage curation DAG is operated."""
+    from .text import fingerprint, gopher_filter
+    fp = fingerprint(docs).select("doc_id", "fingerprint")
+    w_fp = W.partitionBy("fingerprint").orderBy("doc_id")
+    exact = fp.select(
+        "doc_id", (F.row_number().over(w_fp) == 1).alias("_exact_keep"))
+    near = canonical_docs(docs).select(
+        "doc_id", "cluster_id", "cluster_size",
+        F.col("kept").alias("_near_keep"))
+    qual = gopher_filter(docs).select(
+        "doc_id", F.col("keep").alias("_q_keep"))
+    reason = (F.when(~F.col("_exact_keep"), F.lit("exact_dup"))
+               .when(~F.col("_near_keep"), F.lit("near_dup"))
+               .when(~F.col("_q_keep"), F.lit("quality"))
+               .otherwise(F.lit("kept")))
+    return (exact.join(near, "doc_id").join(qual, "doc_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    (F.col("_exact_keep") & F.col("_near_keep")
+                     & F.col("_q_keep")).alias("kept"),
+                    reason.alias("reason")))

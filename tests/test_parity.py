@@ -74,3 +74,27 @@ def test_batch_and_streaming_folds_agree(spark, tmp_path):
                  for r in spark.sql("select * from parity_state").collect()}
 
     assert batch == streaming
+
+
+def test_canonical_docs_keeps_longest_per_cluster(spark):
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    # doc0/doc1 near-identical (doc1 longer), doc2 unrelated
+    t0 = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, t0, 60), (1, t0 + " extra", 66),
+            (2, "completely different content with nothing shared here", 53)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = DD.canonical_docs(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "cluster_id"] == out.loc[1, "cluster_id"]
+    assert not out.loc[0, "kept"] and out.loc[1, "kept"]   # longest wins
+    assert out.loc[2, "kept"] and out.loc[2, "cluster_size"] == 1
+
+
+def test_corpus_prune_reason_priority(spark):
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    t0 = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, t0, 60), (1, t0, 60),       # exact dup pair
+            (2, "x", 1)]                    # fails gopher length floor
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = DD.corpus_prune(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "reason"] == "exact_dup" and not out.loc[1, "kept"]
+    assert out.loc[2, "reason"] == "quality" and not out.loc[2, "kept"]
