@@ -728,6 +728,14 @@ def _q_cheapest_supplier_per_part(spark, sf_dir):
     return WH.cheapest_supplier_per_part(spark, sf_dir)
 
 
+def _q_prune_report(spark, sf_dir):
+    return DD.prune_report(_docs(spark, sf_dir))
+
+
+def _q_normalize_embeddings(spark, sf_dir):
+    return SIM.normalize_embeddings(_emb(spark, sf_dir))
+
+
 def _q_canonical_docs(spark, sf_dir):
     return DD.canonical_docs(_docs(spark, sf_dir))
 
@@ -861,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_volume_part_suppliers": _q_high_volume_part_suppliers,
         "canonical_docs": _q_canonical_docs,
         "corpus_prune": _q_corpus_prune,
+        "prune_report": _q_prune_report,
+        "normalize_embeddings": _q_normalize_embeddings,
         "stats_summary": _q_stats_summary,
         # approx_stats: sketch values are engine-specific → no oracle
         # (driver records rows-only); error bounds tested in pytest.
@@ -983,6 +993,74 @@ def oracle_sql() -> dict[str, str]:
             FROM reach
             GROUP BY 1
         """)
+
+    corpus_prune_sql = f"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace({_NORM_SQL},
+                                          '[^a-z0-9 ]', '', 'g')) AS f
+                FROM documents
+            ),
+            exact_k AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY f
+                                          ORDER BY doc_id) = 1 AS ek
+                FROM fp
+            ),
+            near_k AS (
+                SELECT c.doc_id, c.cluster_id,
+                       CAST(COUNT(*) OVER (PARTITION BY c.cluster_id)
+                            AS BIGINT) AS cluster_size,
+                       row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS nk
+                FROM ({{dedup}}) c
+                JOIN documents d ON d.doc_id = c.doc_id
+            ),
+            t AS (
+                SELECT doc_id, text,
+                       string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(toks) AS n_tok,
+                       len(list_filter(toks,
+                           x -> list_contains({_STOPWORDS_SQL}, x))) AS n_stop,
+                       LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS n_alpha,
+                       [toks[i] || ' ' || toks[i+1]
+                        FOR i IN generate_series(1, len(toks)-1)] AS bigrams
+                FROM t
+            ),
+            qual_k AS (
+                SELECT doc_id,
+                       (n_tok >= {TX.GOPHER_MIN_TOKENS}
+                        AND n_tok <= {TX.GOPHER_MAX_TOKENS})
+                       AND COALESCE(CASE WHEN n_tok > 0 THEN
+                           CAST(n_stop AS DOUBLE) / n_tok
+                               >= {TX.GOPHER_MIN_STOP_RATIO} END, FALSE)
+                       AND COALESCE(CASE WHEN n_tok > 0 THEN
+                           CAST(n_alpha AS DOUBLE) / n_tok
+                               >= {TX.GOPHER_MIN_MEAN_WL}
+                           AND CAST(n_alpha AS DOUBLE) / n_tok
+                               <= {TX.GOPHER_MAX_MEAN_WL} END, FALSE)
+                       AND ((CASE WHEN len(bigrams) > 0
+                                  THEN 1.0 - CAST(len(list_distinct(bigrams))
+                                                  AS DOUBLE) / len(bigrams)
+                                  ELSE 0.0 END)
+                            <= {TX.GOPHER_MAX_DUP_FRAC}) AS qk
+                FROM m
+            )
+            SELECT e.doc_id, n.cluster_id, n.cluster_size,
+                   (ek AND nk AND qk) AS kept,
+                   CASE WHEN NOT ek THEN 'exact_dup'
+                        WHEN NOT nk THEN 'near_dup'
+                        WHEN NOT qk THEN 'quality'
+                        ELSE 'kept' END AS reason
+            FROM exact_k e
+            JOIN near_k n USING (doc_id)
+            JOIN qual_k q USING (doc_id)
+        """.replace("{dedup}", dedup_clusters_sql)
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2841,6 +2919,38 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY s_suppkey
         """,
+        "prune_report": """
+            WITH p AS ({corpus_prune_sql_ph}),
+            per AS (
+                SELECT reason, COUNT(*) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+                FROM p JOIN documents USING (doc_id)
+                GROUP BY 1
+            ),
+            tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+                           CAST(SUM(n_chars) AS BIGINT) AS tc
+                    FROM per)
+            SELECT reason, n_docs, n_chars,
+                   ROUND(CAST(n_docs AS DOUBLE) / td, 6) AS doc_frac,
+                   ROUND(CAST(n_chars AS DOUBLE) / tc, 6) AS char_frac
+            FROM per, tot
+            ORDER BY reason
+        """.replace("{corpus_prune_sql_ph}", corpus_prune_sql),
+        "normalize_embeddings": _PE_SQL + """
+            , norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10))) AS DOUBLE)) AS norm
+                FROM pe GROUP BY 1
+            )
+            SELECT e.vec_id,
+                   ROUND(n.norm, 6) AS norm,
+                   CASE WHEN n.norm > 0
+                        THEN list_transform(e.embedding,
+                                 x -> ROUND(CAST(x AS DOUBLE) / n.norm, 6))
+                        ELSE list_transform(e.embedding,
+                                 x -> CAST(x AS DOUBLE)) END AS unit
+            FROM embeddings e JOIN norms n USING (vec_id)
+        """,
         "canonical_docs": f"""
             SELECT c.doc_id, c.cluster_id, d.n_chars,
                    CAST(COUNT(*) OVER (PARTITION BY c.cluster_id)
@@ -2850,71 +2960,5 @@ def oracle_sql() -> dict[str, str]:
             FROM ({{dedup}}) c
             JOIN documents d ON d.doc_id = c.doc_id
         """.replace("{dedup}", dedup_clusters_sql),
-        "corpus_prune": f"""
-            WITH fp AS (
-                SELECT doc_id,
-                       md5(regexp_replace({_NORM_SQL},
-                                          '[^a-z0-9 ]', '', 'g')) AS f
-                FROM documents
-            ),
-            exact_k AS (
-                SELECT doc_id,
-                       row_number() OVER (PARTITION BY f
-                                          ORDER BY doc_id) = 1 AS ek
-                FROM fp
-            ),
-            near_k AS (
-                SELECT c.doc_id, c.cluster_id,
-                       CAST(COUNT(*) OVER (PARTITION BY c.cluster_id)
-                            AS BIGINT) AS cluster_size,
-                       row_number() OVER (PARTITION BY c.cluster_id
-                           ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS nk
-                FROM ({{dedup}}) c
-                JOIN documents d ON d.doc_id = c.doc_id
-            ),
-            t AS (
-                SELECT doc_id, text,
-                       string_split({_NORM_SQL}, ' ') AS toks
-                FROM documents
-            ),
-            m AS (
-                SELECT doc_id,
-                       len(toks) AS n_tok,
-                       len(list_filter(toks,
-                           x -> list_contains({_STOPWORDS_SQL}, x))) AS n_stop,
-                       LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                           AS n_alpha,
-                       [toks[i] || ' ' || toks[i+1]
-                        FOR i IN generate_series(1, len(toks)-1)] AS bigrams
-                FROM t
-            ),
-            qual_k AS (
-                SELECT doc_id,
-                       (n_tok >= {TX.GOPHER_MIN_TOKENS}
-                        AND n_tok <= {TX.GOPHER_MAX_TOKENS})
-                       AND COALESCE(CASE WHEN n_tok > 0 THEN
-                           CAST(n_stop AS DOUBLE) / n_tok
-                               >= {TX.GOPHER_MIN_STOP_RATIO} END, FALSE)
-                       AND COALESCE(CASE WHEN n_tok > 0 THEN
-                           CAST(n_alpha AS DOUBLE) / n_tok
-                               >= {TX.GOPHER_MIN_MEAN_WL}
-                           AND CAST(n_alpha AS DOUBLE) / n_tok
-                               <= {TX.GOPHER_MAX_MEAN_WL} END, FALSE)
-                       AND ((CASE WHEN len(bigrams) > 0
-                                  THEN 1.0 - CAST(len(list_distinct(bigrams))
-                                                  AS DOUBLE) / len(bigrams)
-                                  ELSE 0.0 END)
-                            <= {TX.GOPHER_MAX_DUP_FRAC}) AS qk
-                FROM m
-            )
-            SELECT e.doc_id, n.cluster_id, n.cluster_size,
-                   (ek AND nk AND qk) AS kept,
-                   CASE WHEN NOT ek THEN 'exact_dup'
-                        WHEN NOT nk THEN 'near_dup'
-                        WHEN NOT qk THEN 'quality'
-                        ELSE 'kept' END AS reason
-            FROM exact_k e
-            JOIN near_k n USING (doc_id)
-            JOIN qual_k q USING (doc_id)
-        """.replace("{dedup}", dedup_clusters_sql),
+        "corpus_prune": corpus_prune_sql,
     }

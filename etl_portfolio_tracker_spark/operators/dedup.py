@@ -502,3 +502,25 @@ def corpus_prune(docs: DataFrame) -> DataFrame:
                     (F.col("_exact_keep") & F.col("_near_keep")
                      & F.col("_q_keep")).alias("kept"),
                     reason.alias("reason")))
+
+
+def prune_report(docs: DataFrame) -> DataFrame:
+    """Corpus-curation dashboard row set: per prune reason, the doc
+    count and character mass plus their fractions of the corpus — the
+    summary every curation run reports. One tiny rollup over
+    corpus_prune (4 reason keys), totals joined as a broadcast 1-row
+    aggregate of the same partials."""
+    pr = corpus_prune(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id")
+    per = (pr.groupBy("reason")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("n_chars")))
+    tot = per.agg(F.sum("n_docs").alias("_td"),
+                  F.sum("n_chars").alias("_tc"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("reason", "n_docs", "n_chars",
+                    F.round(F.col("n_docs").cast("double") / F.col("_td"), 6)
+                     .alias("doc_frac"),
+                    F.round(F.col("n_chars").cast("double") / F.col("_tc"), 6)
+                     .alias("char_frac"))
+            .orderBy("reason"))

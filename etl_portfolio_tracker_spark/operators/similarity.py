@@ -656,3 +656,24 @@ def ann_recall(emb: DataFrame, query_ids=ANN_RECALL_QIDS,
                     F.round(F.col("n_hit").cast("double")
                             / F.lit(float(k)), 6).alias("recall"))
             .orderBy("qid"))
+
+
+def normalize_embeddings(emb: DataFrame) -> DataFrame:
+    """Unit-norm embedding projection — the preprocessing step every
+    cosine-metric ANN index applies at build time (after it, cosine ==
+    dot and an index can use plain inner product). Pure per-row map:
+    the exact-decimal norm (same kernel as every cosine here), then
+    one IEEE divide per element, rounded to 6dp so the emitted array
+    is bit-identical in any engine. Zero shuffle at any scale."""
+    norm = F.expr(_norm_sql("embedding"))
+    normed = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") / F.col("_n"), 6))
+    return (_spread(emb)
+            .select("vec_id", "embedding", norm.alias("_n"))
+            .select("vec_id",
+                    F.round("_n", 6).alias("norm"),
+                    F.when(F.col("_n") > 0, normed)
+                     .otherwise(F.col("embedding").cast("array<double>"))
+                     .alias("unit"))
+            )

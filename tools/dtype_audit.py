@@ -42,6 +42,9 @@ EQUIV = {
     # r1 green rows (price_range_scan et al.) prove the class.
     "timestamp": {"TIMESTAMP"},
     "timestamp_ntz": {"TIMESTAMP"},
+    "array<double>": {"DOUBLE[]"},
+    "array<float>": {"FLOAT[]"},
+    "array<bigint>": {"BIGINT[]"},
 }
 
 
