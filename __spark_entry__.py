@@ -728,6 +728,10 @@ def _q_cheapest_supplier_per_part(spark, sf_dir):
     return WH.cheapest_supplier_per_part(spark, sf_dir)
 
 
+def _q_pagerank(spark, sf_dir):
+    return DD.pagerank(_docs(spark, sf_dir))
+
+
 def _q_prune_report(spark, sf_dir):
     return DD.prune_report(_docs(spark, sf_dir))
 
@@ -869,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_volume_part_suppliers": _q_high_volume_part_suppliers,
         "canonical_docs": _q_canonical_docs,
         "corpus_prune": _q_corpus_prune,
+        "pagerank": _q_pagerank,
         "prune_report": _q_prune_report,
         "normalize_embeddings": _q_normalize_embeddings,
         "stats_summary": _q_stats_summary,
@@ -960,6 +965,65 @@ _PQ_CODES_SQL = f"""
         WHERE rn = 1
     )
 """
+
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-iteration PageRank twin of DD.pagerank: same
+    capped candidate graph, same decimal-summed incoming mass, same
+    damping constants (embedded via Python repr so the doubles match
+    the Spark literals bit-for-bit)."""
+    d = repr(DD.PAGERANK_DAMPING)
+    one_minus_d = repr(1.0 - DD.PAGERANK_DAMPING)
+    iters = []
+    for k in range(DD.PAGERANK_ITERS):
+        iters.append(f"""
+            r{k + 1} AS (
+                SELECT dd.doc_id,
+                       CAST({one_minus_d} AS DOUBLE) / (SELECT cnt FROM nn)
+                       + CAST({d} AS DOUBLE) * COALESCE(
+                           CAST(SUM(CAST(r.rank / dg.deg AS DECIMAL(38,10)))
+                                AS DOUBLE), 0.0) AS rank
+                FROM documents dd
+                LEFT JOIN edges e ON e.dst = dd.doc_id
+                LEFT JOIN deg dg ON dg.src = e.src
+                LEFT JOIN r{k} r ON r.doc_id = e.src
+                GROUP BY dd.doc_id
+            )""")
+    return (_SHINGLES_SQL.replace("SELECT DISTINCT", "SELECT")
+            + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                                band_rows=DD.LSH_BAND_ROWS)
+            + f"""
+            , kept AS (
+                SELECT band, band_key, doc_id FROM bands
+                QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
+                        <= {DD.MINHASH_BUCKET_CAP}
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM kept a JOIN kept b USING (band, band_key)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+            nn AS (SELECT COUNT(*) AS cnt FROM documents),
+            r0 AS (SELECT doc_id,
+                          CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS rank
+                   FROM documents),"""
+            + ",".join(iters)
+            + f"""
+            SELECT r.doc_id,
+                   COALESCE(dg.deg, 0) AS degree,
+                   ROUND(r.rank, 6) AS rank
+            FROM r{DD.PAGERANK_ITERS} r
+            LEFT JOIN deg dg ON dg.src = r.doc_id
+            ORDER BY rank DESC, doc_id ASC
+        """)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2919,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY s_suppkey
         """,
+        "pagerank": _pagerank_oracle_sql(),
         "prune_report": """
             WITH p AS ({corpus_prune_sql_ph}),
             per AS (

@@ -524,3 +524,63 @@ def prune_report(docs: DataFrame) -> DataFrame:
                     F.round(F.col("n_chars").cast("double") / F.col("_tc"), 6)
                      .alias("char_frac"))
             .orderBy("reason"))
+
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank(docs: DataFrame, n_iter: int = PAGERANK_ITERS,
+             damping: float = PAGERANK_DAMPING) -> DataFrame:
+    """Fixed-iteration PageRank over the near-dup candidate graph —
+    the document-centrality signal ("how connected is this doc to the
+    duplication structure") a curation pipeline uses to spot template
+    families that pairwise dedup misses. Symmetric edges from
+    minhash_lsh_candidates; uniform init 1/n; dangling mass is NOT
+    redistributed (documented divergence from the random-surfer
+    normalization — deterministic and cheaper; ranks then need no
+    global renormalization step per iteration).
+
+    Exactness across engines: each iteration's incoming sum goes
+    through the decimal rule (terms are IEEE divisions of identical
+    doubles; the SUM is exact decimal, so parallel aggregation order
+    can't move a bit), full precision carried between iterations,
+    6dp round only at emission. The oracle unrolls the same fixed
+    iterations as chained CTEs.
+
+    Scale: per iteration one join of ranks into edges (both hash-
+    partitioned on the source key) + one aggregation by destination —
+    the standard Pregel-free SQL PageRank; lineage stays 3 plans deep
+    (fixed n_iter), so no checkpointing is needed. The rank state is
+    |docs| rows, never driver-side."""
+    from ..derive import DEC
+    cands = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    edges = (cands.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(cands.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=False))   # one LSH materialization
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    total = docs.agg(F.count(F.lit(1)).alias("_n"))
+    base = (docs.select("doc_id").crossJoin(F.broadcast(total)))
+    ranks = base.select("doc_id", "_n",
+                        (F.lit(1.0) / F.col("_n")).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (edges.join(deg, "src")
+                   .join(ranks.select(F.col("doc_id").alias("src"), "rank"),
+                         "src")
+                   .select("dst", (F.col("rank") / F.col("deg")).alias("_t")))
+        incoming = contrib.groupBy("dst").agg(
+            F.sum(F.col("_t").cast(DEC)).cast("double").alias("_in"))
+        ranks = (base.join(incoming,
+                           base.doc_id == incoming.dst, "left")
+                 .select(base.doc_id.alias("doc_id"), "_n",
+                         ((1.0 - damping) / F.col("_n")
+                          + damping * F.coalesce(F.col("_in"), F.lit(0.0)))
+                         .alias("rank")))
+    return (ranks
+            .join(deg.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("deg", F.lit(0)).alias("degree"),
+                    F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("doc_id")))

@@ -98,3 +98,20 @@ def test_corpus_prune_reason_priority(spark):
     out = DD.corpus_prune(docs).toPandas().set_index("doc_id")
     assert out.loc[1, "reason"] == "exact_dup" and not out.loc[1, "kept"]
     assert out.loc[2, "reason"] == "quality" and not out.loc[2, "kept"]
+
+
+def test_pagerank_centrality_orders_hub_first(spark):
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    # doc0 near-identical to doc1 AND doc2 (hub); doc3 unrelated
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, t), (1, t + " one"), (2, t + " two"),
+            (3, "entirely different text with no shared shingles at all")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.pagerank(docs).toPandas().set_index("doc_id")
+    # connected docs outrank the isolate; every rank positive
+    assert out.loc[3, "degree"] == 0
+    assert out.loc[0, "rank"] > out.loc[3, "rank"]
+    assert (out["rank"] > 0).all()
+    # deterministic across runs
+    again = DD.pagerank(docs).toPandas().set_index("doc_id")
+    assert out.equals(again)
