@@ -968,6 +968,53 @@ _PQ_CODES_SQL = f"""
 
 
 
+
+def _kmeans_train_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled Lloyd-training twin of SIM.kmeans_train: per chained
+    iteration, the same decimal dot products, the same argmax tie rule,
+    the same 6dp-rounded re-estimated centroids fed forward, and the
+    same empty-cell carryover; the final SELECT mirrors kmeans_train's
+    output (last re-estimation only, no carryover rows)."""
+    n = SIM.N_IVF_CELLS
+    parts = [_PE_SQL,
+             f", c0 AS (SELECT vec_id AS cid, pos AS cpos, val AS cval "
+             f"FROM pe WHERE vec_id < {n})"]
+    for k in range(n_iter):
+        parts.append(f"""
+            , dots{k} AS (
+                SELECT pe.vec_id, cid,
+                       CAST(SUM(CAST(val * cval AS DECIMAL(38,10))) AS DOUBLE) AS dot
+                FROM pe JOIN c{k} ON pe.pos = c{k}.cpos
+                GROUP BY 1, 2
+            ),
+            assign{k} AS (
+                SELECT vec_id, cid AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY dot DESC, cid ASC) AS rn
+                      FROM dots{k})
+                WHERE rn = 1
+            ),
+            cc{k + 1} AS (
+                SELECT cell, pos,
+                       ROUND(CAST(SUM(CAST(val AS DECIMAL(38,10))) AS DOUBLE)
+                             / COUNT(*), 6) AS c_val,
+                       COUNT(*) AS n_members
+                FROM pe JOIN assign{k} USING (vec_id)
+                GROUP BY 1, 2
+            ),
+            c{k + 1} AS (
+                SELECT cell AS cid, pos AS cpos, c_val AS cval FROM cc{k + 1}
+                UNION ALL
+                SELECT cid, cpos, cval FROM c{k}
+                WHERE cid NOT IN (SELECT DISTINCT cell FROM cc{k + 1})
+            )""")
+    parts.append(f"""
+            SELECT CAST(cell AS INTEGER) AS cell, CAST(pos AS INTEGER) AS pos,
+                   c_val, n_members
+            FROM cc{n_iter}""")
+    return "".join(parts)
+
+
 def _pagerank_oracle_sql() -> str:
     """Unrolled fixed-iteration PageRank twin of DD.pagerank: same
     capped candidate graph, same decimal-summed incoming mass, same
@@ -2008,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM dots)
             WHERE rn = 1
         """,
+        "kmeans_train": _kmeans_train_oracle_sql(),
         "kmeans_step": _PE_SQL + f"""
             , cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval
                       FROM pe WHERE vec_id < {SIM.N_IVF_CELLS}),

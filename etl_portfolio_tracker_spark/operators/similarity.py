@@ -214,10 +214,11 @@ def kmeans_train(emb: DataFrame, n_cells: int = N_IVF_CELLS,
     re-estimation, and a collect of the new codebook back. The
     collect moves MODEL state (n_cells × dim floats), never data —
     the per-iteration driver traffic is O(k·d) regardless of corpus
-    size. Empty cells keep their previous centroid. Multi-iteration
-    training is not SQL-expressible in one statement, so this query
-    takes the driver's rows-only check; kmeans_step (one iteration)
-    carries the bit-exact oracle for the kernel."""
+    size. Empty cells keep their previous centroid. The DuckDB twin
+    (_kmeans_train_oracle_sql) unrolls the same fixed iterations as
+    chained CTEs — rounded centroids fed forward, empty-cell
+    carryover included — so the full training loop is checked
+    bit-exact, not just the kmeans_step kernel."""
     spark = emb.sparkSession
     base = _spread(emb)
     cents = [list(r["embedding"]) for r in
