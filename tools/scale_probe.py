@@ -160,6 +160,10 @@ def main() -> None:
     bench("ann_recall 10x", lambda: SIM.ann_recall(emb10))
     bench("bigram_lm_score 1x", lambda: TX.bigram_lm_score(docs1))
     bench("bigram_lm_score 10x", lambda: TX.bigram_lm_score(docs10))
+    bench("pagerank 1x", lambda: DD.pagerank(docs1))
+    bench("pagerank 10x", lambda: DD.pagerank(docs10))
+    bench("corpus_prune 1x", lambda: DD.corpus_prune(docs1))
+    bench("corpus_prune 10x", lambda: DD.corpus_prune(docs10))
 
 
 if __name__ == "__main__":
