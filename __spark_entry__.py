@@ -696,6 +696,12 @@ def _q_token_budget_mix(spark, sf_dir):
     return PK.token_budget_mix(_docs(spark, sf_dir))
 
 
+def _q_token_budget_mix_scalable(spark, sf_dir):
+    # same result as token_budget_mix by construction (two-pass
+    # distributed prefix sum) — shares its oracle verbatim
+    return PK.token_budget_mix_scalable(_docs(spark, sf_dir))
+
+
 def _q_ann_recall(spark, sf_dir):
     return SIM.ann_recall(_emb(spark, sf_dir))
 
@@ -860,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 3. never-checked remainder (front of round 3) -----------
         "epoch_shuffle": _q_epoch_shuffle,
         "token_budget_mix": _q_token_budget_mix,
+        "token_budget_mix_scalable": _q_token_budget_mix_scalable,
         "ann_recall": _q_ann_recall,
         "vocab_coverage": _q_vocab_coverage,
         "doc_length_histogram": _q_doc_length_histogram,
@@ -2789,6 +2796,26 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "token_budget_mix": f"""
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END)
+                        AS BIGINT) AS kept_tokens
+            FROM (
+                SELECT source, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY n_tokens DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       <= {PK.MIX_TOKEN_BUDGET} AS kept
+                FROM (SELECT doc_id, source,
+                             LEN(string_split({_NORM_SQL}, ' ')) AS n_tokens
+                      FROM documents)
+            )
+            GROUP BY source
+            ORDER BY source
+        """,
+        "token_budget_mix_scalable": f"""
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_kept,

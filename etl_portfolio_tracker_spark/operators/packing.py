@@ -168,3 +168,63 @@ def token_budget_mix(docs: DataFrame,
                  F.sum(F.when(F.col("kept"), F.col("n_tokens"))
                         .otherwise(F.lit(0))).alias("kept_tokens"))
             .orderBy("source"))
+
+
+def token_budget_mix_scalable(docs: DataFrame,
+                              budget: int = MIX_TOKEN_BUDGET,
+                              n_parts: int | None = None) -> DataFrame:
+    """token_budget_mix's giant-source-safe twin — the two-pass
+    distributed prefix sum its docstring promises, as real code with
+    bit-identical output.
+
+    The simple version's cumsum window serializes each source on one
+    reducer; fine for dimension-sized sources, wrong when one source
+    is half the corpus. Here:
+
+      1. range-partition on the cumsum ORDER key (source, n_tokens
+         DESC, doc_id) — each partition holds a contiguous slice of
+         every source's global order, bounded by partition size, not
+         source size;
+      2. partition-local cumsum: window keyed by (partition id,
+         source) — group size ≤ partition size by construction;
+      3. per-(partition, source) totals (≤ parts × sources tiny rows)
+         get an exclusive prefix over partition id — the broadcast-
+         sized offset table;
+      4. global cumsum = local cumsum + offset, then the same budget
+         cut and rollup as the simple version.
+
+    Integer token counts make both variants exactly equal (asserted
+    in tests); the plan trades the simple version's single
+    skew-vulnerable window for one range exchange + one
+    bounded-group window + one broadcast join.
+    """
+    from .text import _norm
+    toks = F.split(_norm(F.col("text")), " ")
+    n = n_parts or docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(
+        "doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"))
+    ranged = (base.repartitionByRange(
+                  n, F.asc("source"), F.desc("n_tokens"), F.asc("doc_id"))
+              .withColumn("_pid", F.spark_partition_id()))
+    w_local = (W.partitionBy("_pid", "source")
+               .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+               .rowsBetween(W.unboundedPreceding, W.currentRow))
+    local = ranged.withColumn("_lcum", F.sum("n_tokens").over(w_local))
+    totals = (local.groupBy("_pid", "source")
+              .agg(F.sum("n_tokens").alias("_ptot")))
+    w_off = (W.partitionBy("source").orderBy("_pid")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    offsets = totals.select(
+        "_pid", "source",
+        (F.sum("_ptot").over(w_off) - F.col("_ptot")).alias("_off"))
+    sel = (local.join(F.broadcast(offsets), ["_pid", "source"])
+           .select("source", "n_tokens",
+                   ((F.col("_lcum") + F.col("_off")) <= budget)
+                   .alias("kept")))
+    return (sel.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("kept"), 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.sum(F.when(F.col("kept"), F.col("n_tokens"))
+                        .otherwise(F.lit(0))).alias("kept_tokens"))
+            .orderBy("source"))

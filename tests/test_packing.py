@@ -101,3 +101,27 @@ def test_token_budget_mix_cuts_at_budget(spark):
     assert out.loc["s1", "n_kept"] == 2
     assert out.loc["s1", "kept_tokens"] == 18
     assert out.loc["s2", "n_kept"] == 1 and out.loc["s2", "kept_tokens"] == 3
+
+
+def test_token_budget_mix_scalable_equals_simple(spark):
+    import random
+    rng = random.Random(11)
+    # skewed: source s0 holds 80% of docs
+    rows = []
+    for i in range(400):
+        src = "s0" if i < 320 else f"s{1 + i % 3}"
+        rows.append((i, "w " * rng.randint(1, 40), src))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = (PK.token_budget_mix(df, budget=500)
+         .toPandas().reset_index(drop=True))
+    b = (PK.token_budget_mix_scalable(df, budget=500, n_parts=7)
+         .toPandas().reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_token_budget_mix_scalable_matches_on_harness_data(spark):
+    from etl_portfolio_tracker_spark.io import read_table
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    a = PK.token_budget_mix(docs).toPandas().reset_index(drop=True)
+    b = PK.token_budget_mix_scalable(docs).toPandas().reset_index(drop=True)
+    assert a.equals(b)
