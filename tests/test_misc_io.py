@@ -223,3 +223,24 @@ def test_audio_meta_real_wav_decode(spark):
     # fallback path: bytes-as-8-bit-samples
     assert out.loc[2, "sample_rate"] == 8000
     assert out.loc[2, "n_samples"] == len(b"not-audio")
+
+
+def test_docgen_datasource_deterministic_and_partitioned(spark):
+    from etl_portfolio_tracker_spark.sources.docgen import register
+    register(spark)
+    df = (spark.read.format("docgen")
+          .option("rows", 200).option("numPartitions", 5).load())
+    a = df.orderBy("doc_id").toPandas()
+    assert len(a) == 200
+    assert list(a["doc_id"]) == list(range(200))
+    assert df.rdd.getNumPartitions() == 5
+    assert (a["n_chars"] == a["text"].str.len()).all()
+    # deterministic under a different partitioning
+    b = (spark.read.format("docgen")
+         .option("rows", 200).option("numPartitions", 2).load()
+         .orderBy("doc_id").toPandas())
+    assert a.equals(b)
+    # downstream operators run on generated rows
+    from etl_portfolio_tracker_spark.operators import text as TX
+    out = TX.token_stats(df).toPandas()
+    assert len(out) == 200 and (out["n_ws_tokens"] >= 8).all()
