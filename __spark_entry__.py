@@ -86,6 +86,16 @@ def _q_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.positions(derive.trades(spark, sf_dir))
 
 
+def _q_incremental_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of A1: state built from 80% of the
+    ledger, the rest merged as a delta batch — must equal the full
+    recompute bit-for-bit (shares the positions oracle verbatim)."""
+    t = derive.trades(spark, sf_dir)
+    state = R.positions_state(t.filter(F.col("id") % 5 != 0))
+    merged = R.merge_positions_state(state, t.filter(F.col("id") % 5 == 0))
+    return R.positions_from_state(merged)
+
+
 def _q_current_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.current_qty(derive.trades(spark, sf_dir), DEMO_USER, "click")
 
@@ -787,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- 1. fixed since r1 (err → expect green) ------------------
         "positions": _q_positions,
+        "incremental_positions": _q_incremental_positions,
         "current_qty": _q_current_qty,
         "cash_balance": _q_cash_balance,
         "overview": _q_overview,
@@ -1200,6 +1211,13 @@ def oracle_sql() -> dict[str, str]:
             HAVING SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) <> 0
         """, TRADES_CTE),
         "positions": with_domain("""
+            SELECT "user", ticker,
+                   SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS qty
+            FROM trades
+            GROUP BY "user", ticker
+            HAVING SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) <> 0
+        """, TRADES_CTE),
+        "incremental_positions": with_domain("""
             SELECT "user", ticker,
                    SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS qty
             FROM trades

@@ -116,3 +116,37 @@ def price_range_scan(prices: DataFrame, start: str, end: str) -> DataFrame:
 def distinct_tickers(trades: DataFrame) -> DataFrame:
     """A8 — distinct held tickers (1_Dashboard.py:160)."""
     return trades.select("ticker").distinct()
+
+
+def positions_state(trades: DataFrame) -> DataFrame:
+    """UNFILTERED per-(user, ticker) net-position aggregate — the
+    stored state of incremental view maintenance. The HAVING qty != 0
+    cut must NOT live in the state: a key netted to zero still needs
+    its row, or a later delta would resurrect it from the wrong
+    baseline (the classic IVM pitfall)."""
+    return (trades.groupBy("user", "ticker")
+            .agg(F.sum(signed_qty()).alias("qty")))
+
+
+def merge_positions_state(state: DataFrame,
+                          delta_trades: DataFrame) -> DataFrame:
+    """Incremental maintenance step: aggregate ONLY the delta batch,
+    then full-outer coalesce-sum into the stored state — the
+    O(|delta| + |touched keys|) path that replaces an O(|ledger|)
+    recompute. SUM is self-maintainable, which is why this merge is
+    exact; MIN/MAX-style aggregates would need auxiliary state.
+
+    At 100 TB the state lives partitioned by (user, ticker); the
+    delta's partial aggregate hash-joins into it touching only the
+    affected partitions (a Delta MERGE in production)."""
+    delta = (delta_trades.groupBy("user", "ticker")
+             .agg(F.sum(signed_qty()).alias("_dq")))
+    return (state.join(delta, ["user", "ticker"], "full_outer")
+            .select("user", "ticker",
+                    (F.coalesce(F.col("qty"), F.lit(0.0))
+                     + F.coalesce(F.col("_dq"), F.lit(0.0))).alias("qty")))
+
+
+def positions_from_state(state: DataFrame) -> DataFrame:
+    """Read-side of the maintained view: apply the A1 HAVING cut."""
+    return state.filter(F.col("qty") != 0)

@@ -77,3 +77,25 @@ def test_idempotent_append(spark):
            for r in idempotent_append(p, batch, ["ticker", "ts"]).collect()}
     assert out == {("A", dt.date(2025, 1, 1)): 10.0,
                    ("A", dt.date(2025, 1, 2)): 11.0}
+
+
+def test_incremental_positions_resurrects_zeroed_key(spark):
+    # the IVM pitfall positions_state exists to avoid: a key netted to
+    # ZERO in the base must still merge correctly with a later delta
+    import datetime as dt
+    from etl_portfolio_tracker_spark import schemas
+    from etl_portfolio_tracker_spark.operators import relational as R
+    rows = [(1, "u", "T", dt.datetime(2025, 1, 1), "BUY", 5.0, 10.0, 0.0),
+            (2, "u", "T", dt.datetime(2025, 1, 2), "SELL", 5.0, 11.0, 0.0)]
+    base = spark.createDataFrame(rows, schema=schemas.TRADES)
+    delta = spark.createDataFrame(
+        [(3, "u", "T", dt.datetime(2025, 1, 3), "BUY", 2.0, 12.0, 0.0)],
+        schema=schemas.TRADES)
+    state = R.positions_state(base)
+    out = R.positions_from_state(
+        R.merge_positions_state(state, delta)).collect()
+    assert [(r["user"], r["ticker"], r["qty"]) for r in out] == [("u", "T", 2.0)]
+    # and the naive filtered-positions baseline would have gotten it
+    # right here too ONLY because full_outer resurrects the key; the
+    # stored state must still be the unfiltered aggregate:
+    assert R.positions_state(base).filter("qty = 0").count() == 1
