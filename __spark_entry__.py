@@ -86,6 +86,26 @@ def _q_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.positions(derive.trades(spark, sf_dir))
 
 
+def _q_zorder_events(spark, sf_dir):
+    """Z-order clustering demo over events: z = Morton(user_id,
+    minute-of-day); per coarse z-bucket, the row count and the
+    min/max of BOTH dimensions — each bucket's tight ranges in both
+    columns are exactly what makes file-level min/max stats skip
+    multi-dimensional predicates after a ZORDER rewrite."""
+    from etl_portfolio_tracker_spark.functions.zorder import zvalue
+    ev = read_table(spark, sf_dir, "events")
+    minute = (F.hour("ts") * 60 + F.minute("ts")).cast("bigint").alias("_m")
+    base = ev.select(F.col("user_id").cast("bigint").alias("_u"), minute)
+    z = zvalue(F.col("_u"), F.col("_m"))
+    return (base.select("_u", "_m", z.alias("_z"))
+            .groupBy(F.shiftright(F.col("_z"), 14).alias("z_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("_u").alias("min_user"), F.max("_u").alias("max_user"),
+                 F.min("_m").alias("min_minute"),
+                 F.max("_m").alias("max_minute"))
+            .orderBy("z_bucket"))
+
+
 def _q_incremental_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance of A1: state built from 80% of the
     ledger, the rest merged as a delta batch — must equal the full
@@ -798,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 1. fixed since r1 (err → expect green) ------------------
         "positions": _q_positions,
         "incremental_positions": _q_incremental_positions,
+        "zorder_events": _q_zorder_events,
         "current_qty": _q_current_qty,
         "cash_balance": _q_cash_balance,
         "overview": _q_overview,
@@ -1217,6 +1238,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY "user", ticker
             HAVING SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) <> 0
         """, TRADES_CTE),
+        "zorder_events": """
+            WITH base AS (
+                SELECT CAST(user_id AS BIGINT) AS u,
+                       CAST(EXTRACT(hour FROM ts) * 60
+                            + EXTRACT(minute FROM ts) AS BIGINT) AS m
+                FROM events
+            ),
+            zed AS (
+                SELECT u, m, ((((u >> 0) & 1) << 0) + (((u >> 1) & 1) << 2) + (((u >> 2) & 1) << 4) + (((u >> 3) & 1) << 6) + (((u >> 4) & 1) << 8) + (((u >> 5) & 1) << 10) + (((u >> 6) & 1) << 12) + (((u >> 7) & 1) << 14) + (((u >> 8) & 1) << 16) + (((u >> 9) & 1) << 18) + (((u >> 10) & 1) << 20) + (((u >> 11) & 1) << 22) + (((u >> 12) & 1) << 24) + (((u >> 13) & 1) << 26) + (((u >> 14) & 1) << 28) + (((u >> 15) & 1) << 30) + (((m >> 0) & 1) << 1) + (((m >> 1) & 1) << 3) + (((m >> 2) & 1) << 5) + (((m >> 3) & 1) << 7) + (((m >> 4) & 1) << 9) + (((m >> 5) & 1) << 11) + (((m >> 6) & 1) << 13) + (((m >> 7) & 1) << 15) + (((m >> 8) & 1) << 17) + (((m >> 9) & 1) << 19) + (((m >> 10) & 1) << 21) + (((m >> 11) & 1) << 23) + (((m >> 12) & 1) << 25) + (((m >> 13) & 1) << 27) + (((m >> 14) & 1) << 29) + (((m >> 15) & 1) << 31)) AS z
+                FROM base
+            )
+            SELECT z >> 14 AS z_bucket,
+                   COUNT(*) AS n_events,
+                   MIN(u) AS min_user, MAX(u) AS max_user,
+                   MIN(m) AS min_minute, MAX(m) AS max_minute
+            FROM zed
+            GROUP BY 1 ORDER BY 1
+        """,
         "incremental_positions": with_domain("""
             SELECT "user", ticker,
                    SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS qty

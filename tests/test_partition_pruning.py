@@ -38,3 +38,26 @@ def test_partitioned_prices_prune(spark, tmp_path):
     # control: a bare ts filter does not prune — documents the trap
     bare = spark.read.parquet(path).filter(F.col("ts") >= "2024-01-01")
     assert _partition_filters(bare).strip() == ""
+
+
+def test_zorder_layout_buckets_are_compact_rectangles(spark, tmp_path):
+    # after a zorder write, each file's min/max ranges in BOTH dimensions
+    # must be narrow — the data-skipping property a 1-D sort lacks
+    import glob
+    from pyspark.sql import functions as F
+    from etl_portfolio_tracker_spark.functions.zorder import zorder_layout
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b"))
+    out = str(tmp_path / "z")
+    zorder_layout(df, "a", "b", n_files=16).drop("_z").write.parquet(out)
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) >= 8
+    # each file's bounding rectangle area << full domain area
+    total_area = 64 * 64
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        if len(pdf) == 0:
+            continue
+        area = ((pdf["a"].max() - pdf["a"].min() + 1)
+                * (pdf["b"].max() - pdf["b"].min() + 1))
+        assert area <= total_area / 3   # compact in BOTH dims
