@@ -69,8 +69,11 @@ def test_oracle_coverage_documented():
     """Every query either has an oracle or is a documented rows-only
     exception (iterative / sampling ops the driver checks weaker)."""
     rows_only_ok = {
-        "kmeans_train",  # legitimately iterative, VERDICT r1 §missing
+        # kmeans_train graduated in r2: unrolled-Lloyd CTE oracle
         "approx_stats",  # sketch values engine-specific; bounds in pytest
+        "audio_meta",    # RMS/peak over raw blob bytes — no portable
+                         # DuckDB blob reduction; real WAV decode is
+                         # pytest-verified on constructed payloads
     }
     missing = set(E.queries()) - set(E.oracle_sql()) - rows_only_ok
     assert not missing, f"queries with no oracle and no documented waiver: {sorted(missing)}"
