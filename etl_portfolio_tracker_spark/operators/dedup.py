@@ -561,12 +561,21 @@ def pagerank(docs: DataFrame, n_iter: int = PAGERANK_ITERS,
                                        F.col("doc_a").alias("dst")))
              .localCheckpoint(eager=False))   # one LSH materialization
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # degree is loop-INVARIANT: join it into the edge list once and
+    # checkpoint, so each runtime iteration is one join + one
+    # aggregation over the materialized weighted edges instead of
+    # re-deriving edges ⋈ deg (and the LSH pipeline behind it) —
+    # explain() still shows the full lineage because the checkpoint
+    # is lazy, but post-materialization the per-iteration work halves
+    edges_w = (edges.join(deg, "src")
+               .select("src", "dst", "deg")
+               .localCheckpoint(eager=False))
     total = docs.agg(F.count(F.lit(1)).alias("_n"))
     base = (docs.select("doc_id").crossJoin(F.broadcast(total)))
     ranks = base.select("doc_id", "_n",
                         (F.lit(1.0) / F.col("_n")).alias("rank"))
     for _ in range(n_iter):
-        contrib = (edges.join(deg, "src")
+        contrib = (edges_w
                    .join(ranks.select(F.col("doc_id").alias("src"), "rank"),
                          "src")
                    .select("dst", (F.col("rank") / F.col("deg")).alias("_t")))

@@ -125,3 +125,14 @@ def test_token_budget_mix_scalable_matches_on_harness_data(spark):
     a = PK.token_budget_mix(docs).toPandas().reset_index(drop=True)
     b = PK.token_budget_mix_scalable(docs).toPandas().reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_epoch_shuffle_bijection_on_sparse_ids(spark):
+    # non-contiguous / large doc_ids must still yield a permutation
+    ids = [3, 99, 10**12, 7_777_777, 42, 1]
+    df = spark.createDataFrame([(i, "t") for i in ids],
+                               "doc_id long, text string")
+    out = PK.epoch_shuffle(df, n_buckets=3).toPandas()
+    assert sorted(out["doc_id"]) == sorted(ids)
+    for _, g in out.groupby("bucket"):
+        assert sorted(g["pos"]) == list(range(len(g)))

@@ -61,3 +61,20 @@ def test_zorder_layout_buckets_are_compact_rectangles(spark, tmp_path):
         area = ((pdf["a"].max() - pdf["a"].min() + 1)
                 * (pdf["b"].max() - pdf["b"].min() + 1))
         assert area <= total_area / 3   # compact in BOTH dims
+
+
+def test_zvalue_quadrant_ordering(spark):
+    # all z-values of the low-low quadrant sort before any of the
+    # high-high quadrant — the property file-level min/max skipping
+    # relies on after a zorder layout
+    from pyspark.sql import functions as F
+    from etl_portfolio_tracker_spark.functions.zorder import zvalue
+    df = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(8)], "a long, b long")
+    pdf = df.select("a", "b", zvalue(F.col("a"), F.col("b")).alias("z")) \
+            .toPandas()
+    low = pdf[(pdf.a < 4) & (pdf.b < 4)]["z"]
+    high = pdf[(pdf.a >= 4) & (pdf.b >= 4)]["z"]
+    assert low.max() < high.min()
+    # and z is injective on the grid
+    assert pdf["z"].nunique() == len(pdf)

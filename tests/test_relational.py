@@ -99,3 +99,27 @@ def test_incremental_positions_resurrects_zeroed_key(spark):
     # right here too ONLY because full_outer resurrects the key; the
     # stored state must still be the unfiltered aggregate:
     assert R.positions_state(base).filter("qty = 0").count() == 1
+
+
+def test_merge_positions_state_is_associative(spark):
+    # merging deltas one at a time == merging their union: the property
+    # that makes the maintenance correct under any batching
+    import datetime as dt
+    import random
+    from etl_portfolio_tracker_spark import schemas
+    from etl_portfolio_tracker_spark.operators import relational as R
+    rng = random.Random(3)
+    def trades(ids):
+        rows = [(i, f"u{rng.randint(0, 3)}", f"T{rng.randint(0, 2)}",
+                 dt.datetime(2025, 1, 1) + dt.timedelta(minutes=i),
+                 rng.choice(["BUY", "SELL"]), float(rng.randint(1, 9)),
+                 10.0, 0.0) for i in ids]
+        return spark.createDataFrame(rows, schema=schemas.TRADES)
+    base = trades(range(0, 30))
+    d1, d2 = trades(range(30, 40)), trades(range(40, 50))
+    s = R.positions_state(base)
+    stepwise = R.merge_positions_state(R.merge_positions_state(s, d1), d2)
+    atonce = R.merge_positions_state(s, d1.unionByName(d2))
+    a = stepwise.orderBy("user", "ticker").toPandas()
+    b = atonce.orderBy("user", "ticker").toPandas()
+    assert a.equals(b)
