@@ -784,6 +784,10 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    return WH.snapshot_diff(spark, sf_dir)
+
+
 def _q_customer_spend_percentile(spark, sf_dir):
     return WH.customer_spend_percentile(spark, sf_dir)
 
@@ -908,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "snapshot_diff": _q_snapshot_diff,
         "customer_spend_percentile": _q_customer_spend_percentile,
         "high_volume_part_suppliers": _q_high_volume_part_suppliers,
         "canonical_docs": _q_canonical_docs,
@@ -3084,6 +3089,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE rn = 1
             ORDER BY l_partkey
+        """,
+        "snapshot_diff": """
+            WITH v1 AS (SELECT c_custkey AS key, c_acctbal AS bal_v1
+                        FROM customer),
+            v2 AS (
+                SELECT c_custkey AS key,
+                       CASE WHEN c_custkey % 5 = 0
+                            THEN ROUND(c_acctbal + 100.0, 2)
+                            ELSE c_acctbal END AS bal_v2
+                FROM customer WHERE c_custkey % 17 <> 0
+            )
+            SELECT * FROM (
+                SELECT COALESCE(v1.key, v2.key) AS key, bal_v1, bal_v2,
+                       CASE WHEN bal_v1 IS NULL THEN 'inserted'
+                            WHEN bal_v2 IS NULL THEN 'deleted'
+                            WHEN bal_v1 <> bal_v2 THEN 'changed'
+                            ELSE 'unchanged' END AS change_type
+                FROM v1 FULL OUTER JOIN v2 USING (key)
+            ) WHERE change_type <> 'unchanged'
+            ORDER BY key
         """,
         "customer_spend_percentile": """
             WITH spend AS (

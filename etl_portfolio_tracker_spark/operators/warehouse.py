@@ -432,3 +432,40 @@ def high_volume_part_suppliers(spark: SparkSession, sf_dir: str,
             .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
             .select("s_suppkey", "s_name", "n_name")
             .orderBy("s_suppkey"))
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / SCD change capture: full-outer diff of two dimension
+    snapshots typed as inserted / deleted / changed / unchanged — the
+    daily job that feeds slowly-changing-dimension history.
+
+    The harness ships one snapshot, so v2 is derived deterministically
+    from v1 (drop custkey % 17 == 0, re-balance custkey % 5 == 0) —
+    the DIFF operator under test is snapshot-agnostic.
+
+    Scale: one full-outer hash join on the key and a row-local CASE.
+    At 100 TB both sides are key-partitioned snapshots; with change
+    fractions small, the production variant anti-joins a change-log
+    instead of full-outer-joining full snapshots — the emitted rows
+    and types are identical.
+    """
+    v1 = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    v2 = (v1.filter(F.col("c_custkey") % 17 != 0)
+          .select("c_custkey", "c_name",
+                  F.when(F.col("c_custkey") % 5 == 0,
+                         F.round(F.col("c_acctbal") + 100.0, 2))
+                   .otherwise(F.col("c_acctbal")).alias("c_acctbal")))
+    a = v1.select(F.col("c_custkey").alias("key"),
+                  F.col("c_acctbal").alias("bal_v1"))
+    b = v2.select(F.col("c_custkey").alias("key"),
+                  F.col("c_acctbal").alias("bal_v2"))
+    diff = a.join(b, "key", "full_outer")
+    change = (F.when(F.col("bal_v1").isNull(), F.lit("inserted"))
+               .when(F.col("bal_v2").isNull(), F.lit("deleted"))
+               .when(F.col("bal_v1") != F.col("bal_v2"), F.lit("changed"))
+               .otherwise(F.lit("unchanged")))
+    return (diff.select("key", "bal_v1", "bal_v2",
+                        change.alias("change_type"))
+            .filter(F.col("change_type") != "unchanged")
+            .orderBy("key"))
