@@ -784,6 +784,10 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_cohort_matrix(spark, sf_dir):
+    return SE.cohort_matrix(read_table(spark, sf_dir, "events"))
+
+
 def _q_snapshot_diff(spark, sf_dir):
     return WH.snapshot_diff(spark, sf_dir)
 
@@ -912,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "cohort_matrix": _q_cohort_matrix,
         "snapshot_diff": _q_snapshot_diff,
         "customer_spend_percentile": _q_customer_spend_percentile,
         "high_volume_part_suppliers": _q_high_volume_part_suppliers,
@@ -3089,6 +3094,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE rn = 1
             ORDER BY l_partkey
+        """,
+        "cohort_matrix": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ),
+            first AS (SELECT user_id, MIN(day) AS first_day
+                      FROM ud GROUP BY 1),
+            j AS (
+                SELECT CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                                            first_day) / 7.0) AS BIGINT)
+                           AS cohort_week,
+                       CAST(FLOOR(date_diff('day', first_day, day) / 7.0)
+                            AS BIGINT) AS week_offset,
+                       ud.user_id
+                FROM ud JOIN first USING (user_id)
+            ),
+            per_cell AS (
+                SELECT cohort_week, week_offset,
+                       COUNT(DISTINCT user_id) AS n_active
+                FROM j GROUP BY 1, 2
+            ),
+            sizes AS (SELECT cohort_week, n_active AS cohort_size
+                      FROM per_cell WHERE week_offset = 0)
+            SELECT cohort_week, week_offset, n_active, cohort_size,
+                   ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6)
+                       AS retention
+            FROM per_cell JOIN sizes USING (cohort_week)
+            ORDER BY cohort_week, week_offset
         """,
         "snapshot_diff": """
             WITH v1 AS (SELECT c_custkey AS key, c_acctbal AS bal_v1
