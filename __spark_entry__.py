@@ -878,11 +878,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": _q_forecast_revenue,
         "shipmode_priority": _q_shipmode_priority,
         "sliding_rollup": _q_sliding_rollup,
+        # ---- driver's 50-query cap lands HERE (sliding_rollup = #50;
+        # incremental_positions and zorder_events were inserted above).
+        # Everything below needs an external row in round 3+. ----
         "positions_salted": _q_positions_salted,
         "funnel": _q_funnel,
-        # ---- driver's 50-query cap lands HERE (funnel is #50) ----
-        # everything below needs an external row in round 3+; keep the
-        # never-checked block contiguous so the next reorder is a move
         "retention": _q_retention,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "pack_sequences": _q_pack_sequences,
