@@ -784,6 +784,10 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_top_ngrams(spark, sf_dir):
+    return TX.top_ngrams(_docs(spark, sf_dir))
+
+
 def _q_cohort_matrix(spark, sf_dir):
     return SE.cohort_matrix(read_table(spark, sf_dir, "events"))
 
@@ -916,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "top_ngrams": _q_top_ngrams,
         "cohort_matrix": _q_cohort_matrix,
         "snapshot_diff": _q_snapshot_diff,
         "customer_spend_percentile": _q_customer_spend_percentile,
@@ -3094,6 +3099,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE rn = 1
             ORDER BY l_partkey
+        """,
+        "top_ngrams": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l
+                FROM documents
+            ),
+            ng AS (
+                SELECT doc_id,
+                       l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                           AS ngram
+                FROM toks, UNNEST(generate_series(1, len(l) - 3)) AS u(i)
+                WHERE len(l) >= 4
+            )
+            SELECT ngram, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM ng GROUP BY 1
+            ORDER BY n_occurrences DESC, ngram ASC
+            LIMIT {TX.TOP_NGRAM_K}
         """,
         "cohort_matrix": """
             WITH ud AS (

@@ -457,3 +457,33 @@ def source_divergence(docs: DataFrame) -> DataFrame:
                  F.round(F.sum(F.col("_t").cast(DEC)), 6).cast("double")
                   .alias("kl_div"))
             .orderBy("source"))
+
+
+TOP_NGRAM_N = 4
+TOP_NGRAM_K = 20
+
+
+def top_ngrams(docs: DataFrame, n: int = TOP_NGRAM_N,
+               k: int = TOP_NGRAM_K) -> DataFrame:
+    """Corpus-wide repeated n-gram mining: the k most frequent word
+    n-grams with occurrence and document counts — the boilerplate
+    detector that seeds template-removal rules (an n-gram appearing
+    in thousands of docs is navigation/disclaimer text, not content).
+
+    Scale shape: n-gram arrays built row-locally (materialized token
+    array — the transform() inlining rule), ONE explode + one
+    (ngram) count aggregate with map-side combine, top-k via
+    TakeOrderedAndProject. Document counts use count_distinct inside
+    the same aggregate — no second pass."""
+    toks = F.col("_toks")
+    ngrams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (docs.select("doc_id", tokens_col().alias("_toks"))
+                .select("doc_id", F.explode(ngrams).alias("ngram")))
+    return (exploded.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.count_distinct("doc_id").alias("n_docs"))
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+            .limit(k))
