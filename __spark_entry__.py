@@ -784,6 +784,10 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_active_users_rolling(spark, sf_dir):
+    return SE.active_users_rolling(read_table(spark, sf_dir, "events"))
+
+
 def _q_top_ngrams(spark, sf_dir):
     return TX.top_ngrams(_docs(spark, sf_dir))
 
@@ -920,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "active_users_rolling": _q_active_users_rolling,
         "top_ngrams": _q_top_ngrams,
         "cohort_matrix": _q_cohort_matrix,
         "snapshot_diff": _q_snapshot_diff,
@@ -3099,6 +3104,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE rn = 1
             ORDER BY l_partkey
+        """,
+        "active_users_rolling": f"""
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ),
+            rolled AS (
+                SELECT user_id, day + CAST(k AS INTEGER) AS day
+                FROM ud CROSS JOIN (SELECT UNNEST(generate_series(0,
+                    {SE.ROLLING_ACTIVE_DAYS - 1})) AS k)
+            ),
+            wau AS (SELECT day, COUNT(DISTINCT user_id) AS active_7d
+                    FROM rolled GROUP BY 1),
+            dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+                    FROM ud GROUP BY 1)
+            SELECT day, dau, active_7d
+            FROM dau JOIN wau USING (day)
+            ORDER BY day
         """,
         "top_ngrams": f"""
             WITH toks AS (
