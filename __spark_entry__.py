@@ -784,6 +784,14 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_market_basket(spark, sf_dir):
+    return WH.market_basket(spark, sf_dir)
+
+
+def _q_revenue_pareto(spark, sf_dir):
+    return WH.revenue_pareto(spark, sf_dir)
+
+
 def _q_active_users_rolling(spark, sf_dir):
     return SE.active_users_rolling(read_table(spark, sf_dir, "events"))
 
@@ -924,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "market_basket": _q_market_basket,
+        "revenue_pareto": _q_revenue_pareto,
         "active_users_rolling": _q_active_users_rolling,
         "top_ngrams": _q_top_ngrams,
         "cohort_matrix": _q_cohort_matrix,
@@ -3104,6 +3114,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE rn = 1
             ORDER BY l_partkey
+        """,
+        "market_basket": f"""
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS support
+            FROM li a JOIN li b USING (l_orderkey)
+            WHERE a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {WH.BASKET_MIN_SUPPORT}
+            ORDER BY support DESC, part_a ASC, part_b ASC
+        """,
+        "revenue_pareto": f"""
+            WITH spend AS (
+                SELECT o_custkey,
+                       SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(38,10))) AS sp
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1
+            ),
+            total AS (SELECT SUM(sp) AS t FROM spend),
+            top AS (SELECT o_custkey, sp FROM spend
+                    ORDER BY sp DESC, o_custkey ASC LIMIT {WH.PARETO_TOP_K})
+            SELECT CAST(row_number() OVER (ORDER BY sp DESC, o_custkey ASC)
+                        AS INTEGER) AS rank,
+                   o_custkey,
+                   CAST(ROUND(sp, 2) AS DOUBLE) AS spend,
+                   ROUND(CAST(SUM(sp) OVER (ORDER BY sp DESC, o_custkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS DOUBLE)
+                         / (SELECT CAST(t AS DOUBLE) FROM total), 6)
+                       AS cum_share
+            FROM top
         """,
         "active_users_rolling": f"""
             WITH ud AS (

@@ -469,3 +469,65 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                         change.alias("change_type"))
             .filter(F.col("change_type") != "unchanged")
             .orderBy("key"))
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+def market_basket(spark: SparkSession, sf_dir: str,
+                  min_support: int = BASKET_MIN_SUPPORT) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in the same
+    order with support ≥ threshold — the co-purchase signal behind
+    "frequently bought together".
+
+    Scale shape: the self-join is WITHIN-ORDER (equi-key on
+    l_orderkey + a < b cut), so pair volume is Σ|basket|² — bounded
+    by basket size (single digits here), never corpus-quadratic; the
+    same bucket-cap reasoning as the LSH pair stages applies to
+    pathological mega-baskets. One shuffle on the order key, one pair
+    aggregate with map-side combine."""
+    li = (read_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    return (a.join(b, "l_orderkey")
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .groupBy(F.col("a.l_partkey").alias("part_a"),
+                     F.col("b.l_partkey").alias("part_b"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= min_support)
+            .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b")))
+
+
+PARETO_TOP_K = 25
+
+
+def revenue_pareto(spark: SparkSession, sf_dir: str,
+                   k: int = PARETO_TOP_K) -> DataFrame:
+    """Revenue-concentration (Lorenz/Pareto) curve head: customers
+    ranked by spend with each prefix's cumulative share of total
+    revenue — "the top N customers carry X% of revenue".
+
+    Same bounded-window shape as vocab_coverage: the ranking cut is
+    TakeOrderedAndProject over the per-customer aggregate, the
+    cumulative window runs over exactly k rows, the total joins as a
+    broadcast 1-row decimal aggregate (re-aggregated from the
+    per-customer partials — no second fact pass)."""
+    from pyspark.sql import Window as W2
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    spend = (li.join(orders.select("o_orderkey", "o_custkey"),
+                     li.l_orderkey == F.col("o_orderkey"))
+             .groupBy("o_custkey")
+             .agg(dsum(_rev()).alias("_spend")))
+    total = spend.agg(F.sum("_spend").cast(DEC).alias("_total"))
+    top = (spend.orderBy(F.desc("_spend"), F.asc("o_custkey")).limit(k)
+           .crossJoin(F.broadcast(total)))
+    w = (W2.orderBy(F.desc("_spend"), F.asc("o_custkey"))
+         .rowsBetween(W2.unboundedPreceding, W2.currentRow))
+    return (top.select(
+        F.row_number().over(
+            W2.orderBy(F.desc("_spend"), F.asc("o_custkey"))).alias("rank"),
+        F.col("o_custkey"),
+        F.round("_spend", 2).cast("double").alias("spend"),
+        F.round(F.sum(F.col("_spend")).over(w).cast("double")
+                / F.col("_total").cast("double"), 6).alias("cum_share")))
