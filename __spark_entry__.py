@@ -784,6 +784,10 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_profile_table(spark, sf_dir):
+    return WH.profile_table(spark, sf_dir)
+
+
 def _q_market_basket(spark, sf_dir):
     return WH.market_basket(spark, sf_dir)
 
@@ -932,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "profile_table": _q_profile_table,
         "market_basket": _q_market_basket,
         "revenue_pareto": _q_revenue_pareto,
         "active_users_rolling": _q_active_users_rolling,
@@ -3114,6 +3119,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE rn = 1
             ORDER BY l_partkey
+        """,
+        "profile_table": """
+            SELECT 'l_quantity' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   COUNT(DISTINCT l_quantity) AS n_distinct,
+                   CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+                   CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+            FROM lineitem
+            UNION ALL
+
+            SELECT 'l_extendedprice' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   COUNT(DISTINCT l_extendedprice) AS n_distinct,
+                   CAST(MIN(l_extendedprice) AS DOUBLE) AS min_val,
+                   CAST(MAX(l_extendedprice) AS DOUBLE) AS max_val
+            FROM lineitem
+            UNION ALL
+
+            SELECT 'l_discount' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   COUNT(DISTINCT l_discount) AS n_distinct,
+                   CAST(MIN(l_discount) AS DOUBLE) AS min_val,
+                   CAST(MAX(l_discount) AS DOUBLE) AS max_val
+            FROM lineitem
+            UNION ALL
+
+            SELECT 'l_tax' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   COUNT(DISTINCT l_tax) AS n_distinct,
+                   CAST(MIN(l_tax) AS DOUBLE) AS min_val,
+                   CAST(MAX(l_tax) AS DOUBLE) AS max_val
+            FROM lineitem
+            ORDER BY "column"
         """,
         "market_basket": f"""
             WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

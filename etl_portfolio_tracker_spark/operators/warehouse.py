@@ -531,3 +531,40 @@ def revenue_pareto(spark: SparkSession, sf_dir: str,
         F.round("_spend", 2).cast("double").alias("spend"),
         F.round(F.sum(F.col("_spend")).over(w).cast("double")
                 / F.col("_total").cast("double"), 6).alias("cum_share")))
+
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def profile_table(spark: SparkSession, sf_dir: str,
+                  cols: tuple = PROFILE_COLS) -> DataFrame:
+    """ANALYZE-style column profile of the fact table's numeric
+    columns: row count, nulls, exact NDV, min/max — the stats report
+    an optimizer (or a data-quality monitor) ingests.
+
+    ONE pass computes every column's aggregates side by side (4
+    aggregates × |cols| in a single hash-free global agg with
+    map-side partials), then a row-local unpivot shapes the report —
+    never one scan per column. Exact NDV at 100 TB would switch to
+    HLL merge (approx_stats shows the sketch path); min/max/nulls
+    stay exact single-pass at any scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in cols:
+        aggs += [F.count(F.lit(1)).alias(f"{c}__n"),
+                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                  .alias(f"{c}__nulls"),
+                 F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+                 F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+                 F.max(F.col(c)).cast("double").alias(f"{c}__max")]
+    wide = li.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"{c}__n").alias("n_rows"),
+                 F.col(f"{c}__nulls").cast("bigint").alias("n_null"),
+                 F.col(f"{c}__ndv").alias("n_distinct"),
+                 F.col(f"{c}__min").alias("min_val"),
+                 F.col(f"{c}__max").alias("max_val"))
+        for c in cols])
+    return (wide.select(F.explode(rows).alias("r")).select("r.*")
+            .orderBy("column"))
