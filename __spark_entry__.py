@@ -784,6 +784,14 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_cum_drift(spark, sf_dir):
+    return SE.cum_drift(read_table(spark, sf_dir, "events"))
+
+
+def _q_fuzzy_name_pairs(spark, sf_dir):
+    return WH.fuzzy_name_pairs(spark, sf_dir)
+
+
 def _q_profile_table(spark, sf_dir):
     return WH.profile_table(spark, sf_dir)
 
@@ -936,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "cum_drift": _q_cum_drift,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "profile_table": _q_profile_table,
         "market_basket": _q_market_basket,
         "revenue_pareto": _q_revenue_pareto,
@@ -3119,6 +3129,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE rn = 1
             ORDER BY l_partkey
+        """,
+        "cum_drift": f"""
+            WITH stats AS (
+                SELECT event_type,
+                       SUM(CAST(value AS DECIMAL(38,10))) AS sv,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            ),
+            scored AS (
+                SELECT e.event_type,
+                       CAST(SUM(CAST(value - (CAST(sv AS DOUBLE) / n)
+                                     AS DECIMAL(38,10)))
+                            OVER (PARTITION BY e.event_type
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS DOUBLE)
+                           AS cum
+                FROM events e JOIN stats USING (event_type)
+            )
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN ABS(cum) > {SE.DRIFT_THRESHOLD}
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_crossings,
+                   ROUND(MIN(cum), 6) AS min_cum_dev,
+                   ROUND(MAX(cum), 6) AS max_cum_dev
+            FROM scored GROUP BY 1 ORDER BY 1
+        """,
+        "fuzzy_name_pairs": f"""
+            WITH p AS (SELECT DISTINCT p_partkey, p_brand, p_name FROM part)
+            SELECT a.p_brand AS brand, COUNT(*) AS n_pairs,
+                   MIN(levenshtein(a.p_name, b.p_name)) AS min_dist
+            FROM p a JOIN p b ON a.p_brand = b.p_brand
+                            AND a.p_partkey < b.p_partkey
+                            AND a.p_name <> b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= {WH.FUZZY_MAX_DIST}
+            GROUP BY 1 ORDER BY 1
         """,
         "profile_table": """
             SELECT 'l_quantity' AS "column", COUNT(*) AS n_rows,

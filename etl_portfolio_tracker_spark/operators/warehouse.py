@@ -568,3 +568,36 @@ def profile_table(spark: SparkSession, sf_dir: str,
         for c in cols])
     return (wide.select(F.explode(rows).alias("r")).select("r.*")
             .orderBy("column"))
+
+
+FUZZY_MAX_DIST = 3
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str,
+                     max_dist: int = FUZZY_MAX_DIST) -> DataFrame:
+    """Blocked fuzzy matching (entity-resolution family): part-name
+    pairs within edit distance `max_dist`, candidate-bounded by a
+    same-brand blocking key — the classic blocking + pairwise-verify
+    shape (never an unblocked all-pairs cross join). levenshtein() is
+    the standard DP and engine-identical.
+
+    Scale: pair volume is Σ|block|² like every blocked matcher —
+    blocks are brand-sized (bounded); pathological blocks get the
+    same cap treatment as LSH buckets. One equi-join shuffle on the
+    blocking key + a row-local distance filter."""
+    p = (read_table(spark, sf_dir, "part")
+         .select("p_partkey", "p_brand", "p_name").distinct())
+    a, b = p.alias("a"), p.alias("b")
+    return (a.join(b, "p_brand")
+            .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+            .filter(F.col("a.p_name") != F.col("b.p_name"))
+            .select(F.col("p_brand").alias("brand"),
+                    F.col("a.p_name").alias("name_a"),
+                    F.col("b.p_name").alias("name_b"),
+                    F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                     .cast("bigint").alias("dist"))
+            .filter(F.col("dist") <= max_dist)
+            .groupBy("brand")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.min("dist").alias("min_dist"))
+            .orderBy("brand"))
