@@ -784,6 +784,10 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_conversion_latency(spark, sf_dir):
+    return SE.conversion_latency(read_table(spark, sf_dir, "events"))
+
+
 def _q_cum_drift(spark, sf_dir):
     return SE.cum_drift(read_table(spark, sf_dir, "events"))
 
@@ -944,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "conversion_latency": _q_conversion_latency,
         "cum_drift": _q_cum_drift,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "profile_table": _q_profile_table,
@@ -3129,6 +3134,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE rn = 1
             ORDER BY l_partkey
+        """,
+        "conversion_latency": """
+            WITH per_user AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END)
+                           AS first_from
+                FROM events GROUP BY 1
+            ),
+            conv AS (
+                SELECT e.user_id, MIN(e.ts) AS first_to,
+                       MIN(first_from) AS first_from
+                FROM events e JOIN per_user USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= first_from
+                GROUP BY 1
+            ),
+            lat AS (
+                SELECT date_diff('second', first_from, first_to) AS latency_s
+                FROM conv
+            )
+            SELECT CAST(LENGTH(printf('%b', latency_s + 1)) - 1 AS INTEGER)
+                       AS lat_bucket,
+                   COUNT(*) AS n_users,
+                   MIN(latency_s) AS min_s,
+                   MAX(latency_s) AS max_s
+            FROM lat GROUP BY 1 ORDER BY 1
         """,
         "cum_drift": f"""
             WITH stats AS (
