@@ -784,6 +784,10 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_triangle_stats(spark, sf_dir):
+    return DD.triangle_stats(_docs(spark, sf_dir))
+
+
 def _q_conversion_latency(spark, sf_dir):
     return SE.conversion_latency(read_table(spark, sf_dir, "events"))
 
@@ -948,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "triangle_stats": _q_triangle_stats,
         "conversion_latency": _q_conversion_latency,
         "cum_drift": _q_cum_drift,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
@@ -1102,6 +1107,53 @@ def _kmeans_train_oracle_sql(n_iter: int = 3) -> str:
                    c_val, n_members
             FROM cc{n_iter}""")
     return "".join(parts)
+
+
+
+def _triangle_oracle_sql() -> str:
+    """Strong-edge triangle census twin of DD.triangle_stats: same
+    capped candidate pairs with band-agreement floor, canonical
+    two-hop + closure EXISTS, integer-exact wedge count."""
+    return (_SHINGLES_SQL.replace("SELECT DISTINCT", "SELECT")
+            + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                                band_rows=DD.LSH_BAND_ROWS)
+            + f"""
+            , kept AS (
+                SELECT band, band_key, doc_id FROM bands
+                QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
+                        <= {DD.MINHASH_BUCKET_CAP}
+            ),
+            cand AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_bands
+                FROM kept a JOIN kept b USING (band, band_key)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            e AS (SELECT doc_a, doc_b FROM cand
+                  WHERE n_bands >= {DD.TRIANGLE_MIN_BANDS}),
+            deg AS (
+                SELECT v, COUNT(*) AS deg FROM (
+                    SELECT doc_a AS v FROM e
+                    UNION ALL SELECT doc_b FROM e)
+                GROUP BY 1
+            ),
+            wedges AS (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT)
+                           AS n_wedges FROM deg),
+            tri AS (
+                SELECT COUNT(*) AS n_triangles
+                FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+                WHERE EXISTS (SELECT 1 FROM e
+                              WHERE doc_a = e1.doc_a AND doc_b = e2.doc_b)
+            ),
+            ne AS (SELECT COUNT(*) AS n_edges FROM e)
+            SELECT n_edges, n_wedges, n_triangles,
+                   CASE WHEN n_wedges > 0
+                        THEN ROUND(CAST(3.0 AS DOUBLE) * n_triangles
+                                   / n_wedges, 6)
+                        ELSE CAST(0.0 AS DOUBLE) END AS clustering_coef
+            FROM ne, wedges, tri
+        """)
 
 
 def _pagerank_oracle_sql() -> str:
@@ -3375,6 +3427,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s_suppkey
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "triangle_stats": _triangle_oracle_sql(),
         "prune_report": """
             WITH p AS ({corpus_prune_sql_ph}),
             per AS (
