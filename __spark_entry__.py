@@ -784,6 +784,10 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_skyline_parts(spark, sf_dir):
+    return WH.skyline_parts(spark, sf_dir)
+
+
 def _q_triangle_stats(spark, sf_dir):
     return DD.triangle_stats(_docs(spark, sf_dir))
 
@@ -952,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "skyline_parts": _q_skyline_parts,
         "triangle_stats": _q_triangle_stats,
         "conversion_latency": _q_conversion_latency,
         "cum_drift": _q_cum_drift,
@@ -3211,6 +3216,20 @@ def oracle_sql() -> dict[str, str]:
                    MIN(latency_s) AS min_s,
                    MAX(latency_s) AS max_s
             FROM lat GROUP BY 1 ORDER BY 1
+        """,
+        "skyline_parts": """
+            SELECT p_partkey, p_name, p_retailprice, p_size
+            FROM (
+                SELECT p_partkey, p_name, p_retailprice, p_size,
+                       MAX(p_size) OVER (
+                           ORDER BY p_retailprice ASC, p_size DESC,
+                                    p_partkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS mp
+                FROM part
+            )
+            WHERE mp IS NULL OR p_size > mp
+            ORDER BY p_retailprice, p_partkey
         """,
         "cum_drift": f"""
             WITH stats AS (

@@ -601,3 +601,29 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str,
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.min("dist").alias("min_dist"))
             .orderBy("brand"))
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): parts where no other part is both
+    cheaper-or-equal AND larger-or-equal (minimize p_retailprice,
+    maximize p_size) — the multi-criteria shortlist operator.
+
+    Not the naive O(n²) dominance self-join: sorted by (price ASC,
+    size DESC, partkey), a row is in the skyline iff its size exceeds
+    the running MAX size of every earlier row — the classic
+    O(n log n) 2-D sweep as ONE window. Rows tying an earlier
+    (price, size) point are dominated (lowest partkey keeps the
+    point). The single global-order window is dimension-sized here;
+    the distributed form is the same two-pass range-partitioned
+    running max as token_budget_mix_scalable."""
+    from pyspark.sql import Window as W2
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size")
+    w = (W2.orderBy(F.asc("p_retailprice"), F.desc("p_size"),
+                    F.asc("p_partkey"))
+         .rowsBetween(W2.unboundedPreceding, -1))
+    max_prev = F.max("p_size").over(w)
+    return (p.withColumn("_mp", max_prev)
+            .filter(F.col("_mp").isNull() | (F.col("p_size") > F.col("_mp")))
+            .select("p_partkey", "p_name", "p_retailprice", "p_size")
+            .orderBy("p_retailprice", "p_partkey"))
