@@ -784,6 +784,10 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_value_mad(spark, sf_dir):
+    return SE.value_mad(read_table(spark, sf_dir, "events"))
+
+
 def _q_skyline_parts(spark, sf_dir):
     return WH.skyline_parts(spark, sf_dir)
 
@@ -956,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "value_mad": _q_value_mad,
         "skyline_parts": _q_skyline_parts,
         "triangle_stats": _q_triangle_stats,
         "conversion_latency": _q_conversion_latency,
@@ -3216,6 +3221,48 @@ def oracle_sql() -> dict[str, str]:
                    MIN(latency_s) AS min_s,
                    MAX(latency_s) AS max_s
             FROM lat GROUP BY 1 ORDER BY 1
+        """,
+        "value_mad": """
+            WITH r1 AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS cnt
+                FROM events
+            ),
+            med AS (
+                SELECT event_type,
+                       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                           / COUNT(*) AS median_value
+                FROM r1
+                WHERE rn = FLOOR((cnt + 1) / 2) OR rn = FLOOR((cnt + 2) / 2)
+                GROUP BY 1
+            ),
+            dev AS (
+                SELECT e.event_type, e.event_id,
+                       ABS(e.value - m.median_value) AS adev
+                FROM events e JOIN med m USING (event_type)
+            ),
+            r2 AS (
+                SELECT event_type, adev,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY adev, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS cnt
+                FROM dev
+            ),
+            mad AS (
+                SELECT event_type,
+                       CAST(SUM(CAST(adev AS DECIMAL(38,10))) AS DOUBLE)
+                           / COUNT(*) AS mad
+                FROM r2
+                WHERE rn = FLOOR((cnt + 1) / 2) OR rn = FLOOR((cnt + 2) / 2)
+                GROUP BY 1
+            )
+            SELECT event_type,
+                   ROUND(median_value, 6) AS median_value,
+                   ROUND(mad, 6) AS mad
+            FROM med JOIN mad USING (event_type)
+            ORDER BY event_type
         """,
         "skyline_parts": """
             SELECT p_partkey, p_name, p_retailprice, p_size
