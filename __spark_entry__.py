@@ -784,6 +784,10 @@ def _q_corpus_prune(spark, sf_dir):
     return DD.corpus_prune(_docs(spark, sf_dir))
 
 
+def _q_modal_value_band(spark, sf_dir):
+    return SE.modal_value_band(read_table(spark, sf_dir, "events"))
+
+
 def _q_value_mad(spark, sf_dir):
     return SE.value_mad(read_table(spark, sf_dir, "events"))
 
@@ -960,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "modal_value_band": _q_modal_value_band,
         "value_mad": _q_value_mad,
         "skyline_parts": _q_skyline_parts,
         "triangle_stats": _q_triangle_stats,
@@ -3221,6 +3226,24 @@ def oracle_sql() -> dict[str, str]:
                    MIN(latency_s) AS min_s,
                    MAX(latency_s) AS max_s
             FROM lat GROUP BY 1 ORDER BY 1
+        """,
+        "modal_value_band": """
+            WITH counts AS (
+                SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS band,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            totals AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+                       FROM counts GROUP BY 1)
+            SELECT event_type, band AS modal_band, n AS n_modal,
+                   ROUND(CAST(n AS DOUBLE) / tot, 6) AS modal_share
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, band ASC) AS rn
+                FROM counts
+            ) JOIN totals USING (event_type)
+            WHERE rn = 1
+            ORDER BY event_type
         """,
         "value_mad": """
             WITH r1 AS (
