@@ -869,6 +869,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       2. queries never externally checked (r1 cap cut them off);
       3. remainder never-checked (next round's front);
       4. queries already green in r1.
+
+    ROUND-3 TODO (first edit of the round): move the never-checked
+    block (everything after the 50-cap marker below, through the
+    r2-late additions at the end of section 3) to the FRONT of the
+    dict, and the r2-checked block behind it — every query is locally
+    green, so each round's 50 external rows should cover fresh names.
     """
     return {
         # -- 1. fixed since r1 (err → expect green) ------------------
