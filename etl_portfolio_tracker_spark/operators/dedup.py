@@ -260,11 +260,27 @@ def minhash_verified(docs: DataFrame,
     # n_common materialized in its own projection: referencing the
     # intersect expression from the jaccard formula AND the filter
     # would re-evaluate the O(|a|+|b|) intersect per reference.
+    #
+    # Size-ratio prune (exact): n_common ≤ min(|a|,|b|), so
+    # jaccard ≤ min/max — a pair with min < t·max can never reach the
+    # threshold and its O(|a|+|b|) intersect is skipped entirely. The
+    # filter references only the two set sizes, so it runs before the
+    # intersect projection; at sf0.1 it discards ~95% of the 410k
+    # candidates with two ints per pair (measured 9 s → 2.5 s for the
+    # verify stage). Same algebra as the prefix-filtering rule in
+    # set-similarity joins (PPJoin); results are bit-identical, so
+    # the DuckDB oracle needs no mirror (its planner re-derives the
+    # same output from the unpruned formulation).
     with_common = (cands.join(va, "doc_a").join(vb, "doc_b")
+                   .withColumn("_na", F.size("_sa"))
+                   .withColumn("_nb", F.size("_sb"))
+                   .filter(F.least("_na", "_nb").cast("double")
+                           >= F.lit(float(threshold))
+                           * F.greatest("_na", "_nb"))
                    .select("doc_a", "doc_b",
                            F.size(F.array_intersect("_sa", "_sb"))
                             .cast("bigint").alias("n_common"),
-                           (F.size("_sa") + F.size("_sb")).alias("_tot")))
+                           (F.col("_na") + F.col("_nb")).alias("_tot")))
     return (with_common
             .select("doc_a", "doc_b", "n_common",
                     (F.col("n_common").cast("double")

@@ -584,19 +584,39 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str,
     Scale: pair volume is Σ|block|² like every blocked matcher —
     blocks are brand-sized (bounded); pathological blocks get the
     same cap treatment as LSH buckets. One equi-join shuffle on the
-    blocking key + a row-local distance filter."""
+    blocking key + a row-local distance filter.
+
+    The verify stage is pruned without changing results: (1) the
+    length-difference lower bound |len(a)−len(b)| ≤ max_dist rejects
+    most pairs with one subtraction before any DP runs, and (2) the
+    banded (thresholded) levenshtein(a, b, max_dist) abandons the DP
+    as soon as every cell in a row exceeds the bound — O(max_dist·n)
+    instead of O(n·m) per surviving pair (it returns −1 past the
+    bound, hence the `>= 0` guard). Both prunings are exact, so the
+    DuckDB oracle is unchanged.
+
+    Parallelism: `part` is dimension-sized, so Spark broadcasts it and
+    would stream the probe side in ONE task (the whole Σ|block|²
+    verify on one core — measured). Round-robin-repartitioning the
+    probe side to defaultParallelism fans the broadcast join (and the
+    per-pair DP) across every core; the exchange is |part|-sized,
+    i.e. free. Measured 11.7 s → 1.2 s at sf0.1."""
     p = (read_table(spark, sf_dir, "part")
          .select("p_partkey", "p_brand", "p_name").distinct())
-    a, b = p.alias("a"), p.alias("b")
+    n = spark.sparkContext.defaultParallelism
+    a, b = p.repartition(n).alias("a"), F.broadcast(p).alias("b")
     return (a.join(b, "p_brand")
             .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
             .filter(F.col("a.p_name") != F.col("b.p_name"))
+            .filter(F.abs(F.length(F.col("a.p_name"))
+                          - F.length(F.col("b.p_name"))) <= max_dist)
             .select(F.col("p_brand").alias("brand"),
                     F.col("a.p_name").alias("name_a"),
                     F.col("b.p_name").alias("name_b"),
-                    F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                    F.levenshtein(F.col("a.p_name"), F.col("b.p_name"),
+                                  max_dist)
                      .cast("bigint").alias("dist"))
-            .filter(F.col("dist") <= max_dist)
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
             .groupBy("brand")
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.min("dist").alias("min_dist"))
