@@ -501,6 +501,14 @@ def _q_minhash_verified(spark, sf_dir):
     return DD.minhash_verified(_docs(spark, sf_dir))
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    return DD.leakage_safe_split(_docs(spark, sf_dir))
+
+
+def _q_bm25_search(spark, sf_dir):
+    return TX.bm25_search(_docs(spark, sf_dir))
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1014,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "idle_rich_customers": _q_idle_rich_customers,
         "region_revenue_sql": _q_region_revenue_sql,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "bm25_search": _q_bm25_search,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -1961,6 +1971,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "dedup_clusters": dedup_clusters_sql,
+        # cluster-granular hash_split: the bucket hashes the CLUSTER
+        # CANONICAL's text (min doc_id member), so a whole near-dup
+        # component shares one split (mirrors dedup.leakage_safe_split)
+        "leakage_safe_split": """
+            SELECT c.doc_id, c.cluster_id,
+                   CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) % 100
+                       AS bucket,
+                   CASE WHEN CAST(('0x' || substr(md5(d.text), 1, 8))
+                                  AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(d.text), 1, 8))
+                                  AS BIGINT) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM ({dedup}) c
+            JOIN documents d ON d.doc_id = c.cluster_id
+        """.replace("{dedup}", dedup_clusters_sql),
         "hash_split": """
             SELECT doc_id,
                    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,
@@ -2397,6 +2422,52 @@ def oracle_sql() -> dict[str, str]:
                           AND b.day = a.day + INTERVAL 1 DAY
             GROUP BY a.day
             ORDER BY a.day
+        """,
+        # mirrors text.bm25_search: identical double expression order
+        # (left-assoc term sum, (1.2 + 1.0) folded engine-side, ROUND
+        # 4dp absorbs the ln() last-ulp libm difference)
+        "bm25_search": f"""
+            WITH per AS (
+                SELECT doc_id,
+                       CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+                           AS dl,
+                       CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                x -> x = 'spark')) AS BIGINT) AS tf_spark,
+                       CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                x -> x = 'stream')) AS BIGINT) AS tf_stream,
+                       CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                x -> x = 'join')) AS BIGINT) AS tf_join
+                FROM documents
+            ),
+            g AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(dl) AS BIGINT) AS tot,
+                       CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS df_spark,
+                       CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS df_stream,
+                       CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS df_join
+                FROM per
+            )
+            SELECT doc_id, dl, tf_spark, tf_stream, tf_join,
+                   ROUND(
+                     ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                       * (tf_spark * (1.2 + 1.0))
+                       / (tf_spark + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl / (CAST(tot AS DOUBLE) / n_docs)))
+                   + ln((n_docs - df_stream + 0.5) / (df_stream + 0.5) + 1.0)
+                       * (tf_stream * (1.2 + 1.0))
+                       / (tf_stream + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl / (CAST(tot AS DOUBLE) / n_docs)))
+                   + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                       * (tf_join * (1.2 + 1.0))
+                       / (tf_join + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl / (CAST(tot AS DOUBLE) / n_docs)))
+                   , 4) AS score
+            FROM per, g
+            ORDER BY score DESC, doc_id ASC
+            LIMIT {TX.BM25_TOPK}
         """,
         "tfidf_top_terms": f"""
             WITH toks AS (

@@ -400,6 +400,47 @@ def hash_split(docs: DataFrame, train_pct: int = 80,
                          .otherwise("test")))
 
 
+def leakage_safe_split(docs: DataFrame, train_pct: int = 80,
+                       val_pct: int = 10) -> DataFrame:
+    """Near-dup-aware train/val/test split: every document in a
+    near-dup CLUSTER (connected component of the LSH candidate graph,
+    dedup_clusters) lands in the SAME split. Plain content-hash
+    splitting (hash_split) only pins byte-identical texts together —
+    two near-duplicate documents can still straddle train and test,
+    which is precisely the eval-contamination path large-scale
+    pipelines must close (the reason dedup precedes splitting in
+    every published pretraining-data recipe).
+
+    The split is decided by the md5 of the CLUSTER CANONICAL's text
+    (the minimum-doc_id member — the doc a keep-one dedup retains),
+    so assignment survives re-ingest under different doc_ids as long
+    as the canonical's bytes do, matching hash_split's invariance
+    rule at cluster granularity.
+
+    Scale shape on top of dedup_clusters (whose CC cost dominates):
+    one |clusters|-sized join to fetch the canonical text + hash it
+    (clusters ≤ docs rows, text pruned to that join), then one
+    equi-join on cluster_id to fan the bucket back to members — both
+    hash-partitioned on keys Spark already shuffled for the CC, and
+    the canonical frame is dimension-sized → AQE broadcasts it.
+
+    Returns (doc_id, cluster_id, bucket, split)."""
+    clusters = dedup_clusters(docs)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(100))
+    canon = (clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+             .select("cluster_id")
+             .join(docs.select(F.col("doc_id").alias("cluster_id"), "text"),
+                   "cluster_id")
+             .select("cluster_id", bucket.alias("bucket")))
+    return (clusters.join(canon, "cluster_id")
+            .select("doc_id", "cluster_id", "bucket",
+                    F.when(F.col("bucket") < train_pct, "train")
+                     .when(F.col("bucket") < train_pct + val_pct, "val")
+                     .otherwise("test").alias("split")))
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash (Charikar 2002) over whitespace tokens with md5-derived
     per-token bit projections: bit j weight = +1 if the j-th hex digit

@@ -487,3 +487,62 @@ def top_ngrams(docs: DataFrame, n: int = TOP_NGRAM_N,
                  F.count_distinct("doc_id").alias("n_docs"))
             .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
             .limit(k))
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "stream", "join")
+BM25_TOPK = 20
+
+
+def bm25_search(docs: DataFrame, query: tuple = BM25_QUERY,
+                k1: float = BM25_K1, b: float = BM25_B,
+                k: int = BM25_TOPK) -> DataFrame:
+    """BM25 relevance ranking (Robertson/Spärck Jones) of the corpus
+    against a fixed term query — the doc-length-normalized upgrade of
+    tfidf_top_terms, i.e. the scorer an actual retrieval / data-mix
+    curation stage runs. idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+    (the non-negative variant), tf component
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Scale shape — no token explode, no shuffle except two 1-row
+    reductions: per-doc dl and per-query-term tf come row-locally
+    from the materialized token array (size + filter — the
+    transform() inlining rule); N, Σdl, and each term's df reduce in
+    ONE global aggregate whose single row is broadcast back; the
+    score is then a pure per-row expression and the top-k cut is
+    TakeOrderedAndProject. At 100 TB the only data movement is the
+    1-row aggregate and the k-row result.
+
+    Determinism: tf/dl/df are integer-exact; the score mixes ln()
+    (libm-dependent at the last ulp) so it is emitted ROUNDed to 4dp
+    and the ordering key is (rounded score DESC, doc_id ASC) — the
+    same boundary-tolerant pattern pagerank uses at 6dp, one digit
+    coarser because ln feeds every term."""
+    toks = F.col("_toks")
+    per = docs.select(
+        "doc_id",
+        tokens_col().alias("_toks")).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[F.size(F.filter(toks, (lambda qq: lambda t: t == F.lit(qq))(q)))
+           .cast("long").alias(f"tf_{q}") for q in query])
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("_tot"),
+        *[F.sum(F.when(F.col(f"tf_{q}") > 0, 1).otherwise(0))
+           .cast("long").alias(f"df_{q}") for q in query])
+    avgdl = F.col("_tot") / F.col("n_docs")
+    score = None
+    for q in query:
+        tf, df = F.col(f"tf_{q}"), F.col(f"df_{q}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        term = idf * (tf * (k1 + 1.0)) \
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+        score = term if score is None else score + term
+    return (per.crossJoin(F.broadcast(g))
+            .select("doc_id", "dl",
+                    *[f"tf_{q}" for q in query],
+                    F.round(score, 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))

@@ -49,3 +49,23 @@ def test_source_divergence_hand_value(spark):
     kl2 = 0.5 * math.log((1 * 4) / (2 * 3)) + 0.5 * math.log((1 * 4) / (2 * 1))
     assert abs(out.loc["s1", "kl_div"] - round(kl1, 6)) < 1e-9
     assert abs(out.loc["s2", "kl_div"] - round(kl2, 6)) < 1e-9
+
+
+def test_bm25_ranks_term_matches_and_normalizes_length(spark):
+    rows = [(0, "spark stream join", "s"),          # all 3 terms, short
+            (1, "spark table table table table table table table", "s"),
+            (2, "spark stream join " * 4, "s"),     # all terms, longer
+            (3, "table scan filter", "s")]          # no query terms
+    out = TX.bm25_search(_docs(spark, rows), k=10).toPandas()
+    by_id = out.set_index("doc_id")
+    # doc 3 matches nothing -> score exactly 0 and ranked last
+    assert by_id.loc[3, "score"] == 0.0
+    assert list(out["doc_id"])[-1] == 3
+    # doc 0 (all three terms, shortest) outranks the long single-term doc
+    assert by_id.loc[0, "score"] > by_id.loc[1, "score"]
+    # tf columns are exact integers
+    assert by_id.loc[2, "tf_spark"] == 4
+    assert by_id.loc[1, "tf_spark"] == 1 and by_id.loc[1, "tf_join"] == 0
+    # BM25 tf saturation: 4x the tf at 4x the length must not 4x the
+    # score of the all-terms doc
+    assert by_id.loc[2, "score"] < 4 * by_id.loc[0, "score"]

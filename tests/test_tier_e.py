@@ -238,6 +238,28 @@ def test_hash_split_deterministic_and_bounded(spark):
     assert by_id[50]["split"] == by_id[0]["split"]
 
 
+def test_leakage_safe_split_cluster_atomic(spark):
+    # near-identical texts (same shingle sets → same LSH buckets) must
+    # land in ONE split; the split equals the hash_split bucket of the
+    # cluster canonical's text (min doc_id member).
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different content about spark physical planning"
+    d = docs_df(spark, [t1, t1, t2, t1, "unique snowflake text here ok"])
+    rows = DD.leakage_safe_split(d).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(by_id) == 5
+    # whole cluster {0,1,3} shares one split and one bucket
+    assert ({by_id[i]["split"] for i in (0, 1, 3)}
+            == {by_id[0]["split"]})
+    assert ({by_id[i]["bucket"] for i in (0, 1, 3)}
+            == {by_id[0]["bucket"]})
+    # each cluster's bucket is the canonical text's hash_split bucket
+    hs = {r["doc_id"]: r for r in DD.hash_split(d).collect()}
+    for r in rows:
+        assert r["bucket"] == hs[r["cluster_id"]]["bucket"]
+        assert r["split"] == hs[r["cluster_id"]]["split"]
+
+
 def test_kmeans_step_means_and_population(spark):
     import pandas as pd
     emb = spark.createDataFrame(
