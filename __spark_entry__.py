@@ -509,6 +509,10 @@ def _q_bm25_search(spark, sf_dir):
     return TX.bm25_search(_docs(spark, sf_dir))
 
 
+def _q_label_outliers(spark, sf_dir):
+    return SIM.label_outliers(_emb(spark, sf_dir))
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1024,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue_sql": _q_region_revenue_sql,
         "leakage_safe_split": _q_leakage_safe_split,
         "bm25_search": _q_bm25_search,
+        "label_outliers": _q_label_outliers,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -2268,6 +2273,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "kmeans_train": _kmeans_train_oracle_sql(),
+        # mirrors similarity.label_outliers: centroid = decimal-sum
+        # mean ROUNDed 6 (bit-identical across engines), then IEEE
+        # squared diffs through the decimal rule again
+        "label_outliers": f"""
+            WITH pe AS (
+                SELECT vec_id, label,
+                       UNNEST(generate_series(1, LEN(embedding))) AS pos,
+                       CAST(UNNEST(embedding) AS DOUBLE) AS val
+                FROM embeddings
+            ),
+            cents AS (
+                SELECT label, pos,
+                       ROUND(CAST(SUM(CAST(val AS DECIMAL(38,10))) AS DOUBLE)
+                             / COUNT(*), 6) AS c_val
+                FROM pe GROUP BY 1, 2
+            ),
+            dist AS (
+                SELECT vec_id, pe.label,
+                       CAST(SUM(CAST((val - c_val) * (val - c_val)
+                                     AS DECIMAL(38,10))) AS DOUBLE) AS sq
+                FROM pe JOIN cents ON pe.label = cents.label
+                                  AND pe.pos = cents.pos
+                GROUP BY 1, 2
+            )
+            SELECT label, CAST(rnk AS INTEGER) AS rnk, vec_id,
+                   ROUND(sq, 6) AS sq_dist
+            FROM (SELECT *, row_number() OVER (PARTITION BY label
+                              ORDER BY sq DESC, vec_id ASC) AS rnk
+                  FROM dist)
+            WHERE rnk <= {SIM.OUTLIERS_PER_LABEL}
+            ORDER BY label, rnk
+        """,
         "kmeans_step": _PE_SQL + f"""
             , cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval
                       FROM pe WHERE vec_id < {SIM.N_IVF_CELLS}),

@@ -678,3 +678,51 @@ def normalize_embeddings(emb: DataFrame) -> DataFrame:
                      .otherwise(F.col("embedding").cast("array<double>"))
                      .alias("unit"))
             )
+
+
+OUTLIERS_PER_LABEL = 10
+
+
+def label_outliers(emb: DataFrame,
+                   k: int = OUTLIERS_PER_LABEL) -> DataFrame:
+    """Per-label embedding outliers: squared L2 distance of every
+    vector to its LABEL's centroid, top-k farthest per label — the
+    mislabeled/noisy-sample detector a training-data QA stage runs
+    over (embedding, label) pairs (curation recipes flag exactly
+    these rows for relabel/drop review).
+
+    Scale shape: one posexplode → groupBy(label, pos) mean for the
+    centroids (map-side partials; output is |labels|·d rows — model-
+    sized, broadcast back), then the squared-diff sum reduces per
+    vec_id with map-side combine and the k-row-per-label cut is a
+    window rank over label partitions. Two narrow shuffles of n·d
+    rows total at any corpus size.
+
+    Exactness: centroid = exact decimal sum / count, ROUND 6 (the
+    kmeans_step rule), so both engines hold bit-identical centroids;
+    each (val − c)·(val − c) term is then IEEE-exact on identical
+    doubles, the per-vector sum goes through the decimal rule again,
+    and sq_dist is ROUNDed at emission. Rank ties (identical exact
+    sq_dist) break by vec_id ASC."""
+    from ..derive import DEC
+    pe = (_spread(emb)
+          .select("vec_id", "label",
+                  F.posexplode("embedding").alias("pos0", "valf"))
+          .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+                  F.col("valf").cast("double").alias("val")))
+    cents = (pe.groupBy("label", "pos")
+             .agg(F.round(F.sum(F.col("val").cast(DEC)).cast("double")
+                          / F.count("*"), 6).alias("c_val")))
+    diffs = (pe.join(F.broadcast(cents), ["label", "pos"])
+             .select("vec_id", "label",
+                     ((F.col("val") - F.col("c_val"))
+                      * (F.col("val") - F.col("c_val"))).alias("_sq")))
+    dist = (diffs.groupBy("vec_id", "label")
+            .agg(F.sum(F.col("_sq").cast(DEC)).cast("double")
+                 .alias("_sq_dist")))
+    w = W.partitionBy("label").orderBy(F.desc("_sq_dist"), F.asc("vec_id"))
+    return (dist.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("label", F.col("rnk").cast("int").alias("rnk"),
+                    "vec_id", F.round("_sq_dist", 6).alias("sq_dist"))
+            .orderBy("label", "rnk"))

@@ -54,3 +54,25 @@ def test_ann_recall_bounds_and_self_consistency(spark):
         assert out.loc[q, "n_exact"] == 5
         assert 0 <= out.loc[q, "n_hit"] <= min(out.loc[q, "n_ivf"], 5)
         assert abs(out.loc[q, "recall"] - out.loc[q, "n_hit"] / 5.0) < 1e-9
+
+
+def test_label_outliers_ranks_farthest_per_label(spark):
+    # label 0: three vecs near origin + one far vec -> the far one is
+    # rank 1; label 1: two symmetric vecs -> tie on distance, broken
+    # by vec_id ASC.
+    rows = [(0, [0.0, 0.0], 0), (1, [0.2, 0.0], 0),
+            (2, [0.0, 0.2], 0), (3, [4.0, 4.0], 0),
+            (4, [1.0, 0.0], 1), (5, [-1.0, 0.0], 1)]
+    emb = spark.createDataFrame(rows, schema=schemas.EMBEDDINGS)
+    out = SIM.label_outliers(emb, k=2).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    l0 = sorted(by_label[0], key=lambda r: r["rnk"])
+    assert l0[0]["vec_id"] == 3 and l0[0]["rnk"] == 1
+    # label-1 tie: same sq_dist, vec_id ASC wins rank 1
+    l1 = sorted(by_label[1], key=lambda r: r["rnk"])
+    assert [r["vec_id"] for r in l1] == [4, 5]
+    assert l1[0]["sq_dist"] == l1[1]["sq_dist"]
+    # k bound respected
+    assert all(len(v) <= 2 for v in by_label.values())
