@@ -513,6 +513,10 @@ def _q_label_outliers(spark, sf_dir):
     return SIM.label_outliers(_emb(spark, sf_dir))
 
 
+def _q_source_overlap(spark, sf_dir):
+    return DD.source_overlap(_docs(spark, sf_dir))
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1029,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "bm25_search": _q_bm25_search,
         "label_outliers": _q_label_outliers,
+        "source_overlap": _q_source_overlap,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -1990,6 +1995,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM ({dedup}) c
             JOIN documents d ON d.doc_id = c.cluster_id
+        """.replace("{dedup}", dedup_clusters_sql),
+        # mirrors dedup.source_overlap: count-then-multiply
+        # factorization over per-(cluster, source) counts
+        "source_overlap": """
+            WITH m AS (
+                SELECT c.doc_id, c.cluster_id, d.source
+                FROM ({dedup}) c
+                JOIN documents d ON d.doc_id = c.doc_id
+            ),
+            g AS (
+                SELECT cluster_id, source, COUNT(*) AS cnt
+                FROM m GROUP BY 1, 2
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS n_doc_pairs
+            FROM g a JOIN g b ON a.cluster_id = b.cluster_id
+                             AND a.source < b.source
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """.replace("{dedup}", dedup_clusters_sql),
         "hash_split": """
             SELECT doc_id,

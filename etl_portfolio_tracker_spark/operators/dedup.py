@@ -698,3 +698,36 @@ def triangle_stats(docs: DataFrame,
                            F.round(3.0 * F.col("n_triangles")
                                    / F.col("n_wedges"), 6))
                      .otherwise(F.lit(0.0)).alias("clustering_coef")))
+
+
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """Inter-source contamination matrix: for every source pair, how
+    many near-dup CLUSTERS span both sources and how many cross-source
+    doc pairs they induce — the corpus-governance report that tells a
+    pipeline which feeds are re-crawling each other (and which
+    "independent" eval source actually leaks into train feeds).
+
+    Never materializes cross pairs: per-(cluster, source) counts first
+    (linear), then Σ cnt_a·cnt_b over the per-cluster source pairs —
+    the count-then-multiply factorization, so a 10⁶-doc template
+    cluster contributes one row per source, not 10¹² pairs. On top of
+    dedup_clusters (which dominates), one |docs|-row join for the
+    source column + two small aggregations.
+
+    Returns (source_a, source_b, n_clusters, n_doc_pairs), cross
+    pairs only (source_a < source_b), ordered."""
+    g = (dedup_clusters(docs)
+         .join(docs.select("doc_id", "source"), "doc_id")
+         .groupBy("cluster_id", "source")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    a = g.select("cluster_id", F.col("source").alias("source_a"),
+                 F.col("cnt").alias("cnt_a"))
+    b = g.select("cluster_id", F.col("source").alias("source_b"),
+                 F.col("cnt").alias("cnt_b"))
+    return (a.join(b, "cluster_id")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum(F.col("cnt_a") * F.col("cnt_b"))
+                  .cast("long").alias("n_doc_pairs"))
+            .orderBy("source_a", "source_b"))

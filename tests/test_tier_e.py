@@ -354,3 +354,22 @@ def test_frame_sample_cardinality(spark):
     # doc1: 100 bytes -> 1 frame -> idx 0 only
     assert [r["frame_idx"] for r in by_doc[1]] == [0]
     assert bytes(by_doc[1][0]["frame"]) == b"B" * 100
+
+
+def test_source_overlap_counts_cross_source_cluster_pairs(spark):
+    # identical text in src A(×2) and B(×1) -> one cluster spanning
+    # both sources: 2×1 cross pairs; singleton in C contributes none.
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, t, "en", "A", len(t)),
+            (1, t, "en", "A", len(t)),
+            (2, t, "en", "B", len(t)),
+            (3, "completely different content about planning", "en",
+             "C", 44)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = DD.source_overlap(d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert r["n_clusters"] == 1 and r["n_doc_pairs"] == 2
