@@ -517,6 +517,10 @@ def _q_source_overlap(spark, sf_dir):
     return DD.source_overlap(_docs(spark, sf_dir))
 
 
+def _q_posting_lists(spark, sf_dir):
+    return TX.posting_lists(_docs(spark, sf_dir))
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1034,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "label_outliers": _q_label_outliers,
         "source_overlap": _q_source_overlap,
+        "posting_lists": _q_posting_lists,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -2484,6 +2489,39 @@ def oracle_sql() -> dict[str, str]:
                           AND b.day = a.day + INTERVAL 1 DAY
             GROUP BY a.day
             ORDER BY a.day
+        """,
+        # mirrors text.posting_lists: head cut by window rank BEFORE
+        # the list aggregation (no whole posting gathered)
+        "posting_lists": f"""
+            WITH toks AS (
+                SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS term
+                FROM documents
+            ),
+            per AS (
+                SELECT term, doc_id, COUNT(*) AS tf FROM toks
+                WHERE term IN ('spark', 'stream', 'join', 'hash')
+                GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                       CAST(SUM(tf) AS BIGINT) AS tf_total
+                FROM per GROUP BY 1
+            ),
+            headed AS (
+                SELECT term, doc_id
+                FROM (SELECT term, doc_id,
+                             row_number() OVER (PARTITION BY term
+                                                ORDER BY doc_id) AS rn
+                      FROM per)
+                WHERE rn <= {TX.POSTING_HEAD}
+            ),
+            lists AS (
+                SELECT term, list(doc_id ORDER BY doc_id) AS postings_head
+                FROM headed GROUP BY 1
+            )
+            SELECT term, df, tf_total, postings_head
+            FROM stats JOIN lists USING (term)
+            ORDER BY term
         """,
         # mirrors text.bm25_search: identical double expression order
         # (left-assoc term sum, (1.2 + 1.0) folded engine-side, ROUND

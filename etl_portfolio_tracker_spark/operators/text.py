@@ -546,3 +546,44 @@ def bm25_search(docs: DataFrame, query: tuple = BM25_QUERY,
                     F.round(score, 4).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
+
+
+POSTING_TERMS = ("spark", "stream", "join", "hash")
+POSTING_HEAD = 10
+
+
+def posting_lists(docs: DataFrame, terms: tuple = POSTING_TERMS,
+                  head: int = POSTING_HEAD) -> DataFrame:
+    """Inverted-index build step: per term, document frequency, total
+    term frequency, and the HEAD of the posting list (first `head`
+    doc_ids ascending) — the search-index construction kernel
+    (postings + skip metadata), bounded the way a real index shard
+    writer bounds its in-memory segment.
+
+    Scale shape: explode filtered to the term set (predicate inside
+    the map stage — the token stream never materializes for other
+    terms), one (term, doc_id) count agg with map-side combine, df /
+    tf_total from a second |terms|-sized agg, and the head via a
+    per-term window rank BEFORE collect_list — the collect only ever
+    sees `head` rows per term, so no posting list is gathered whole
+    (collect_list over an unbounded posting would be the driver-OOM
+    anti-pattern at 100 TB).
+
+    Output: (term, df, tf_total, postings_head array<bigint>)."""
+    from pyspark.sql import Window as W
+    toks = (docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+            .filter(F.col("term").isin(*terms)))
+    per = (toks.groupBy("term", "doc_id")
+           .agg(F.count(F.lit(1)).alias("tf")))
+    stats = (per.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                  F.sum("tf").cast("long").alias("tf_total")))
+    w = W.partitionBy("term").orderBy("doc_id")
+    headed = (per.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= head)
+              .groupBy("term")
+              .agg(F.sort_array(F.collect_list("doc_id"))
+                    .alias("postings_head")))
+    return (stats.join(headed, "term")
+            .select("term", "df", "tf_total", "postings_head")
+            .orderBy("term"))

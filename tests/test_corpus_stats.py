@@ -69,3 +69,18 @@ def test_bm25_ranks_term_matches_and_normalizes_length(spark):
     # BM25 tf saturation: 4x the tf at 4x the length must not 4x the
     # score of the all-terms doc
     assert by_id.loc[2, "score"] < 4 * by_id.loc[0, "score"]
+
+
+def test_posting_lists_head_df_and_tf(spark):
+    rows = [(0, "spark spark join", "s"),
+            (1, "join table", "s"),
+            (2, "spark", "s"),
+            (3, "nothing relevant", "s")]
+    out = {r["term"]: r for r in
+           TX.posting_lists(_docs(spark, rows), head=1).collect()}
+    assert set(out) == {"spark", "join"}          # absent terms: no row
+    assert out["spark"]["df"] == 2                # docs 0, 2
+    assert out["spark"]["tf_total"] == 3          # 2 + 1 occurrences
+    assert list(out["spark"]["postings_head"]) == [0]   # head=1 cut
+    assert out["join"]["df"] == 2
+    assert list(out["join"]["postings_head"]) == [0]
