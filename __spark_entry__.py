@@ -521,6 +521,10 @@ def _q_posting_lists(spark, sf_dir):
     return TX.posting_lists(_docs(spark, sf_dir))
 
 
+def _q_scd2_history(spark, sf_dir):
+    return WH.scd2_history(spark, sf_dir)
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1039,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_outliers": _q_label_outliers,
         "source_overlap": _q_source_overlap,
         "posting_lists": _q_posting_lists,
+        "scd2_history": _q_scd2_history,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -3641,6 +3646,44 @@ def oracle_sql() -> dict[str, str]:
                        AS retention
             FROM per_cell JOIN sizes USING (cohort_week)
             ORDER BY cohort_week, week_offset
+        """,
+        # mirrors warehouse.scd2_history: run-id gaps-and-islands on
+        # one (ts, event_id) window ordering
+        "scd2_history": """
+            WITH flagged AS (
+                SELECT user_id, event_id, event_type, ts,
+                       CASE WHEN lag(event_type) OVER
+                                 (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL
+                              OR lag(event_type) OVER
+                                 (PARTITION BY user_id
+                                  ORDER BY ts, event_id) <> event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+            ),
+            runs AS (
+                SELECT user_id, event_type, ts,
+                       CAST(SUM(chg) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                           AS run_seq
+                FROM flagged
+            ),
+            iv AS (
+                SELECT user_id, run_seq, MIN(event_type) AS event_type,
+                       MIN(ts) AS valid_from, COUNT(*) AS n_events
+                FROM runs GROUP BY 1, 2
+            )
+            SELECT user_id, run_seq, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY run_seq) AS valid_to,
+                   n_events,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY run_seq) IS NULL
+                       AS is_current
+            FROM iv
+            ORDER BY user_id, run_seq
         """,
         "snapshot_diff": """
             WITH v1 AS (SELECT c_custkey AS key, c_acctbal AS bal_v1

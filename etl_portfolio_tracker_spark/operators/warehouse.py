@@ -647,3 +647,47 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_mp").isNull() | (F.col("p_size") > F.col("_mp")))
             .select("p_partkey", "p_name", "p_retailprice", "p_size")
             .orderBy("p_retailprice", "p_partkey"))
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build (gaps-and-
+    islands): collapse each user's event stream into validity
+    intervals of consecutive same event_type — the compaction that
+    turns a change log into an SCD2 dimension (valid_from / valid_to,
+    open-ended current row). The companion to snapshot_diff: that op
+    CAPTURES changes between snapshots; this one MATERIALIZES the
+    history table those changes feed.
+
+    Islands via the run-id trick: flag = state != lag(state), run =
+    running SUM(flag) per user — both on ONE (user_id, ts, event_id)
+    window ordering, so Spark evaluates them in a single sort+window
+    pass. Interval bounds are a per-run aggregate; valid_to is the
+    NEXT run's valid_from (lead over the per-user run sequence — a
+    second, |runs|-sized window), NULL on the current row.
+
+    Scale: one shuffle on user_id for the window pass, then the
+    per-run aggregate reuses that partitioning; the run frame is
+    |state-changes| rows (≪ events). Per-user skew is bounded by
+    per-user event volume — the same envelope every sessionizer here
+    documents."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.lag("event_type").over(w) != F.col("event_type")),
+               1).otherwise(0).alias("_chg"))
+    runs = flagged.withColumn(
+        "run_seq", F.sum("_chg").over(
+            w.rowsBetween(W.unboundedPreceding, 0)).cast("long"))
+    iv = (runs.groupBy("user_id", "run_seq")
+          .agg(F.first("event_type").alias("event_type"),
+               F.min("ts").alias("valid_from"),
+               F.count(F.lit(1)).alias("n_events")))
+    w2 = W.partitionBy("user_id").orderBy("run_seq")
+    return (iv.withColumn("valid_to", F.lead("valid_from").over(w2))
+            .select("user_id", "run_seq", "event_type", "valid_from",
+                    "valid_to", "n_events",
+                    F.col("valid_to").isNull().alias("is_current"))
+            .orderBy("user_id", "run_seq"))

@@ -123,3 +123,34 @@ def test_merge_positions_state_is_associative(spark):
     a = stepwise.orderBy("user", "ticker").toPandas()
     b = atonce.orderBy("user", "ticker").toPandas()
     assert a.equals(b)
+
+
+def test_scd2_history_islands_and_current_flag(spark, tmp_path):
+    # user 1: A,A,B,A -> three runs; user 2: single run, current.
+    import datetime as dt
+    rows = [(i, dt.datetime(2024, 1, 1, 0, i), u, t, 0.0, "{}")
+            for i, (u, t) in enumerate(
+                [(1, "A"), (1, "A"), (1, "B"), (1, "A"), (2, "C")])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string, value double, props string")
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p)
+    # read_table expects <dir>/events.parquet
+    import shutil, glob, os
+    part = glob.glob(p + "/part-*.parquet")[0]
+    shutil.move(part, str(tmp_path / "events.parquet.tmp"))
+    shutil.rmtree(p)
+    os.rename(str(tmp_path / "events.parquet.tmp"),
+              str(tmp_path / "events.parquet"))
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    out = WH.scd2_history(spark, str(tmp_path)).collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["run_seq"], r["event_type"], r["n_events"]) for r in u1] \
+        == [(1, "A", 2), (2, "B", 1), (3, "A", 1)]
+    # intervals chain: valid_to of run k == valid_from of run k+1
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["is_current"] and u1[2]["valid_to"] is None
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]
