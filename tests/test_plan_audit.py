@@ -161,3 +161,50 @@ def test_bigram_lm_score_no_per_element_resplit(spark):
     # one split per scan branch (model build + score) is fine; the
     # inlined form shows split() nested inside transform(lambda...)
     assert "transform(split(" not in plan.replace(" ", "")
+
+
+def test_bm25_no_token_explode_and_topk(spark):
+    # per-doc stats must be row-local (no Exchange before the 1-row
+    # corpus aggregate) and the final cut a TakeOrderedAndProject
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    from etl_portfolio_tracker_spark.io import read_table
+    q = TX.bm25_search(read_table(spark, SF, "documents"))
+    plan = physical_plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate explode" not in plan   # no token explode anywhere
+
+
+def test_scd2_single_sort_for_both_windows(spark):
+    # lag-flag and running-sum share one (user_id, ts, event_id)
+    # ordering: the plan must contain exactly ONE exchange on user_id
+    # feeding both Window nodes (the groupBy + lead add their own)
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    from etl_portfolio_tracker_spark.plans import exchanges
+    q = WH.scd2_history(spark, SF)
+    user_exchanges = [e for e in exchanges(q)
+                      if "hashpartitioning(user_id" in e]
+    assert len(user_exchanges) <= 2  # window pass + lead pass, never 3
+
+
+def test_fuzzy_name_pairs_broadcast_and_parallel_probe(spark):
+    # the dim-sized part table must broadcast; the probe side must be
+    # round-robin-spread so the blocked verify is not single-task
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    from etl_portfolio_tracker_spark.plans import (broadcast_joins,
+                                                   physical_plan)
+    q = WH.fuzzy_name_pairs(spark, SF)
+    assert broadcast_joins(q) >= 1
+    assert "RoundRobinPartitioning" in physical_plan(q)
+
+
+def test_posting_lists_window_head_before_collect(spark):
+    # the head cut must be a window rank BEFORE the list aggregation;
+    # with the rank filter present the collect_list input is bounded
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    from etl_portfolio_tracker_spark.io import read_table
+    q = TX.posting_lists(read_table(spark, SF, "documents"))
+    plan = physical_plan(q)
+    assert "Window" in plan
+    assert "collect_list" in plan

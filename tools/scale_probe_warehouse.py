@@ -41,6 +41,7 @@ SHIFT_COLS = {
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
     "documents": ["doc_id"],
+    "events": ["event_id", "user_id"],
 }
 COPY_1X = ["nation", "region"]
 
@@ -57,8 +58,11 @@ def build_10x(spark, sf_dir: str, out_dir: str) -> None:
         "suppkey": maxes["supplier"]["s_suppkey"],
         "partkey": maxes["part"]["p_partkey"],
         "doc_id": maxes["documents"]["doc_id"],
+        "event_id": maxes["events"]["event_id"],
+        "user_id": maxes["events"]["user_id"],
     }
-    fam = lambda c: c.split("_", 1)[1] if c != "doc_id" else c  # noqa: E731
+    fam = lambda c: (c if c in off                       # noqa: E731
+                     else c.split("_", 1)[1])
 
     for t, cols in SHIFT_COLS.items():
         base = read_table(spark, sf_dir, t)
@@ -88,6 +92,17 @@ PROBES = {
     "big_orders": WH.big_orders,
     "idle_rich_customers": WH.idle_rich_customers,
     "repetition_score": lambda s, d: TX.repetition_score(
+        read_table(s, d, "documents")),
+    # late-r2 additions: the blocked fuzzy matcher (pair volume is
+    # Σ|block|² — brand count is FIXED, so 10× parts → 100× pairs:
+    # the honest blocked-matcher envelope), the SCD2 island build
+    # (linear, window-dominated), and the two zero-shuffle text-index
+    # kernels (linear maps + tiny aggs)
+    "fuzzy_name_pairs": WH.fuzzy_name_pairs,
+    "scd2_history": WH.scd2_history,
+    "bm25_search": lambda s, d: TX.bm25_search(
+        read_table(s, d, "documents")),
+    "posting_lists": lambda s, d: TX.posting_lists(
         read_table(s, d, "documents")),
 }
 
