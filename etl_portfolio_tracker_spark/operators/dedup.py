@@ -249,10 +249,39 @@ def minhash_verified(docs: DataFrame,
     cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
+    # explicit-N co-partition (same rule as minhash_lsh_candidates):
+    # the shingle stream is ~90 MB of 8-byte hashes at sf0.1, which
+    # AQE coalesces to 2-3 reducers by byte size — but hash-SET
+    # building is CPU-bound per byte, so those 3 tasks serialize the
+    # whole verify prologue (measured as the stage's long tail).
+    n = docs.sparkSession.sparkContext.defaultParallelism
     arrs = (shingles(docs, distinct=False)
             .join(cand_ids, "doc_id", "left_semi")
+            .repartition(n, "doc_id")
             .groupBy("doc_id")
-            .agg(F.collect_set(F.xxhash64("shingle")).alias("_sh")))
+            .agg(F.collect_set(F.xxhash64("shingle")).alias("_sh"))
+            # materialized once: sizes AND arrays both consume it
+            .localCheckpoint(eager=False))
+    # Size-ratio prune (exact): n_common ≤ min(|a|,|b|), so
+    # jaccard ≤ min/max — a pair with min < t·max can never reach the
+    # threshold. The prune runs on a NARROW (doc_id, n) frame joined
+    # to the pair list BEFORE any array moves: at sf0.1 it discards
+    # ~95% of the 410k candidates shipping two ints per pair, so the
+    # two array joins (the heavy movement — ~200 bigints per side)
+    # only ever see the surviving pairs. Same algebra as the
+    # prefix-filtering rule in set-similarity joins (PPJoin); results
+    # are bit-identical, so the DuckDB oracle needs no mirror (its
+    # planner re-derives the same output from the unpruned
+    # formulation).
+    sizes = arrs.select("doc_id", F.size("_sh").alias("_n"))
+    survivors = (cands
+                 .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                    F.col("_n").alias("_na")), "doc_a")
+                 .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                                    F.col("_n").alias("_nb")), "doc_b")
+                 .filter(F.least("_na", "_nb").cast("double")
+                         >= F.lit(float(threshold))
+                         * F.greatest("_na", "_nb")))
     va = arrs.select(F.col("doc_id").alias("doc_a"),
                      F.col("_sh").alias("_sa"))
     vb = arrs.select(F.col("doc_id").alias("doc_b"),
@@ -260,23 +289,7 @@ def minhash_verified(docs: DataFrame,
     # n_common materialized in its own projection: referencing the
     # intersect expression from the jaccard formula AND the filter
     # would re-evaluate the O(|a|+|b|) intersect per reference.
-    #
-    # Size-ratio prune (exact): n_common ≤ min(|a|,|b|), so
-    # jaccard ≤ min/max — a pair with min < t·max can never reach the
-    # threshold and its O(|a|+|b|) intersect is skipped entirely. The
-    # filter references only the two set sizes, so it runs before the
-    # intersect projection; at sf0.1 it discards ~95% of the 410k
-    # candidates with two ints per pair (measured 9 s → 2.5 s for the
-    # verify stage). Same algebra as the prefix-filtering rule in
-    # set-similarity joins (PPJoin); results are bit-identical, so
-    # the DuckDB oracle needs no mirror (its planner re-derives the
-    # same output from the unpruned formulation).
-    with_common = (cands.join(va, "doc_a").join(vb, "doc_b")
-                   .withColumn("_na", F.size("_sa"))
-                   .withColumn("_nb", F.size("_sb"))
-                   .filter(F.least("_na", "_nb").cast("double")
-                           >= F.lit(float(threshold))
-                           * F.greatest("_na", "_nb"))
+    with_common = (survivors.join(va, "doc_a").join(vb, "doc_b")
                    .select("doc_a", "doc_b",
                            F.size(F.array_intersect("_sa", "_sb"))
                             .cast("bigint").alias("n_common"),
