@@ -2521,7 +2521,9 @@ def oracle_sql() -> dict[str, str]:
                 WHERE rn <= {TX.POSTING_HEAD}
             ),
             lists AS (
-                SELECT term, list(doc_id ORDER BY doc_id) AS postings_head
+                SELECT term,
+                       array_to_string(list(doc_id ORDER BY doc_id), ',')
+                           AS postings_head
                 FROM headed GROUP BY 1
             )
             SELECT term, df, tf_total, postings_head

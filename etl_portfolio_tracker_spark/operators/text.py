@@ -569,7 +569,10 @@ def posting_lists(docs: DataFrame, terms: tuple = POSTING_TERMS,
     (collect_list over an unbounded posting would be the driver-OOM
     anti-pattern at 100 TB).
 
-    Output: (term, df, tf_total, postings_head array<bigint>)."""
+    Output: (term, df, tf_total, postings_head) — the head emitted as
+    a comma-joined string (a stable wire format for the skip index;
+    also hash-identical across engines regardless of how a client
+    stringifies native list types)."""
     from pyspark.sql import Window as W
     toks = (docs.select("doc_id", F.explode(tokens_col()).alias("term"))
             .filter(F.col("term").isin(*terms)))
@@ -582,7 +585,9 @@ def posting_lists(docs: DataFrame, terms: tuple = POSTING_TERMS,
     headed = (per.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= head)
               .groupBy("term")
-              .agg(F.sort_array(F.collect_list("doc_id"))
+              .agg(F.array_join(
+                      F.transform(F.sort_array(F.collect_list("doc_id")),
+                                  lambda x: x.cast("string")), ",")
                     .alias("postings_head")))
     return (stats.join(headed, "term")
             .select("term", "df", "tf_total", "postings_head")
