@@ -525,6 +525,10 @@ def _q_scd2_history(spark, sf_dir):
     return WH.scd2_history(spark, sf_dir)
 
 
+def _q_source_quality_report(spark, sf_dir):
+    return DD.source_quality_report(_docs(spark, sf_dir))
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1044,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "posting_lists": _q_posting_lists,
         "scd2_history": _q_scd2_history,
+        "source_quality_report": _q_source_quality_report,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -3739,6 +3744,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle_sql(),
         "triangle_stats": _triangle_oracle_sql(),
+        # mirrors dedup.source_quality_report: corpus_prune verdict
+        # joined to the source column, conditional counts per feed
+        "source_quality_report": """
+            WITH p AS ({corpus_prune_sql_ph})
+            SELECT d.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN reason = 'exact_dup' THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_exact_dup,
+                   CAST(SUM(CASE WHEN reason = 'near_dup' THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_near_dup,
+                   CAST(SUM(CASE WHEN reason = 'quality' THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_quality,
+                   ROUND(CAST(SUM(CASE WHEN reason = 'kept' THEN 1
+                                  ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                       AS kept_pct
+            FROM p JOIN documents d USING (doc_id)
+            GROUP BY 1
+            ORDER BY 1
+        """.replace("{corpus_prune_sql_ph}", corpus_prune_sql),
         "prune_report": """
             WITH p AS ({corpus_prune_sql_ph}),
             per AS (

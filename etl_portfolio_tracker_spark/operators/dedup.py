@@ -744,3 +744,35 @@ def source_overlap(docs: DataFrame) -> DataFrame:
                  F.sum(F.col("cnt_a") * F.col("cnt_b"))
                   .cast("long").alias("n_doc_pairs"))
             .orderBy("source_a", "source_b"))
+
+
+def source_quality_report(docs: DataFrame) -> DataFrame:
+    """Per-SOURCE curation dashboard: for every feed, how many docs
+    survive the full corpus_prune verdict and how many fall to each
+    stage (exact dup / near dup / quality) — the report that decides
+    which crawl feeds get re-negotiated, deprioritized, or dropped in
+    a training-data program. The per-source twin of prune_report
+    (which aggregates globally by reason).
+
+    Scale shape on top of corpus_prune (which dominates): one
+    |docs|-row join for the source column and one |sources|-row
+    conditional aggregate with map-side partials — counts, not rows,
+    cross the final exchange. kept_pct is the only emitted float: an
+    integer-ratio division ROUNDed to 6dp (bit-deterministic).
+
+    Returns (source, n_docs, n_kept, n_exact_dup, n_near_dup,
+    n_quality, kept_pct), ordered by source."""
+    verdict = corpus_prune(docs).join(
+        docs.select("doc_id", "source"), "doc_id")
+    cnt = lambda r: F.sum(  # noqa: E731
+        F.when(F.col("reason") == r, 1).otherwise(0)).cast("long")
+    return (verdict.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 cnt("kept").alias("n_kept"),
+                 cnt("exact_dup").alias("n_exact_dup"),
+                 cnt("near_dup").alias("n_near_dup"),
+                 cnt("quality").alias("n_quality"))
+            .withColumn("kept_pct",
+                        F.round(F.col("n_kept").cast("double")
+                                / F.col("n_docs"), 6))
+            .orderBy("source"))

@@ -373,3 +373,25 @@ def test_source_overlap_counts_cross_source_cluster_pairs(spark):
     r = out[0]
     assert (r["source_a"], r["source_b"]) == ("A", "B")
     assert r["n_clusters"] == 1 and r["n_doc_pairs"] == 2
+
+
+def test_source_quality_report_counts_per_feed(spark):
+    # feed A: 2 identical good docs (1 kept + 1 exact_dup);
+    # feed B: 1 distinct good doc; feed C: 1 short junk doc (quality).
+    good1 = ("the cat sat on the mat with a dog and a bird today "
+             "while the sun was up and the wind was low all day")
+    good2 = ("a completely different and reasonably long document "
+             "about the way a planner chooses a join order today")
+    rows = [(0, good1, "en", "A", len(good1)),
+            (1, good1, "en", "A", len(good1)),
+            (2, good2, "en", "B", len(good2)),
+            (3, "word", "en", "C", 4)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = {r["source"]: r for r in
+           DD.source_quality_report(d).collect()}
+    assert out["A"]["n_docs"] == 2 and out["A"]["n_exact_dup"] == 1
+    assert out["A"]["n_kept"] == 1 and out["A"]["kept_pct"] == 0.5
+    assert out["B"]["n_kept"] == 1 and out["B"]["kept_pct"] == 1.0
+    assert out["C"]["n_quality"] == 1 and out["C"]["n_kept"] == 0
