@@ -529,6 +529,12 @@ def _q_source_quality_report(spark, sf_dir):
     return DD.source_quality_report(_docs(spark, sf_dir))
 
 
+def _q_streaming_dedup_within_replay(spark, sf_dir):
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_dedup_within_replay)
+    return streaming_dedup_within_replay(spark, sf_dir)
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1049,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_lists": _q_posting_lists,
         "scd2_history": _q_scd2_history,
         "source_quality_report": _q_source_quality_report,
+        "streaming_dedup_within_replay": _q_streaming_dedup_within_replay,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -1695,6 +1702,12 @@ def oracle_sql() -> dict[str, str]:
         # streaming dedup: event_id is unique in the harness data, so
         # exact output == the full table while the state path runs
         "streaming_dedup_replay": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+        """,
+        # same oracle, different stateful operator: the
+        # within-watermark dedup path (state evicted by event time)
+        "streaming_dedup_within_replay": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
         """,

@@ -148,6 +148,29 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def streaming_dedup_within_replay(spark: SparkSession, sf_dir: str,
+                                  timeout_s: int = 300) -> DataFrame:
+    """dropDuplicatesWithinWatermark replay — the Spark 3.5+ stateful
+    operator whose state EXPIRES by event time (keys older than the
+    watermark are evicted instead of held forever, the production
+    answer to unbounded dedup state). event_ids are unique in the
+    harness data and availableNow runs ONE micro-batch, so the exact
+    output is the full table — same oracle as streaming_dedup_replay
+    while this exercises the within-watermark state path instead of
+    the unbounded one."""
+    from pyspark.sql import functions as F
+    name = "stream_dedup_within_" + uuid.uuid4().hex[:8]
+    ev = (_events_stream(spark, sf_dir)
+          .withColumn("_wm", F.expr(_UTC_PIN.format(c="ts")))
+          .withWatermark("_wm", "7 days")
+          .dropDuplicatesWithinWatermark(["event_id"])
+          .drop("_wm"))
+    _run_to_completion(
+        ev.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True), name, timeout_s)
+    return spark.table(name)
+
+
 def streaming_join_replay(spark: SparkSession, sf_dir: str,
                           tolerance: str = "1 hour",
                           watermark: str = "2 hours",

@@ -300,3 +300,25 @@ def test_streaming_dedup_jittered_timestamps(spark, tmpdir):
     assert len(out) == 2                              # one A row, one B row
     a = [r for r in out if r["ticker"] == "A"]
     assert len(a) == 1 and a[0]["ts"].second == 0     # first delivery wins
+
+
+def test_dedup_within_watermark_drops_duplicate_keys(spark, tmpdir):
+    # two rows share event_id 1 inside the watermark window -> one
+    # survives; the distinct key passes through.
+    src = f"{tmpdir}/evw"
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [(1, base, 7, "click", 2.0, None),
+         (1, base + dt.timedelta(minutes=1), 7, "click", 2.0, None),
+         (2, base + dt.timedelta(minutes=2), 7, "view", 5.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = (stream.withWatermark("ts", "1 hour")
+           .dropDuplicatesWithinWatermark(["event_id"]))
+    q = (out.writeStream.format("memory").queryName("ddww_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select event_id from ddww_test").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
