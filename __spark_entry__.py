@@ -535,6 +535,10 @@ def _q_streaming_dedup_within_replay(spark, sf_dir):
     return streaming_dedup_within_replay(spark, sf_dir)
 
 
+def _q_hybrid_near_dup(spark, sf_dir):
+    return SIM.hybrid_near_dup(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1056,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "source_quality_report": _q_source_quality_report,
         "streaming_dedup_within_replay": _q_streaming_dedup_within_replay,
+        "hybrid_near_dup": _q_hybrid_near_dup,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -2007,6 +2012,55 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b USING (band, band_key)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        # mirrors similarity.hybrid_near_dup: text MinHash candidates
+        # (incl. bucket cap) verified by exact embedding cosine,
+        # joined on doc_id == vec_id
+        "hybrid_near_dup": _SHINGLES_SQL.replace("SELECT DISTINCT",
+                                                 "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS) + f"""
+            , kept AS (
+                SELECT band, band_key, doc_id FROM bands
+                QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
+                        <= {DD.MINHASH_BUCKET_CAP}
+            ),
+            cand AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_bands
+                FROM kept a JOIN kept b USING (band, band_key)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pe AS (
+                SELECT vec_id,
+                       UNNEST(generate_series(1, LEN(embedding))) AS pos,
+                       CAST(UNNEST(embedding) AS DOUBLE) AS val
+                FROM embeddings
+            ),
+            dots AS (
+                SELECT c.doc_a, c.doc_b,
+                       CAST(SUM(CAST(pa.val * pb.val AS DECIMAL(38,10)))
+                            AS DOUBLE) AS dot
+                FROM cand c
+                JOIN pe pa ON pa.vec_id = c.doc_a
+                JOIN pe pb ON pb.vec_id = c.doc_b AND pb.pos = pa.pos
+                GROUP BY 1, 2
+            ),
+            norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10)))
+                                 AS DOUBLE)) AS nrm
+                FROM pe GROUP BY 1
+            )
+            SELECT d.doc_a, d.doc_b, c.n_bands,
+                   ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+            FROM dots d
+            JOIN cand c ON c.doc_a = d.doc_a AND c.doc_b = d.doc_b
+            JOIN norms na ON na.vec_id = d.doc_a
+            JOIN norms nb ON nb.vec_id = d.doc_b
+            WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6)
+                  >= {SIM.HYBRID_COS_THRESHOLD}
         """,
         "dedup_clusters": dedup_clusters_sql,
         # cluster-granular hash_split: the bucket hashes the CLUSTER

@@ -726,3 +726,42 @@ def label_outliers(emb: DataFrame,
             .select("label", F.col("rnk").cast("int").alias("rnk"),
                     "vec_id", F.round("_sq_dist", 6).alias("sq_dist"))
             .orderBy("label", "rnk"))
+
+
+HYBRID_COS_THRESHOLD = 0.0
+
+
+def hybrid_near_dup(docs: DataFrame, emb: DataFrame,
+                    threshold: float = HYBRID_COS_THRESHOLD) -> DataFrame:
+    """Multi-signal near-dup verify: TEXT MinHash-LSH candidates
+    cross-checked by EMBEDDING cosine — the two-modality agreement
+    rule real curation pipelines apply before destructive dedup
+    (surface-form match alone deletes translations/templates wrongly;
+    embedding match alone deletes topical neighbors; requiring both
+    bounds the damage of either signal's failure mode). Joins the
+    documents and embeddings tables on doc_id == vec_id.
+
+    Plan shape: candidates come from the banded text pipeline
+    (bounded by banding + bucket cap — never O(n²)), then two
+    vec_id hash joins fetch the vectors and the cosine is the same
+    row-local exact-decimal kernel as cosine_topk, norms computed
+    once per vector BEFORE the join (the embedding_near_dup_verified
+    rule). Cost is O(text candidates).
+
+    Output: (doc_a, doc_b, n_bands, cos_sim rounded 6dp), filtered
+    on the ROUNDED cosine so the cut is engine-independent."""
+    from .dedup import minhash_lsh_candidates
+    cands = minhash_lsh_candidates(docs)
+    sides = emb.select("vec_id", "embedding",
+                       F.expr(_norm_sql("embedding")).alias("_n"))
+    va = sides.select(F.col("vec_id").alias("doc_a"),
+                      F.col("embedding").alias("_ea"),
+                      F.col("_n").alias("_na"))
+    vb = sides.select(F.col("vec_id").alias("doc_b"),
+                      F.col("embedding").alias("_eb"),
+                      F.col("_n").alias("_nb"))
+    cos = F.round(F.expr(_dot_sql("_ea", "_eb"))
+                  / (F.col("_na") * F.col("_nb")), 6)
+    return (cands.join(va, "doc_a").join(vb, "doc_b")
+            .select("doc_a", "doc_b", "n_bands", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))

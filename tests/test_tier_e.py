@@ -395,3 +395,19 @@ def test_source_quality_report_counts_per_feed(spark):
     assert out["A"]["n_kept"] == 1 and out["A"]["kept_pct"] == 0.5
     assert out["B"]["n_kept"] == 1 and out["B"]["kept_pct"] == 1.0
     assert out["C"]["n_quality"] == 1 and out["C"]["n_kept"] == 0
+
+
+def test_hybrid_near_dup_requires_both_signals(spark):
+    # docs 0/1 identical text; embeddings: 0~1 aligned (cos 1), 2 is
+    # text-distinct. Only the (0,1) text candidate survives, carrying
+    # its exact cosine; threshold above 1.0 kills it.
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    d = docs_df(spark, [t, t, "totally different words entirely here"])
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
+        schema=schemas.EMBEDDINGS)
+    rows = SIM.hybrid_near_dup(d, e).collect()
+    assert [(r["doc_a"], r["doc_b"], r["cos_sim"]) for r in rows] \
+        == [(0, 1, 1.0)]
+    assert rows[0]["n_bands"] == DD.MINHASH_SEEDS // DD.LSH_BAND_ROWS
+    assert SIM.hybrid_near_dup(d, e, threshold=1.1).count() == 0
