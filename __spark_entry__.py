@@ -539,6 +539,10 @@ def _q_hybrid_near_dup(spark, sf_dir):
     return SIM.hybrid_near_dup(_docs(spark, sf_dir), _emb(spark, sf_dir))
 
 
+def _q_rp_project(spark, sf_dir):
+    return SIM.rp_project(_emb(spark, sf_dir))
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1061,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": _q_source_quality_report,
         "streaming_dedup_within_replay": _q_streaming_dedup_within_replay,
         "hybrid_near_dup": _q_hybrid_near_dup,
+        "rp_project": _q_rp_project,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -1381,7 +1386,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN near_k n USING (doc_id)
             JOIN qual_k q USING (doc_id)
         """.replace("{dedup}", dedup_clusters_sql)
+    # mirrors similarity.rp_project: ±1 weight from the high bit of
+    # md5(pos:j)'s first hex digit; SEQUENTIAL double fold via
+    # list_reduce — same operation order as Spark's aggregate(), so
+    # IEEE addition matches bit-for-bit (decimal term casts hit
+    # HALF_UP-vs-half-even ties on raw float32 expansions)
+    _rp_high = "('8','9','a','b','c','d','e','f')"
+    rp_cols = ",\n                   ".join(
+        f"ROUND(COALESCE(list_reduce(list_transform(embedding, "
+        f"(x, i) -> CAST(x AS DOUBLE) * (CASE WHEN "
+        f"substr(md5(CAST(i AS VARCHAR) || ':' || '{j}'), 1, 1) "
+        f"IN {_rp_high} THEN CAST(1.0 AS DOUBLE) "
+        f"ELSE CAST(-1.0 AS DOUBLE) END)), "
+        f"(a, b) -> a + b), 0.0), 6) AS p{j}"
+        for j in range(SIM.RP_OUT_DIMS))
+    rp_project_sql = f"""
+            SELECT vec_id,
+                   {rp_cols}
+            FROM embeddings ORDER BY vec_id
+        """
+
     return {
+        "rp_project": rp_project_sql,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty,

