@@ -543,6 +543,10 @@ def _q_rp_project(spark, sf_dir):
     return SIM.rp_project(_emb(spark, sf_dir))
 
 
+def _q_pps_sample(spark, sf_dir):
+    return PK.pps_sample(_docs(spark, sf_dir))
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1066,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_within_replay": _q_streaming_dedup_within_replay,
         "hybrid_near_dup": _q_hybrid_near_dup,
         "rp_project": _q_rp_project,
+        "pps_sample": _q_pps_sample,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -1408,6 +1413,36 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "rp_project": rp_project_sql,
+        # mirrors packing.pps_sample: integer-only pick-interval math
+        "pps_sample": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(len(string_split({_NORM_SQL}, ' '))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_end
+                FROM base
+            ),
+            tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total
+                    FROM base)
+            SELECT doc_id, n_tokens,
+                   CAST(cum_end - n_tokens AS BIGINT) AS cum_start,
+                   CAST(((cum_end * {PK.PPS_SAMPLE_K} + total - 1)
+                         // total)
+                        - (((cum_end - n_tokens) * {PK.PPS_SAMPLE_K}
+                            + total - 1) // total) AS BIGINT)
+                       AS n_picks
+            FROM cum, tot
+            WHERE ((cum_end * {PK.PPS_SAMPLE_K} + total - 1) // total)
+                  - (((cum_end - n_tokens) * {PK.PPS_SAMPLE_K}
+                      + total - 1) // total) > 0
+            ORDER BY doc_id
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty,

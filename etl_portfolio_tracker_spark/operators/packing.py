@@ -228,3 +228,46 @@ def token_budget_mix_scalable(docs: DataFrame,
                  F.sum(F.when(F.col("kept"), F.col("n_tokens"))
                         .otherwise(F.lit(0))).alias("kept_tokens"))
             .orderBy("source"))
+
+
+PPS_SAMPLE_K = 100
+
+
+def pps_sample(docs: DataFrame, k: int = PPS_SAMPLE_K) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay the
+    corpus out on a token-count number line (cumulative sum in doc_id
+    order), drop `k` equally-spaced pick points m·total/k, and emit
+    each document hit at least once — long documents proportionally
+    more likely, and a document longer than the stride is hit
+    multiple times (n_picks is its importance-sampling multiplicity).
+    This is the deterministic weighted-sampling primitive behind
+    data-mixture construction; unlike Bernoulli sampleBy it needs no
+    RNG, so any engine reproduces the identical sample.
+
+    Exactness: picks-in-interval counts are pure BIGINT arithmetic by
+    cross-multiplication — n_picks = ceil(cum_end·k/total) −
+    ceil(cum_start·k/total), ceil(a/b) = (a + b − 1) div b — no
+    rational or float ever materializes.
+
+    Scale shape: one global prefix sum (window over doc_id order —
+    at 100 TB swap in the two-pass range-partitioned prefix sum of
+    token_budget_mix_scalable, same arithmetic) + a 1-row total
+    broadcast; the pick logic is then row-local."""
+    n_tok = F.size(F.split(_norm(F.col("text")), " ")).cast("long")
+    base = docs.select("doc_id", n_tok.alias("n_tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = base.withColumn("cum_end", F.sum("n_tokens").over(w)) \
+              .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    total = base.agg(F.sum("n_tokens").cast("long").alias("_total"))
+    # integer `div`, never float division: cum·k can pass 2^53 at
+    # corpus scale and a double quotient would misplace pick points
+    picks = F.expr(
+        f"((cum_end * {k} + _total - 1) div _total)"
+        f" - ((cum_start * {k} + _total - 1) div _total)").cast("long")
+    return (cum.crossJoin(F.broadcast(total))
+            .withColumn("n_picks", picks)
+            .filter(F.col("n_picks") > 0)
+            .select("doc_id", "n_tokens",
+                    F.col("cum_start").cast("long").alias("cum_start"),
+                    "n_picks")
+            .orderBy("doc_id"))

@@ -136,3 +136,22 @@ def test_epoch_shuffle_bijection_on_sparse_ids(spark):
     assert sorted(out["doc_id"]) == sorted(ids)
     for _, g in out.groupby("bucket"):
         assert sorted(g["pos"]) == list(range(len(g)))
+
+
+def test_pps_sample_picks_sum_to_k_and_weight_heavy_docs(spark):
+    from etl_portfolio_tracker_spark.operators import packing as PK
+    # doc 1 holds ~80% of the tokens -> gets ~80% of the picks; total
+    # multiplicity is exactly k.
+    rows = [(0, "w " * 10, "en", "s", 20),
+            (1, "w " * 80, "en", "s", 160),
+            (2, "w " * 10, "en", "s", 20)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = {r["doc_id"]: r for r in PK.pps_sample(d, k=10).collect()}
+    assert sum(r["n_picks"] for r in out.values()) == 10
+    assert out[1]["n_picks"] == 8
+    assert out[0]["n_picks"] >= 1 and out[2]["n_picks"] >= 1
+    # intervals tile the number line
+    assert out[0]["cum_start"] == 0
+    assert out[1]["cum_start"] == out[0]["n_tokens"]
