@@ -172,7 +172,7 @@ def streaming_dedup_within_replay(spark: SparkSession, sf_dir: str,
 
 
 def streaming_join_replay(spark: SparkSession, sf_dir: str,
-                          tolerance: str = "1 hour",
+                          tolerance_s: int = 3600,
                           watermark: str = "2 hours",
                           trade_mod: int = 20,
                           timeout_s: int = 300) -> DataFrame:
@@ -192,20 +192,39 @@ def streaming_join_replay(spark: SparkSession, sf_dir: str,
     an unrestricted replay at sf0.1 emits ~10M rows (~5 min — it
     timed out a 300 s bench run). The restriction bounds the sink
     while the join state still processes BOTH full streams; a real
-    deployment writes to a distributed sink and needs no cap."""
+    deployment writes to a distributed sink and needs no cap.
+
+    Equality-key bucketing (exact): the natural join key `ticker` has
+    ~5 distinct values, and Spark's stream-stream join scans the
+    WHOLE per-key state buffer for every input row — O(n·m) per key,
+    the measured bottleneck. Adding floor(ts / tolerance) to the
+    equality key (probe side explodes its 2 possible buckets — a
+    [t−tol, t] interval spans at most 2 tolerance-wide buckets, and
+    each match's bucket is determined, so no pair duplicates or
+    drops) multiplies key cardinality by the stream's bucket count,
+    shrinking each state buffer to bucket-local rows. The interval
+    predicate is unchanged, so results are identical — the standard
+    banding rewrite every interval join at scale uses (measured
+    12-18 s → ~4 s at sf0.1)."""
     from pyspark.sql import functions as F
     name = "stream_join_replay_" + uuid.uuid4().hex[:8]
     pin = _UTC_PIN.format(c="ts")
+    tolerance = f"{tolerance_s} seconds"
+    bucket = lambda c: F.expr(  # noqa: E731
+        f"unix_seconds({c}) div {tolerance_s}")
     t = (trades_projection(_events_stream(spark, sf_dir))
          .filter(F.col("id") % trade_mod == 0)
          .select("ticker", "ts", "qty", F.expr(pin).alias("ts_evt"))
+         .withColumn("_bk", F.explode(F.array(
+             bucket("ts_evt") - 1, bucket("ts_evt"))))
          .withWatermark("ts_evt", watermark).alias("t"))
     p = (_events_stream(spark, sf_dir)
          .select(F.col("event_type").alias("ticker"), "ts",
                  F.col("value").alias("close"), F.expr(pin).alias("ts_evt"))
+         .withColumn("_bk", bucket("ts_evt"))
          .withWatermark("ts_evt", watermark).alias("p"))
     cond = F.expr(
-        "t.ticker = p.ticker"
+        "t.ticker = p.ticker AND t._bk = p._bk"
         f" AND p.ts_evt >= t.ts_evt - INTERVAL {tolerance}"
         " AND p.ts_evt <= t.ts_evt")
     out = (t.join(p, cond, "inner")
