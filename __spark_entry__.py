@@ -547,6 +547,10 @@ def _q_pps_sample(spark, sf_dir):
     return PK.pps_sample(_docs(spark, sf_dir))
 
 
+def _q_hist_var(spark, sf_dir):
+    return FIN.hist_var(derive.tick_prices(spark, sf_dir))
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1071,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_near_dup": _q_hybrid_near_dup,
         "rp_project": _q_rp_project,
         "pps_sample": _q_pps_sample,
+        "hist_var": _q_hist_var,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -2779,6 +2784,29 @@ def oracle_sql() -> dict[str, str]:
         # --- finance tier: all moment formulas evaluate in DOUBLE from
         # exact DECIMAL(38,10) window/group sums, mirroring finance.py
         # expression-for-expression ---
+        # mirrors finance.hist_var: integer-rank discrete quantile
+        # (k = ceil(alpha*n) in basis points), never an engine
+        # quantile function
+        "hist_var": with_domain(f"""
+            , ranked AS (
+                SELECT ticker, ret,
+                       row_number() OVER (PARTITION BY ticker
+                                          ORDER BY ret, ts) AS rn,
+                       COUNT(*) OVER (PARTITION BY ticker) AS n
+                FROM ({{rets}})
+            ),
+            tail AS (
+                SELECT ticker, ret, rn, n,
+                       (n * {FIN.VAR_ALPHA_BP} + 9999) // 10000 AS k
+                FROM ranked
+                WHERE rn <= (n * {FIN.VAR_ALPHA_BP} + 9999) // 10000
+            )
+            SELECT ticker, CAST(MAX(n) AS BIGINT) AS n_days,
+                   MAX(CASE WHEN rn = k THEN ret END) AS var_tail,
+                   ROUND(CAST(SUM(CAST(ret AS DECIMAL(38,10)))
+                              AS DOUBLE) / COUNT(*), 6) AS es_tail
+            FROM tail GROUP BY ticker ORDER BY ticker
+        """.replace("{rets}", _RETS_SQL), TICK_PRICES_CTE),
         "rolling_vol": with_domain(f"""
             SELECT ticker, ts, ret,
                    CASE WHEN cnt >= 2 THEN

@@ -210,3 +210,42 @@ def range_window_avg(prices: DataFrame, days: int = 7) -> DataFrame:
         "ticker", "ts", "close",
         (s / n).alias("avg_7d"),
         n.alias("n_in_window"))
+
+
+VAR_ALPHA_BP = 500   # 5% tail, in basis points of 10000
+
+
+def hist_var(tick_prices: DataFrame,
+             alpha_bp: int = VAR_ALPHA_BP) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per ticker:
+    VaR = the alpha-quantile (discrete, lower) of daily returns, ES =
+    the mean of returns at or below that rank — the loss-tail risk
+    report a portfolio engine serves next to volatility.
+
+    Exact rank arithmetic, no quantile function: k = ceil(alpha·n) in
+    integer basis points, the k-th smallest return per ticker via a
+    window row_number (ties broken by ts so the rank is total), VaR
+    is that row's return, ES the exact-decimal mean of rows 1..k with
+    ONE final IEEE division ROUNDed 6dp. percentile_approx (sketch)
+    and engine quantile functions with differing interpolation rules
+    never enter — both engines replay the identical integer-rank
+    selection.
+
+    Scale: one shuffle on ticker for the rank window; k rows per
+    ticker feed the final aggregate."""
+    r = _returns(tick_prices)
+    w = W.partitionBy("ticker").orderBy("ret", "ts")
+    cnt = W.partitionBy("ticker")
+    ranked = r.select(
+        "ticker", "ret",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(cnt).alias("_n"))
+    k = F.expr(f"(_n * {alpha_bp} + 9999) div 10000")
+    tail = ranked.withColumn("_k", k).filter(F.col("_rn") <= F.col("_k"))
+    return (tail.groupBy("ticker")
+            .agg(F.max("_n").cast("long").alias("n_days"),
+                 F.max(F.when(F.col("_rn") == F.col("_k"), F.col("ret")))
+                  .alias("var_tail"),
+                 F.round(F.sum(F.col("ret").cast(DEC)).cast("double")
+                         / F.count(F.lit(1)), 6).alias("es_tail"))
+            .orderBy("ticker"))

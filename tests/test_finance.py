@@ -100,3 +100,26 @@ def test_rolling_vol_plan_single_shuffle(spark):
         .executedPlan().toString()
     # one exchange for the ticker window, nothing else
     assert plan.count("Exchange") <= 1
+
+
+def test_hist_var_rank_selection_and_es(spark):
+    import datetime as dt
+    from etl_portfolio_tracker_spark.operators import finance as FIN
+    # build a price series whose returns are known: 20 days, one
+    # ticker; k = ceil(0.05*20) = 1 -> VaR = worst return, ES = same.
+    base = dt.date(2024, 1, 1)
+    prices = [100.0]
+    for r in [0.01] * 10 + [-0.10] + [0.005] * 8:   # one crash day
+        prices.append(round(prices[-1] * (1 + r), 8))
+    rows = [("A", dt.datetime.combine(base + dt.timedelta(days=i),
+                                      dt.time()), p)
+            for i, p in enumerate(prices)]
+    tp = spark.createDataFrame(rows, "ticker string, ts timestamp,"
+                                     " close double")
+    out = FIN.hist_var(tp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 20
+    # worst return is the crash day (~ -10%)
+    assert abs(r["var_tail"] - (-0.10)) < 1e-6
+    assert r["es_tail"] == round(r["var_tail"], 6)
