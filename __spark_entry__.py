@@ -551,6 +551,10 @@ def _q_hist_var(spark, sf_dir):
     return FIN.hist_var(derive.tick_prices(spark, sf_dir))
 
 
+def _q_kcore(spark, sf_dir):
+    return DD.kcore(_docs(spark, sf_dir))
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1079,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project": _q_rp_project,
         "pps_sample": _q_pps_sample,
         "hist_var": _q_hist_var,
+        "kcore": _q_kcore,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -2130,6 +2135,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms nb ON nb.vec_id = d.doc_b
             WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6)
                   >= {SIM.HYBRID_COS_THRESHOLD}
+        """,
+        # mirrors dedup.kcore: fixed-round unrolled peeling (the
+        # kmeans_train rule — same iteration count both engines)
+        "kcore": _SHINGLES_SQL.replace("SELECT DISTINCT", "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS) + f"""
+            , kept AS (
+                SELECT band, band_key, doc_id FROM bands
+                QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
+                        <= {DD.MINHASH_BUCKET_CAP}
+            ),
+            cand AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM kept a JOIN kept b USING (band, band_key)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            e0 AS MATERIALIZED (
+                SELECT doc_a, doc_b FROM cand
+                UNION ALL
+                SELECT doc_b, doc_a FROM cand
+            )
+        """ + "".join(f"""
+            , n{r} AS MATERIALIZED (
+                SELECT doc_a FROM e{r - 1}
+                GROUP BY 1 HAVING COUNT(*) >= {DD.KCORE_K}
+            ),
+            e{r} AS MATERIALIZED (
+                SELECT e.doc_a, e.doc_b FROM e{r - 1} e
+                JOIN n{r} a ON a.doc_a = e.doc_a
+                JOIN n{r} b ON b.doc_a = e.doc_b
+            )
+        """ for r in range(1, DD.KCORE_ROUNDS + 1)) + f"""
+            SELECT doc_a AS doc_id, COUNT(*) AS degree
+            FROM e{DD.KCORE_ROUNDS}
+            GROUP BY 1 HAVING COUNT(*) >= {DD.KCORE_K}
+            ORDER BY 1
         """,
         "dedup_clusters": dedup_clusters_sql,
         # cluster-granular hash_split: the bucket hashes the CLUSTER

@@ -776,3 +776,52 @@ def source_quality_report(docs: DataFrame) -> DataFrame:
                         F.round(F.col("n_kept").cast("double")
                                 / F.col("n_docs"), 6))
             .orderBy("source"))
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def kcore(docs: DataFrame, k: int = KCORE_K,
+          rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """k-core peeling over the near-dup candidate graph: repeatedly
+    drop nodes with degree < k (and their edges) for a FIXED number
+    of rounds — the density filter that separates genuine template
+    families (dense quasi-cliques survive) from incidental LSH
+    collisions (tree-ish fringe peels away). The fourth member of the
+    graph family here (connected components, PageRank, triangle
+    census, k-core).
+
+    Fixed `rounds` instead of peel-to-fixpoint: the DuckDB twin
+    unrolls the same rounds as chained CTEs (the kmeans_train rule —
+    iteration count pinned so both engines execute the identical
+    computation); near-dup graphs peel to stability in 2-3 rounds in
+    practice, and survivors of round R with unstable degree would
+    peel identically in both engines anyway.
+
+    Scale shape: per round one degree aggregation (count per node
+    over surviving symmetric edges — map-side combine) + one
+    semi-join of edges against surviving nodes on EACH endpoint;
+    edges localCheckpoint each round so lineage stays O(1) (durable
+    checkpoint on a cluster). Rounds are driver-coordinated like
+    min_label_components.
+
+    Returns (doc_id, degree) for nodes still alive after `rounds`
+    peels, with their degree in the surviving subgraph."""
+    cands = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    edges = (cands.unionByName(
+                 cands.select(F.col("doc_b").alias("doc_a"),
+                              F.col("doc_a").alias("doc_b")))
+             .localCheckpoint(eager=False))
+    for _ in range(rounds):
+        deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("doc_a")
+        edges = (edges
+                 .join(alive, "doc_a", "left_semi")
+                 .join(alive.select(F.col("doc_a").alias("doc_b")),
+                       "doc_b", "left_semi")
+                 .localCheckpoint(eager=False))
+    return (edges.groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .filter(F.col("degree") >= k)
+            .orderBy("doc_id"))

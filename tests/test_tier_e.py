@@ -411,3 +411,15 @@ def test_hybrid_near_dup_requires_both_signals(spark):
         == [(0, 1, 1.0)]
     assert rows[0]["n_bands"] == DD.MINHASH_SEEDS // DD.LSH_BAND_ROWS
     assert SIM.hybrid_near_dup(d, e, threshold=1.1).count() == 0
+
+
+def test_kcore_keeps_clique_peels_fringe(spark):
+    # 4 identical docs form a 4-clique (degree 3 each) -> survive
+    # k=3 peeling; a lone distinct doc has no edges -> peeled.
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    d = docs_df(spark, [t, t, t, t, "totally different words here ok"])
+    out = {r["doc_id"]: r["degree"] for r in DD.kcore(d).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(v == 3 for v in out.values())
+    # raising k above the clique degree empties the core
+    assert DD.kcore(d, k=4).count() == 0
