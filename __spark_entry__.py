@@ -555,6 +555,14 @@ def _q_kcore(spark, sf_dir):
     return DD.kcore(_docs(spark, sf_dir))
 
 
+def _q_ship_latency_histogram(spark, sf_dir):
+    return WH.ship_latency_histogram(spark, sf_dir)
+
+
+def _q_dup_inflation(spark, sf_dir):
+    return DD.dup_inflation(_docs(spark, sf_dir))
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1084,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample": _q_pps_sample,
         "hist_var": _q_hist_var,
         "kcore": _q_kcore,
+        "ship_latency_histogram": _q_ship_latency_histogram,
+        "dup_inflation": _q_dup_inflation,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -3945,6 +3955,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle_sql(),
         "triangle_stats": _triangle_oracle_sql(),
+        "ship_latency_histogram": """
+            SELECT o_orderpriority,
+                   CAST(FLOOR(datediff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE)) / 7)
+                        AS BIGINT) AS latency_week,
+                   COUNT(*) AS n_items,
+                   ROUND(CAST(SUM(datediff('day',
+                                           CAST(o_orderdate AS DATE),
+                                           CAST(l_shipdate AS DATE)))
+                              AS DOUBLE) / COUNT(*), 6) AS mean_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        # mirrors dedup.dup_inflation: token-weighted redundancy per
+        # source over the corpus_prune verdict
+        "dup_inflation": """
+            WITH p AS ({corpus_prune_sql_ph}),
+            toks AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split({norm_ph}, ' ')) AS BIGINT)
+                           AS n_tok
+                FROM documents
+            )
+            SELECT t.source,
+                   CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+                   CAST(SUM(CASE WHEN p.kept THEN n_tok ELSE 0 END)
+                        AS BIGINT) AS tokens_kept,
+                   CASE WHEN SUM(CASE WHEN p.kept THEN n_tok ELSE 0 END)
+                             > 0
+                        THEN ROUND(CAST(SUM(n_tok) AS DOUBLE)
+                                   / SUM(CASE WHEN p.kept THEN n_tok
+                                         ELSE 0 END), 6) END
+                       AS inflation
+            FROM toks t JOIN p ON p.doc_id = t.doc_id
+            GROUP BY 1
+            ORDER BY 1
+        """.replace("{corpus_prune_sql_ph}", corpus_prune_sql)
+           .replace("{norm_ph}", _NORM_SQL),
         # mirrors dedup.source_quality_report: corpus_prune verdict
         # joined to the source column, conditional counts per feed
         "source_quality_report": """

@@ -825,3 +825,33 @@ def kcore(docs: DataFrame, k: int = KCORE_K,
             .agg(F.count(F.lit(1)).cast("long").alias("degree"))
             .filter(F.col("degree") >= k)
             .orderBy("doc_id"))
+
+
+def dup_inflation(docs: DataFrame) -> DataFrame:
+    """Token-weighted redundancy per source: total whitespace tokens
+    vs tokens in documents the corpus_prune verdict KEEPS — the
+    budget-relevant companion to source_quality_report (doc counts
+    mislead when dup docs are systematically longer or shorter; what
+    a training run pays for is tokens). inflation = total/kept
+    tokens, the multiplier a naive per-source token budget overstates
+    the feed by.
+
+    One |docs|-row join of the prune verdict to row-local token
+    counts, one |sources|-row conditional aggregate; exact integer
+    sums, ONE final IEEE division ROUNDed 6dp (NULL when a feed
+    keeps nothing)."""
+    from .text import tokens_col
+    verdict = corpus_prune(docs).select("doc_id", "kept")
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(tokens_col()).cast("long").alias("_n_tok"))
+    return (toks.join(verdict, "doc_id")
+            .groupBy("source")
+            .agg(F.sum("_n_tok").cast("long").alias("tokens_total"),
+                 F.sum(F.when(F.col("kept"), F.col("_n_tok"))
+                        .otherwise(0)).cast("long").alias("tokens_kept"))
+            .withColumn("inflation",
+                        F.when(F.col("tokens_kept") > 0,
+                               F.round(F.col("tokens_total").cast("double")
+                                       / F.col("tokens_kept"), 6)))
+            .orderBy("source"))

@@ -715,3 +715,31 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "valid_to", "n_events",
                     F.col("valid_to").isNull().alias("is_current"))
             .orderBy("user_id", "run_seq"))
+
+
+def ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: integer
+    day buckets of (l_shipdate − o_orderdate), with per-priority
+    counts and the exact mean latency — the fulfillment-SLA report
+    shape (a date-difference derived dimension aggregated against a
+    low-cardinality attribute).
+
+    datediff is integer-exact; the mean is an exact integer sum over
+    a count with ONE final IEEE division ROUNDed 6dp. One fact-fact
+    shuffle (lineitem ⋈ orders on orderkey) + one small aggregate;
+    the histogram key (priority, latency-week) is bounded, so the
+    aggregate output is dimension-sized at any corpus scale."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    lat = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select("o_orderpriority", lat.alias("_lat"))
+            .groupBy("o_orderpriority",
+                     F.floor(F.col("_lat") / 7).cast("long")
+                      .alias("latency_week"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("_lat").cast("double")
+                         / F.count(F.lit(1)), 6).alias("mean_days"))
+            .orderBy("o_orderpriority", "latency_week"))

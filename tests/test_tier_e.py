@@ -423,3 +423,24 @@ def test_kcore_keeps_clique_peels_fringe(spark):
     assert all(v == 3 for v in out.values())
     # raising k above the clique degree empties the core
     assert DD.kcore(d, k=4).count() == 0
+
+
+def test_dup_inflation_counts_duplicate_tokens(spark):
+    # feed A: the same 12-token doc twice -> kept once, inflation 2;
+    # feed B: one distinct kept doc -> inflation 1.
+    good1 = ("the cat sat on the mat with a dog and a bird today "
+             "while the sun was up and the wind was low all day")
+    good2 = ("a completely different and reasonably long document "
+             "about the way a planner chooses a join order today")
+    rows = [(0, good1, "en", "A", len(good1)),
+            (1, good1, "en", "A", len(good1)),
+            (2, good2, "en", "B", len(good2))]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = {r["source"]: r for r in DD.dup_inflation(d).collect()}
+    assert out["A"]["tokens_total"] == 2 * out["A"]["tokens_kept"]
+    assert out["A"]["inflation"] == 2.0
+    assert out["B"]["inflation"] == 1.0
+    assert all(r["tokens_kept"] <= r["tokens_total"]
+               for r in out.values())
