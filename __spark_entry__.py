@@ -563,6 +563,10 @@ def _q_dup_inflation(spark, sf_dir):
     return DD.dup_inflation(_docs(spark, sf_dir))
 
 
+def _q_event_transitions(spark, sf_dir):
+    return WH.event_transitions(spark, sf_dir)
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1094,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q_kcore,
         "ship_latency_histogram": _q_ship_latency_histogram,
         "dup_inflation": _q_dup_inflation,
+        "event_transitions": _q_event_transitions,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -3955,6 +3960,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle_sql(),
         "triangle_stats": _triangle_oracle_sql(),
+        # mirrors warehouse.event_transitions: lag bigrams on one
+        # (user_id, ts, event_id) ordering, integer-count ratio
+        "event_transitions": """
+            WITH bigrams AS (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type,
+                       event_type AS next_type
+                FROM events
+            ),
+            counts AS (
+                SELECT prev_type, next_type, COUNT(*) AS n
+                FROM bigrams WHERE prev_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT prev_type, next_type, n,
+                   ROUND(CAST(n AS DOUBLE)
+                         / SUM(n) OVER (PARTITION BY prev_type), 6)
+                       AS p
+            FROM counts
+            ORDER BY prev_type, next_type
+        """,
         "ship_latency_histogram": """
             SELECT o_orderpriority,
                    CAST(FLOOR(datediff('day', CAST(o_orderdate AS DATE),

@@ -743,3 +743,34 @@ def ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("_lat").cast("double")
                          / F.count(F.lit(1)), 6).alias("mean_days"))
             .orderBy("o_orderpriority", "latency_week"))
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimate over user event
+    sequences: for every (prev_type → next_type) pair, the transition
+    count and row-normalized probability — the sequence statistic
+    behind next-event models and funnel anomaly detection (a
+    transition whose probability shifts week-over-week is a breakage
+    signal).
+
+    One (user_id, ts, event_id) window lag produces the bigram stream
+    row-locally after the single user_id shuffle; counts aggregate
+    with map-side combine to a |types|² frame; the row normalizer is
+    a per-prev_type window over that tiny frame. Probability = exact
+    integer count ratio, ONE IEEE division ROUNDed 6dp."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"))
+        .filter(F.col("prev_type").isNotNull()))
+    counts = (bigrams.groupBy("prev_type", "next_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    wrow = W.partitionBy("prev_type")
+    return (counts
+            .withColumn("row_total", F.sum("n").over(wrow))
+            .select("prev_type", "next_type", "n",
+                    F.round(F.col("n").cast("double")
+                            / F.col("row_total"), 6).alias("p"))
+            .orderBy("prev_type", "next_type"))

@@ -154,3 +154,30 @@ def test_scd2_history_islands_and_current_flag(spark, tmp_path):
     assert u1[2]["is_current"] and u1[2]["valid_to"] is None
     u2 = [r for r in out if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_event_transitions_counts_and_rows_normalize(spark, tmp_path):
+    import datetime as dt
+    rows = [(i, dt.datetime(2024, 1, 1, 0, i), u, t, 0.0, "{}")
+            for i, (u, t) in enumerate(
+                [(1, "A"), (1, "B"), (1, "A"), (1, "B"),
+                 (2, "A"), (2, "A")])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string, value double, props string")
+    import glob, os, shutil
+    p = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(p)
+    part = glob.glob(p + "/part-*.parquet")[0]
+    shutil.move(part, str(tmp_path / "events.parquet"))
+    shutil.rmtree(p)
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    out = {(r["prev_type"], r["next_type"]): r
+           for r in WH.event_transitions(spark, str(tmp_path)).collect()}
+    # user1: A->B, B->A, A->B; user2: A->A
+    assert out[("A", "B")]["n"] == 2
+    assert out[("A", "A")]["n"] == 1
+    assert out[("B", "A")]["n"] == 1 and out[("B", "A")]["p"] == 1.0
+    # row A normalizes: 2/3 + 1/3
+    assert out[("A", "B")]["p"] == round(2 / 3, 6)
+    assert out[("A", "A")]["p"] == round(1 / 3, 6)
