@@ -567,6 +567,10 @@ def _q_event_transitions(spark, sf_dir):
     return WH.event_transitions(spark, sf_dir)
 
 
+def _q_order_backlog(spark, sf_dir):
+    return WH.order_backlog(spark, sf_dir)
+
+
 def _q_streaming_fold_replay(spark, sf_dir):
     # REAL Structured Streaming execution (availableNow → memory
     # sink), not a batch re-expression: the driver's oracle check
@@ -1099,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_latency_histogram": _q_ship_latency_histogram,
         "dup_inflation": _q_dup_inflation,
         "event_transitions": _q_event_transitions,
+        "order_backlog": _q_order_backlog,
         # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
@@ -3960,6 +3965,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle_sql(),
         "triangle_stats": _triangle_oracle_sql(),
+        # mirrors warehouse.order_backlog: +1/-1 sweep-line events,
+        # weekly net change, running sum = open intervals
+        "order_backlog": """
+            WITH span AS (
+                SELECT CAST(FLOOR(datediff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE)) / 7)
+                            AS BIGINT) AS start_wk,
+                       CAST(FLOOR(datediff('day', DATE '1992-01-01',
+                                  ship_end) / 7) + 1 AS BIGINT)
+                           AS end_wk
+                FROM (SELECT l_orderkey,
+                             MAX(CAST(l_shipdate AS DATE)) AS ship_end
+                      FROM lineitem GROUP BY 1) s
+                JOIN orders ON o_orderkey = l_orderkey
+            ),
+            deltas AS (
+                SELECT start_wk AS week, 1 AS d FROM span
+                UNION ALL
+                SELECT end_wk, -1 FROM span
+            ),
+            weekly AS (
+                SELECT week, CAST(SUM(d) AS BIGINT) AS net_change
+                FROM deltas GROUP BY 1
+            )
+            SELECT week, net_change,
+                   CAST(SUM(net_change) OVER (ORDER BY week
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+                       AS open_orders
+            FROM weekly
+            ORDER BY week
+        """,
         # mirrors warehouse.event_transitions: lag bigrams on one
         # (user_id, ts, event_id) ordering, integer-count ratio
         "event_transitions": """

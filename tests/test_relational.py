@@ -181,3 +181,17 @@ def test_event_transitions_counts_and_rows_normalize(spark, tmp_path):
     # row A normalizes: 2/3 + 1/3
     assert out[("A", "B")]["p"] == round(2 / 3, 6)
     assert out[("A", "A")]["p"] == round(1 / 3, 6)
+
+
+def test_order_backlog_sweep_line_invariants(spark):
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    out = WH.order_backlog(spark, "/root/testdata/sf0.001").collect()
+    # running sum of net changes ends at zero (every order closes)
+    assert sum(r["net_change"] for r in out) == 0
+    assert out[-1]["open_orders"] == 0
+    # backlog is never negative and the series is week-ordered
+    assert all(r["open_orders"] >= 0 for r in out)
+    weeks = [r["week"] for r in out]
+    assert weeks == sorted(weeks)
+    # peak backlog is positive on real data
+    assert max(r["open_orders"] for r in out) > 0
