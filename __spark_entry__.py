@@ -942,12 +942,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROUND-3 TODO (first edit of the round): move the never-checked
     block (everything after the 50-cap marker below, through the
-    r2-late additions ending at hist_var in section 3) to the FRONT
-    of the dict, and the r2-checked block behind it — every query is
-    locally green (CHECK_LOCAL_r02.txt: 164/164), so each round's 50
-    external rows should cover fresh names. The r2-late additions
-    (leakage_safe_split .. hist_var) deserve external rows early:
-    they are the newest code paths.
+    r2-late additions ending at order_backlog in section 3) to the
+    FRONT of the dict, and the r2-checked block behind it — every
+    query is locally green (CHECK_LOCAL_r02.txt: 169/169), so each
+    round's 50 external rows should cover fresh names. The r2-late
+    additions (leakage_safe_split .. order_backlog) deserve external
+    rows early: they are the newest code paths.
     """
     return {
         # -- 1. fixed since r1 (err → expect green) ------------------
