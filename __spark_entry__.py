@@ -928,29 +928,124 @@ def _q_audio_meta(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order encodes verification priority: the driver only
     records external correctness rows for the FIRST 50 declared queries
-    per round (observed in r1), so queries that most need a fresh
+    per round (observed in r1/r2), so queries that most need a fresh
     external row come first.  The full set is verified locally every
     round via ``tools/check.py`` (committed log).
 
-    Round-2 ordering:
-      1. queries whose r1 driver rows were err/hash-fail, now fixed
-         (events dtype fix in io.read_table; BIGINT oracle casts;
-         frame_sample gained an oracle);
-      2. queries never externally checked (r1 cap cut them off);
-      3. remainder never-checked (next round's front);
-      4. queries already green in r1.
-
-    ROUND-3 TODO (first edit of the round): move the never-checked
-    block (everything after the 50-cap marker below, through the
-    r2-late additions ending at order_backlog in section 3) to the
-    FRONT of the dict, and the r2-checked block behind it — every
-    query is locally green (CHECK_LOCAL_r02.txt: 169/169), so each
-    round's 50 external rows should cover fresh names. The r2-late
-    additions (leakage_safe_split .. order_backlog) deserve external
-    rows early: they are the newest code paths.
+    Round-3 ordering (executes the round-2 reorder plan):
+      1. the 50 highest-priority never-externally-checked queries —
+         the r2-late curation/graph/stats ops (leakage_safe_split ..
+         order_backlog), then the finance, PQ/ANN, packing, corpus-
+         composite, text, and events tiers;
+      2. the remaining 43 never-checked queries (round-4 front:
+         warehouse second tranche, stats, rows-only audio_meta /
+         approx_stats);
+      3. the 76 queries already green in r1 or r2 driver rows
+         (re-verified locally each round).
+    
     """
     return {
-        # -- 1. fixed since r1 (err → expect green) ------------------
+        # -- 1. round-3 external window: never checked, highest priority ------------------------------------------
+        "leakage_safe_split": _q_leakage_safe_split,
+        "bm25_search": _q_bm25_search,
+        "label_outliers": _q_label_outliers,
+        "source_overlap": _q_source_overlap,
+        "posting_lists": _q_posting_lists,
+        "scd2_history": _q_scd2_history,
+        "source_quality_report": _q_source_quality_report,
+        "streaming_dedup_within_replay": _q_streaming_dedup_within_replay,
+        "hybrid_near_dup": _q_hybrid_near_dup,
+        "rp_project": _q_rp_project,
+        "pps_sample": _q_pps_sample,
+        "hist_var": _q_hist_var,
+        "kcore": _q_kcore,
+        "ship_latency_histogram": _q_ship_latency_histogram,
+        "dup_inflation": _q_dup_inflation,
+        "event_transitions": _q_event_transitions,
+        "order_backlog": _q_order_backlog,
+        "rolling_vol": _q_rolling_vol,
+        "drawdown": _q_drawdown,
+        "max_drawdown": _q_max_drawdown,
+        "ema": _q_ema,
+        "vwap": _q_vwap,
+        "rolling_beta": _q_rolling_beta,
+        "corr_matrix": _q_corr_matrix,
+        "pq_codes": _q_pq_codes,
+        "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "ann_recall": _q_ann_recall,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_dedup": _q_chunk_dedup,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "token_budget_mix": _q_token_budget_mix,
+        "token_budget_mix_scalable": _q_token_budget_mix_scalable,
+        "stratified_sample": _q_stratified_sample,
+        "canonical_docs": _q_canonical_docs,
+        "corpus_prune": _q_corpus_prune,
+        "pagerank": _q_pagerank,
+        "prune_report": _q_prune_report,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "vocab_coverage": _q_vocab_coverage,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "source_divergence": _q_source_divergence,
+        "top_ngrams": _q_top_ngrams,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
+        "cohort_matrix": _q_cohort_matrix,
+        "conversion_latency": _q_conversion_latency,
+        "active_users_rolling": _q_active_users_rolling,
+        "positions_salted": _q_positions_salted,
+        # ---- driver's 50-query cap lands HERE (positions_salted = #50) ----
+        # -- 2. never checked, round-4 front ------------------------------------------
+        "multi_rollup": _q_multi_rollup,
+        "median_order_value": _q_median_order_value,
+        "value_outliers": _q_value_outliers,
+        "range_window_avg": _q_range_window_avg,
+        # rows-only by design (float reductions over raw bytes);
+        # WAV decode pytest-verified on constructed RIFF payloads.
+        "audio_meta": _q_audio_meta,
+        "returned_order_priority": _q_returned_order_priority,
+        "market_share": _q_market_share,
+        "key_parts": _q_key_parts,
+        "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "modal_value_band": _q_modal_value_band,
+        "value_mad": _q_value_mad,
+        "skyline_parts": _q_skyline_parts,
+        "triangle_stats": _q_triangle_stats,
+        "cum_drift": _q_cum_drift,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "profile_table": _q_profile_table,
+        "market_basket": _q_market_basket,
+        "revenue_pareto": _q_revenue_pareto,
+        "snapshot_diff": _q_snapshot_diff,
+        "customer_spend_percentile": _q_customer_spend_percentile,
+        "high_volume_part_suppliers": _q_high_volume_part_suppliers,
+        "normalize_embeddings": _q_normalize_embeddings,
+        "stats_summary": _q_stats_summary,
+        # approx_stats: sketch values are engine-specific -> no oracle
+        # (driver records rows-only); error bounds tested in pytest.
+        "approx_stats": _q_approx_stats,
+        "user_ticker_list": _q_user_ticker_list,
+        "brand_revenue": _q_brand_revenue,
+        "top_customers": _q_top_customers,
+        "region_revenue": _q_region_revenue,
+        "stale_parts": _q_stale_parts,
+        "urgent_customers": _q_urgent_customers,
+        "region_rollup": _q_region_rollup,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "multi_supp_orders": _q_multi_supp_orders,
+        "nation_trade_volume": _q_nation_trade_volume,
+        "supplier_nation_profit": _q_supplier_nation_profit,
+        "returned_revenue": _q_returned_revenue,
+        "cust_order_histogram": _q_cust_order_histogram,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "top_supplier": _q_top_supplier,
+        "big_orders": _q_big_orders,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "idle_rich_customers": _q_idle_rich_customers,
+        "region_revenue_sql": _q_region_revenue_sql,
+        # -- 3. externally green in r1/r2 (locally re-verified each round) ------------------------------------------
         "positions": _q_positions,
         "incremental_positions": _q_incremental_positions,
         "zorder_events": _q_zorder_events,
@@ -973,13 +1068,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_costs": _q_avg_costs,
         "realized_pnl": _q_realized_pnl,
         "overview_full": _q_overview_full,
-        # -- 1b. fixed since r1 (hash-fail → oracle type casts) ------
         "simhash": _q_simhash,
         "lsh_buckets": _q_lsh_buckets,
         "embedding_near_dup": _q_embedding_near_dup,
-        # -- 1c. gained an oracle since r1 (was no_oracle) -----------
         "frame_sample": _q_frame_sample,
-        # -- 1d. new in r2: verify pipeline + corpus-pruning ops -----
         "embedding_near_dup_verified": _q_embedding_near_dup_verified,
         "pii_scrub": _q_pii_scrub,
         "gopher_filter": _q_gopher_filter,
@@ -991,7 +1083,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_replay": _q_streaming_dedup_replay,
         "streaming_join_replay": _q_streaming_join_replay,
         "resize_media": _q_resize_media,
-        # -- 2. never externally checked (r1 50-query cap) -----------
         "ticker_set_ops": _q_ticker_set_ops,
         "trade_validation": _q_trade_validation,
         "oversell_guard": _q_oversell_guard,
@@ -1005,106 +1096,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": _q_forecast_revenue,
         "shipmode_priority": _q_shipmode_priority,
         "sliding_rollup": _q_sliding_rollup,
-        # ---- driver's 50-query cap lands HERE (sliding_rollup = #50;
-        # incremental_positions and zorder_events were inserted above).
-        # Everything below needs an external row in round 3+. ----
-        "positions_salted": _q_positions_salted,
-        "funnel": _q_funnel,
-        "retention": _q_retention,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "pack_sequences": _q_pack_sequences,
-        "chunk_dedup": _q_chunk_dedup,
-        "rolling_vol": _q_rolling_vol,
-        "drawdown": _q_drawdown,
-        "max_drawdown": _q_max_drawdown,
-        "ema": _q_ema,
-        "vwap": _q_vwap,
-        "rolling_beta": _q_rolling_beta,
-        "corr_matrix": _q_corr_matrix,
-        "pq_codes": _q_pq_codes,
-        "pq_topk": _q_pq_topk,
-        "multi_rollup": _q_multi_rollup,
-        "median_order_value": _q_median_order_value,
-        "value_outliers": _q_value_outliers,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "bigram_lm_score": _q_bigram_lm_score,
-        "range_window_avg": _q_range_window_avg,
-        "stratified_sample": _q_stratified_sample,
-        # -- 3. never-checked remainder (front of round 3) -----------
-        "epoch_shuffle": _q_epoch_shuffle,
-        "token_budget_mix": _q_token_budget_mix,
-        "token_budget_mix_scalable": _q_token_budget_mix_scalable,
-        "ann_recall": _q_ann_recall,
-        "vocab_coverage": _q_vocab_coverage,
-        "doc_length_histogram": _q_doc_length_histogram,
-        "source_divergence": _q_source_divergence,
-        "audio_meta": _q_audio_meta,
-        "returned_order_priority": _q_returned_order_priority,
-        "market_share": _q_market_share,
-        "key_parts": _q_key_parts,
-        "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
-        "modal_value_band": _q_modal_value_band,
-        "value_mad": _q_value_mad,
-        "skyline_parts": _q_skyline_parts,
-        "triangle_stats": _q_triangle_stats,
-        "conversion_latency": _q_conversion_latency,
-        "cum_drift": _q_cum_drift,
-        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
-        "profile_table": _q_profile_table,
-        "market_basket": _q_market_basket,
-        "revenue_pareto": _q_revenue_pareto,
-        "active_users_rolling": _q_active_users_rolling,
-        "top_ngrams": _q_top_ngrams,
-        "cohort_matrix": _q_cohort_matrix,
-        "snapshot_diff": _q_snapshot_diff,
-        "customer_spend_percentile": _q_customer_spend_percentile,
-        "high_volume_part_suppliers": _q_high_volume_part_suppliers,
-        "canonical_docs": _q_canonical_docs,
-        "corpus_prune": _q_corpus_prune,
-        "pagerank": _q_pagerank,
-        "prune_report": _q_prune_report,
-        "normalize_embeddings": _q_normalize_embeddings,
-        "stats_summary": _q_stats_summary,
-        # approx_stats: sketch values are engine-specific → no oracle
-        # (driver records rows-only); error bounds tested in pytest.
-        "approx_stats": _q_approx_stats,
-        "user_ticker_list": _q_user_ticker_list,
-        "brand_revenue": _q_brand_revenue,
-        "top_customers": _q_top_customers,
-        "region_revenue": _q_region_revenue,
-        "stale_parts": _q_stale_parts,
-        "urgent_customers": _q_urgent_customers,
-        "region_rollup": _q_region_rollup,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "multi_supp_orders": _q_multi_supp_orders,
-        "nation_trade_volume": _q_nation_trade_volume,
-        "supplier_nation_profit": _q_supplier_nation_profit,
-        "returned_revenue": _q_returned_revenue,
-        "cust_order_histogram": _q_cust_order_histogram,
-        "promo_revenue_share": _q_promo_revenue_share,
-        "top_supplier": _q_top_supplier,
-        "big_orders": _q_big_orders,
-        "disjunctive_revenue": _q_disjunctive_revenue,
-        "idle_rich_customers": _q_idle_rich_customers,
-        "region_revenue_sql": _q_region_revenue_sql,
-        "leakage_safe_split": _q_leakage_safe_split,
-        "bm25_search": _q_bm25_search,
-        "label_outliers": _q_label_outliers,
-        "source_overlap": _q_source_overlap,
-        "posting_lists": _q_posting_lists,
-        "scd2_history": _q_scd2_history,
-        "source_quality_report": _q_source_quality_report,
-        "streaming_dedup_within_replay": _q_streaming_dedup_within_replay,
-        "hybrid_near_dup": _q_hybrid_near_dup,
-        "rp_project": _q_rp_project,
-        "pps_sample": _q_pps_sample,
-        "hist_var": _q_hist_var,
-        "kcore": _q_kcore,
-        "ship_latency_histogram": _q_ship_latency_histogram,
-        "dup_inflation": _q_dup_inflation,
-        "event_transitions": _q_event_transitions,
-        "order_backlog": _q_order_backlog,
-        # -- 4. green in r1 (re-verified locally each round) ---------
         "pricing_summary": _q_pricing_summary,
         "latest_prices": _q_latest_prices,
         "asof_prices": _q_asof_prices,
