@@ -248,11 +248,13 @@ def contamination_check(docs: DataFrame, n: int = 5,
     # string concats per doc) feeds THREE consumers (probe set, train
     # explode, final left join) — without the checkpoint each consumer
     # recomputes it from the scan (measured 8.4 s → ~3 s at sf0.1).
-    # On a cluster use persist()/checkpoint() on durable storage.
-    base = (docs.select("doc_id", tokens_col().alias("_toks"))
-            .select("doc_id",
-                    F.array_distinct(ngrams).alias("_ngrams"))
-            .localCheckpoint(eager=False))
+    # iter_checkpoint → durable checkpoint() when the session has a
+    # checkpoint dir (cluster), localCheckpoint() otherwise.
+    from ..functions.checkpoints import iter_checkpoint
+    base = iter_checkpoint(
+        docs.select("doc_id", tokens_col().alias("_toks"))
+        .select("doc_id", F.array_distinct(ngrams).alias("_ngrams")),
+        eager=False)
     probe = (base.filter(F.col("doc_id") % probe_mod == 0)
              .select(F.explode("_ngrams").alias("ngram")).distinct())
     train = base.filter(F.col("doc_id") % probe_mod != 0)
