@@ -85,7 +85,16 @@ def max_drawdown(tick_prices: DataFrame) -> DataFrame:
             .orderBy("ticker"))
 
 
-def ema_final(tick_prices: DataFrame, alpha: float = 0.2) -> DataFrame:
+EMA_MAX_OBS = 100_000  # per-ticker history bound (~400 years of
+# daily bars): the collect_list array is in-row state, so its size
+# must be explicitly bounded like every other array kernel here
+# (minhash signatures ≤ K, shingle sets candidate-restricted, …).
+# A feed that violates the bound fails LOUDLY instead of silently
+# building an executor-OOM-sized row.
+
+
+def ema_final(tick_prices: DataFrame, alpha: float = 0.2,
+              max_obs: int = EMA_MAX_OBS) -> DataFrame:
     """Final EMA of close per ticker: the classic recursive smoother
         ema_t = α·x_t + (1−α)·ema_{t−1},  seeded with x_1.
 
@@ -95,6 +104,13 @@ def ema_final(tick_prices: DataFrame, alpha: float = 0.2) -> DataFrame:
     `list_reduce(list(close ORDER BY ts), ...)`, which seeds with the
     first element the same way). Identical fold order + identical
     per-step DOUBLE arithmetic → bit-equal results.
+
+    The per-ticker array is bounded by `max_obs` (domain: one row per
+    trading day per ticker, so ~250/year — the default bound is two
+    orders of magnitude of headroom); a violating key raises at
+    execution rather than ballooning a single row. For series that
+    genuinely exceed the bound, chunk the fold: EMA is associative
+    over segments via (w, v) = (Π(1−α), folded value) composition.
     """
     a = float(alpha)
     arr = F.array_sort(F.collect_list(F.struct("ts", "close")))
@@ -103,8 +119,15 @@ def ema_final(tick_prices: DataFrame, alpha: float = 0.2) -> DataFrame:
         F.slice(closes, 2, F.greatest(F.size(closes) - 1, F.lit(0))),
         F.element_at(closes, 1),
         lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc)
+    # assert_true yields NULL when the bound holds; the filter keeps
+    # every row while forcing evaluation (a dropped column would be
+    # pruned by Catalyst and never checked).
+    guard = F.assert_true(
+        F.size("_arr") <= max_obs,
+        F.lit(f"ema_final: per-ticker history exceeds {max_obs} rows"))
     return (tick_prices.groupBy("ticker")
             .agg(arr.alias("_arr"))
+            .filter(guard.isNull())
             .select("ticker",
                     F.size("_arr").alias("n_obs"),
                     F.round(fold, 6).alias("ema"))

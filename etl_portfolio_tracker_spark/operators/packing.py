@@ -230,6 +230,43 @@ def token_budget_mix_scalable(docs: DataFrame,
             .orderBy("source"))
 
 
+def ranged_cumsum(df: DataFrame, value_col: str, order_cols: list,
+                  n_parts: int | None = None) -> DataFrame:
+    """Two-pass distributed prefix sum — the scalable replacement for
+    a global `W.orderBy(...)` window (which funnels every row through
+    ONE task regardless of cluster size; Spark warns
+    `WindowExec: No Partition Defined`).
+
+      1. range-partition on the order key: each partition holds a
+         contiguous slice of the global order, bounded by partition
+         size;
+      2. partition-local inclusive cumsum (bounded-group window);
+      3. per-partition totals (n_parts rows) get an exclusive prefix
+         over partition id — an O(parts) window on a broadcast-sized
+         frame;
+      4. global cumsum = local cumsum + partition offset.
+
+    Integer/decimal value columns make the result bit-identical to
+    the single-window form. Same factorization as
+    token_budget_mix_scalable (which adds a per-source grouping key).
+    Returns `df` plus `_cum` (inclusive cumulative sum of
+    `value_col` in `order_cols` order)."""
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(n, *order_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+    w_local = (W.partitionBy("_pid").orderBy(*order_cols)
+               .rowsBetween(W.unboundedPreceding, W.currentRow))
+    local = ranged.withColumn("_lcum", F.sum(value_col).over(w_local))
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    w_off = (W.orderBy("_pid")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    offsets = totals.select(
+        "_pid", (F.sum("_ptot").over(w_off) - F.col("_ptot")).alias("_off"))
+    return (local.join(F.broadcast(offsets), "_pid")
+            .withColumn("_cum", F.col("_lcum") + F.col("_off"))
+            .drop("_pid", "_lcum", "_off"))
+
+
 PPS_SAMPLE_K = 100
 
 
@@ -249,15 +286,17 @@ def pps_sample(docs: DataFrame, k: int = PPS_SAMPLE_K) -> DataFrame:
     ceil(cum_start·k/total), ceil(a/b) = (a + b − 1) div b — no
     rational or float ever materializes.
 
-    Scale shape: one global prefix sum (window over doc_id order —
-    at 100 TB swap in the two-pass range-partitioned prefix sum of
-    token_budget_mix_scalable, same arithmetic) + a 1-row total
-    broadcast; the pick logic is then row-local."""
+    Scale shape: the global prefix sum runs through ranged_cumsum —
+    the two-pass range-partitioned form (partition-local cumsum +
+    O(parts) offset table), NOT a partitionless window that would
+    serialize the corpus through one task — plus a 1-row total
+    broadcast; the pick logic is then row-local. Integer sums make
+    the distributed form bit-identical to a single window."""
     n_tok = F.size(F.split(_norm(F.col("text")), " ")).cast("long")
     base = docs.select("doc_id", n_tok.alias("n_tokens"))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    cum = base.withColumn("cum_end", F.sum("n_tokens").over(w)) \
-              .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    cum = (ranged_cumsum(base, "n_tokens", ["doc_id"])
+           .withColumnRenamed("_cum", "cum_end")
+           .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens")))
     total = base.agg(F.sum("n_tokens").cast("long").alias("_total"))
     # integer `div`, never float division: cum·k can pass 2^53 at
     # corpus scale and a double quotient would misplace pick points

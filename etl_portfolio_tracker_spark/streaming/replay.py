@@ -41,6 +41,20 @@ from .stateful import streaming_portfolio_state
 STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
 
 
+_INTERVAL_UNIT_S = {"second": 1, "seconds": 1, "minute": 60,
+                    "minutes": 60, "hour": 3600, "hours": 3600,
+                    "day": 86400, "days": 86400}
+
+
+def _parse_interval_seconds(s: str) -> int:
+    """'1 hour' / '90 minutes' / '3600 seconds' → whole seconds."""
+    try:
+        n, unit = s.strip().split()
+        return int(n) * _INTERVAL_UNIT_S[unit.lower()]
+    except (ValueError, KeyError):
+        raise ValueError(f"unsupported interval string: {s!r}") from None
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     return (spark.readStream.schema(schemas.EVENTS_NTZ)
             # the harness table is a FILE, not a directory: stream the
@@ -175,7 +189,8 @@ def streaming_join_replay(spark: SparkSession, sf_dir: str,
                           tolerance_s: int = 3600,
                           watermark: str = "2 hours",
                           trade_mod: int = 20,
-                          timeout_s: int = 300) -> DataFrame:
+                          timeout_s: int = 300,
+                          tolerance: str | None = None) -> DataFrame:
     """Stream-stream interval join replay: the trades projection of
     the events stream inner-joined to a tick projection of the SAME
     stream (ticker match, tick in [trade_ts − 1 hour, trade_ts]).
@@ -205,8 +220,15 @@ def streaming_join_replay(spark: SparkSession, sf_dir: str,
     shrinking each state buffer to bucket-local rows. The interval
     predicate is unchanged, so results are identical — the standard
     banding rewrite every interval join at scale uses (measured
-    12-18 s → ~4 s at sf0.1)."""
+    12-18 s → ~4 s at sf0.1).
+
+    `tolerance` is the pre-r2 keyword ("1 hour"-style interval
+    string); it is kept as an alias, parsed to seconds, and overrides
+    `tolerance_s` when given (the parameter was renamed when the
+    bucketing rewrite needed integer-second arithmetic)."""
     from pyspark.sql import functions as F
+    if tolerance is not None:
+        tolerance_s = _parse_interval_seconds(tolerance)
     name = "stream_join_replay_" + uuid.uuid4().hex[:8]
     pin = _UTC_PIN.format(c="ts")
     tolerance = f"{tolerance_s} seconds"

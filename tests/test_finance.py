@@ -123,3 +123,19 @@ def test_hist_var_rank_selection_and_es(spark):
     # worst return is the crash day (~ -10%)
     assert abs(r["var_tail"] - (-0.10)) < 1e-6
     assert r["es_tail"] == round(r["var_tail"], 6)
+
+
+def test_ema_final_history_bound_guard(spark):
+    import datetime as dt
+    import pytest
+    from etl_portfolio_tracker_spark.operators import finance as FIN
+    rows = [("A", dt.datetime(2024, 1, 1 + i), 10.0 + i)
+            for i in range(5)]
+    tp = spark.createDataFrame(rows, "ticker string, ts timestamp_ntz,"
+                                     " close double")
+    # within bound: normal result
+    assert FIN.ema_final(tp).count() == 1
+    # violating the per-key bound fails loudly instead of building an
+    # unbounded in-row array
+    with pytest.raises(Exception, match="per-ticker history exceeds"):
+        FIN.ema_final(tp, max_obs=3).collect()

@@ -155,3 +155,33 @@ def test_pps_sample_picks_sum_to_k_and_weight_heavy_docs(spark):
     # intervals tile the number line
     assert out[0]["cum_start"] == 0
     assert out[1]["cum_start"] == out[0]["n_tokens"]
+
+
+def test_ranged_cumsum_matches_single_window(spark):
+    from pyspark.sql import Window as W, functions as F
+    from etl_portfolio_tracker_spark.operators.packing import ranged_cumsum
+    rows = [(i, (7 * i + 3) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r["k"]: r["_cum"]
+           for r in ranged_cumsum(df, "v", ["k"], n_parts=8).collect()}
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    want = {r["k"]: r["c"]
+            for r in df.select("k", F.sum("v").over(w).alias("c")).collect()}
+    assert got == want
+
+
+def test_pps_sample_has_no_partitionless_window(spark, sf_dir):
+    # the global prefix sum must be the two-pass ranged form — a
+    # WindowExec with an empty partition spec serializes the corpus
+    # through one task (the ADVICE r2 finding this guards against)
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators.packing import pps_sample
+    docs = read_table(spark, sf_dir, "documents")
+    plan = pps_sample(docs)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line:
+            # window specs print as [sum(...) windowspecdefinition(part, ord, ...)]
+            # a partitionless global window prints no partition expressions
+            # before the ordering spec; the only windows allowed here are
+            # keyed by _pid or ordered over the O(parts) offsets frame
+            assert "_pid" in line or "_ptot" in line or "w#" in line, line

@@ -322,3 +322,15 @@ def test_dedup_within_watermark_drops_duplicate_keys(spark, tmpdir):
     q.awaitTermination(120)
     rows = spark.sql("select event_id from ddww_test").collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
+def test_join_replay_tolerance_alias():
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        _parse_interval_seconds)
+    assert _parse_interval_seconds("1 hour") == 3600
+    assert _parse_interval_seconds("90 minutes") == 5400
+    assert _parse_interval_seconds("2 days") == 172800
+    assert _parse_interval_seconds("45 seconds") == 45
+    import pytest
+    with pytest.raises(ValueError):
+        _parse_interval_seconds("soon")

@@ -425,6 +425,24 @@ def test_kcore_keeps_clique_peels_fringe(spark):
     assert DD.kcore(d, k=4).count() == 0
 
 
+def test_kcore_converged_on_harness_data(spark, sf_dir):
+    # kcore peels a FIXED number of rounds (so the unrolled-CTE
+    # oracle runs the identical computation); this guards against
+    # silent non-convergence: one more round must not change the
+    # survivor set on the harness data. If it ever does, either the
+    # data changed character or KCORE_ROUNDS needs a bump — both
+    # deserve a loud failure rather than a definition drift the
+    # oracle can't see.
+    from etl_portfolio_tracker_spark.io import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    at_r = sorted((r["doc_id"], r["degree"])
+                  for r in DD.kcore(docs).collect())
+    at_r1 = sorted((r["doc_id"], r["degree"])
+                   for r in DD.kcore(docs, rounds=DD.KCORE_ROUNDS + 1)
+                   .collect())
+    assert at_r == at_r1, "kcore not converged at KCORE_ROUNDS"
+
+
 def test_dup_inflation_counts_duplicate_tokens(spark):
     # feed A: the same 12-token doc twice -> kept once, inflation 2;
     # feed B: one distinct kept doc -> inflation 1.
@@ -444,3 +462,70 @@ def test_dup_inflation_counts_duplicate_tokens(spark):
     assert out["B"]["inflation"] == 1.0
     assert all(r["tokens_kept"] <= r["tokens_total"]
                for r in out.values())
+
+
+def _wav_bytes(rate, samples16, n_ch=1):
+    import struct as st
+    data = b"".join(st.pack("<h", s) for s in samples16)
+    fmt = st.pack("<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch,
+                  2 * n_ch, 16)
+    return (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data)
+
+
+def test_audio_meta_header_oracle_properties(spark):
+    # Property check vs an independent header parse (VERDICT r2 #5:
+    # rows-only must never mean unchecked): for a grid of constructed
+    # RIFF payloads the decoded sample_rate/channels/bits must equal
+    # the values written into the header, n_samples must equal
+    # len(data)/(2*n_ch), duration_ms must equal 1000*n/rate, and the
+    # signal stats must satisfy 0 <= rms <= peak <= 1.
+    import math
+    import struct as st
+    grid = []
+    mid = 0
+    for rate in (8000, 16000, 44100):
+        for n_ch in (1, 2):
+            for n in (1, 7, 64):
+                samples = [((1000 * (mid + i + 1)) % 65536) - 32768
+                           for i in range(n * n_ch)]
+                grid.append((mid, _wav_bytes(rate, samples, n_ch)))
+                mid += 1
+    rows = [(m, bytearray(b), "audio/wav", None, None)
+            for m, b in grid]
+    out = (MM.audio_meta(spark.createDataFrame(rows, MM.MEDIA_SCHEMA))
+           .toPandas().set_index("media_id"))
+    for m, b in grid:
+        # header oracle: parse fields straight off the byte layout
+        tag, n_ch, rate, _, _, bits = st.unpack_from("<HHIIHH", b, 20)
+        data_len = st.unpack_from("<I", b, 40 + 0)[0] \
+            if b[36:40] == b"data" else None
+        assert data_len is not None, "constructed layout drifted"
+        r = out.loc[m]
+        assert r["sample_rate"] == rate
+        assert r["n_channels"] == n_ch
+        assert r["bits_per_sample"] == bits == 16
+        assert r["n_samples"] == data_len // (2 * n_ch)
+        assert math.isclose(r["duration_ms"],
+                            1000.0 * r["n_samples"] / rate)
+        assert 0.0 <= r["rms"] <= r["peak"] <= 1.0
+
+
+def test_audio_meta_harness_fallback_invariants(spark, sf_dir):
+    # The registered query decodes harness doc blobs through the
+    # deterministic fallback (bytes as 8-bit samples @ 8 kHz); every
+    # row must satisfy the header-derived invariants.
+    from etl_portfolio_tracker_spark.io import read_table
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    media = MM.docs_as_media(docs)
+    lens = {r["media_id"]: r["n"] for r in
+            media.selectExpr("media_id", "length(media) as n").collect()}
+    rows = MM.audio_meta(media).collect()
+    assert len(rows) == len(lens)
+    for r in rows:
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == lens[r["media_id"]]
+        assert abs(r["duration_ms"]
+                   - 1000.0 * r["n_samples"] / 8000.0) < 1e-9
+        assert 0.0 <= r["rms"] <= r["peak"] <= 1.0
