@@ -893,6 +893,18 @@ def _q_corpus_prune(spark, sf_dir):
     return _curation(spark, sf_dir)["verdict"]
 
 
+def _q_delta_dedup(spark, sf_dir):
+    return DD.delta_dedup(_docs(spark, sf_dir))
+
+
+def _q_common_substring_pairs(spark, sf_dir):
+    return DD.common_substring_pairs(_docs(spark, sf_dir))
+
+
+def _q_quality_quantile_cut(spark, sf_dir):
+    return TX.quality_quantile_cut(_docs(spark, sf_dir))
+
+
 def _q_modal_value_band(spark, sf_dir):
     return SE.modal_value_band(read_table(spark, sf_dir, "events"))
 
@@ -1037,6 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positions_salted": _q_positions_salted,
         # ---- driver's 50-query cap lands HERE (positions_salted = #50) ----
         # -- 2. never checked, round-4 front ------------------------------------------
+        "delta_dedup": _q_delta_dedup,
+        "common_substring_pairs": _q_common_substring_pairs,
+        "quality_quantile_cut": _q_quality_quantile_cut,
         "multi_rollup": _q_multi_rollup,
         "median_order_value": _q_median_order_value,
         "value_outliers": _q_value_outliers,
@@ -2136,6 +2151,123 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b USING (band, band_key)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        # mirrors dedup.delta_dedup: band keys split corpus/delta by
+        # doc_id % mod; bucket cap applied to the CORPUS index side
+        # (QUALIFY windows over the post-WHERE corpus rows, matching
+        # the Spark count-window after the corpus filter); one row per
+        # delta doc.
+        "delta_dedup": _SHINGLES_SQL.replace("SELECT DISTINCT", "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS) + f"""
+            , corpus AS (
+                SELECT band, band_key, doc_id FROM bands
+                WHERE doc_id % {DD.DELTA_MOD} <> {DD.DELTA_REM}
+                QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
+                        <= {DD.MINHASH_BUCKET_CAP}
+            ),
+            delta AS (
+                SELECT band, band_key, doc_id FROM bands
+                WHERE doc_id % {DD.DELTA_MOD} = {DD.DELTA_REM}
+            ),
+            pairs AS (
+                SELECT DISTINCT d.doc_id AS delta_id,
+                                c.doc_id AS corpus_id
+                FROM delta d JOIN corpus c USING (band, band_key)
+            ),
+            agg AS (
+                SELECT delta_id, COUNT(*) AS n_matches,
+                       MIN(corpus_id) AS first_match
+                FROM pairs GROUP BY 1
+            )
+            SELECT dd.doc_id,
+                   CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches,
+                   a.first_match,
+                   a.n_matches IS NULL AS is_new
+            FROM (SELECT doc_id FROM documents
+                  WHERE doc_id % {DD.DELTA_MOD} = {DD.DELTA_REM}) dd
+            LEFT JOIN agg a ON a.delta_id = dd.doc_id
+            ORDER BY dd.doc_id
+        """,
+        # mirrors dedup.common_substring_pairs: positional n-gram
+        # anchors (md5 of n joined tokens), document-frequency cap,
+        # diagonal islands → longest verbatim shared token run.
+        "common_substring_pairs": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents
+            ), p AS (
+                SELECT doc_id,
+                       UNNEST(generate_series(1,
+                           GREATEST(len(toks) - {DD.SUBSTR_NGRAM - 1}, 0)))
+                           AS pos,
+                       toks
+                FROM t
+            ), g AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(
+                           toks[pos:pos + {DD.SUBSTR_NGRAM - 1}], ' ')) AS gh
+                FROM p
+            ), keptg AS (
+                SELECT gh FROM g GROUP BY gh
+                HAVING COUNT(DISTINCT doc_id) <= {DD.SUBSTR_DF_CAP}
+            ), k AS (
+                SELECT g.* FROM g JOIN keptg USING (gh)
+            ), hits AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pa, a.pos - b.pos AS diag
+                FROM k a JOIN k b USING (gh)
+                WHERE a.doc_id < b.doc_id
+            ), isl AS (
+                SELECT doc_a, doc_b, diag, pa,
+                       pa - ROW_NUMBER() OVER (
+                           PARTITION BY doc_a, doc_b, diag
+                           ORDER BY pa) AS grp
+                FROM hits
+            ), runs AS (
+                SELECT doc_a, doc_b, COUNT(*) AS run
+                FROM isl GROUP BY doc_a, doc_b, diag, grp
+            )
+            SELECT doc_a, doc_b,
+                   CAST(MAX(run) + {DD.SUBSTR_NGRAM - 1} AS BIGINT)
+                       AS max_run_tokens,
+                   CAST(SUM(run) AS BIGINT) AS n_shared_ngrams
+            FROM runs GROUP BY 1, 2
+            HAVING MAX(run) + {DD.SUBSTR_NGRAM - 1} >= {DD.SUBSTR_MIN_RUN}
+            ORDER BY doc_a, doc_b
+        """,
+        # mirrors text.quality_quantile_cut: per-source top-pct cut by
+        # the quality_score formula; integer keep-count arithmetic.
+        "quality_quantile_cut": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       COALESCE(CASE WHEN n_tokens > 0 THEN
+                           CAST(n_stopwords AS DOUBLE) / n_tokens END, 0.0)
+                           * 0.5
+                       + COALESCE(CASE WHEN n_chars > 0 THEN
+                           CAST(n_alpha AS DOUBLE) / n_chars END, 0.0)
+                           * 0.5 AS quality
+                FROM (
+                    SELECT doc_id,
+                           LEN(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+                           LEN(list_filter(string_split({_NORM_SQL}, ' '),
+                               x -> list_contains({_STOPWORDS_SQL}, x)))
+                               AS n_stopwords,
+                           LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                               AS n_alpha,
+                           LENGTH(text) AS n_chars
+                    FROM documents
+                )
+            ), r AS (
+                SELECT d.doc_id, d.source, q.quality,
+                       ROW_NUMBER() OVER (PARTITION BY d.source
+                           ORDER BY q.quality DESC, d.doc_id) AS rnk,
+                       COUNT(*) OVER (PARTITION BY d.source) AS cnt
+                FROM documents d JOIN q USING (doc_id)
+            )
+            SELECT doc_id, source, quality, CAST(rnk AS BIGINT) AS rnk,
+                   rnk <= (cnt * {TX.QUANTILE_KEEP_PCT} + 99) // 100 AS kept
+            FROM r ORDER BY doc_id
         """,
         # mirrors similarity.hybrid_near_dup: text MinHash candidates
         # (incl. bucket cap) verified by exact embedding cosine,

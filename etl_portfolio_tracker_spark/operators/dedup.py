@@ -946,3 +946,153 @@ def curation_pipeline(docs: DataFrame,
             docs, verdict=verdict),
         "dup_inflation": dup_inflation(docs, verdict=verdict),
     }
+
+
+DELTA_MOD = 10         # demo delta split: doc_id % 10 == 9 is the
+DELTA_REM = 9          # newly-ingested batch; the rest is the corpus
+
+
+def delta_dedup(docs: DataFrame, mod: int = DELTA_MOD,
+                rem: int = DELTA_REM,
+                bucket_cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """Incremental dedup of a DELTA batch against the existing corpus
+    — the operational dedup shape for continuously-ingested corpora:
+    a crawl lands a new batch every few hours, and re-running the
+    full-corpus pairwise dedup per batch is O(corpus) work for an
+    O(delta) question ("which of the NEW docs duplicate something we
+    already have?").
+
+    Here the corpus/delta split is the deterministic demo rule
+    doc_id % mod == rem (the delta); in production the corpus side is
+    a PERSISTED signature index — minhash_band_keys written once,
+    bucketed/partitioned by (band, band_key) — and each batch:
+
+      1. computes band keys for the delta only (O(delta) map work,
+         the sha256 shingle scan never touches the corpus);
+      2. equi-joins delta keys into the corpus index on
+         (band, band_key) — bucket-local, no shuffle of the corpus
+         when the index is bucketed; a small delta broadcasts;
+      3. appends the delta's own keys to the index for the next batch.
+
+    Corpus buckets larger than `bucket_cap` are dropped before the
+    join (the MINHASH_BUCKET_CAP rule: oversized buckets are
+    boilerplate families, not pairwise signal — and here they would
+    fan every colliding delta doc out |bucket|-fold).
+
+    Emits one row PER DELTA DOC: how many distinct corpus docs it
+    collides with, the smallest such doc_id (the doc a keep-first
+    policy would point the duplicate at), and is_new for docs with no
+    collision (the ones the batch actually adds).
+    Returns (doc_id, n_matches, first_match, is_new) ordered.
+    """
+    # one materialization of the signature pipeline: the corpus and
+    # delta branches would otherwise each re-run the sha256 shingle
+    # scan (in production they are separate inputs — the persisted
+    # index and the new batch — so neither recompute exists at all)
+    bk = iter_checkpoint(minhash_band_keys(docs), eager=False)
+    corpus = bk.filter(F.col("doc_id") % mod != rem)
+    delta = bk.filter(F.col("doc_id") % mod == rem)
+    w = W.partitionBy("band", "band_key")
+    corpus_kept = (corpus
+                   .withColumn("_bc", F.count(F.lit(1)).over(w))
+                   .filter(F.col("_bc") <= bucket_cap)
+                   .select("band", "band_key",
+                           F.col("doc_id").alias("corpus_id")))
+    pairs = (delta.select("band", "band_key",
+                          F.col("doc_id").alias("delta_id"))
+             .join(corpus_kept, ["band", "band_key"])
+             .select("delta_id", "corpus_id").distinct())
+    agg = (pairs.groupBy("delta_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+                F.min("corpus_id").alias("first_match")))
+    delta_docs = (docs.filter(F.col("doc_id") % mod == rem)
+                  .select("doc_id"))
+    return (delta_docs
+            .join(agg, delta_docs.doc_id == agg.delta_id, "left")
+            .select("doc_id",
+                    F.coalesce("n_matches", F.lit(0).cast("long"))
+                     .alias("n_matches"),
+                    "first_match",
+                    F.col("n_matches").isNull().alias("is_new"))
+            .orderBy("doc_id"))
+
+
+SUBSTR_NGRAM = 8       # token n-gram width (the match unit)
+SUBSTR_MIN_RUN = 16    # min shared run, in TOKENS, to report a pair
+SUBSTR_DF_CAP = 64     # drop n-grams present in more docs (boilerplate)
+
+
+def common_substring_pairs(docs: DataFrame,
+                           n: int = SUBSTR_NGRAM,
+                           min_run: int = SUBSTR_MIN_RUN,
+                           df_cap: int = SUBSTR_DF_CAP) -> DataFrame:
+    """Exact shared-substring detection between document pairs — the
+    distributed form of suffix-array substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models
+    Better"): find doc pairs sharing a VERBATIM run of >= `min_run`
+    tokens. Jaccard-style dedup misses these (a long quote inside two
+    otherwise-different docs barely moves set overlap); substring
+    dedup is the standard second pass in pretraining curation.
+
+    A suffix array is inherently sequential; the scalable
+    re-expression is positional n-gram anchoring:
+
+      1. every doc emits (pos, hash(tokens[pos : pos+n])) — a pure
+         map (the hot loop, one md5 per position);
+      2. n-grams occurring in more than `df_cap` docs are dropped —
+         boilerplate headers would otherwise drive the anchor join
+         quadratic (the same role MINHASH_BUCKET_CAP plays for LSH);
+      3. anchor equi-join on the hash (doc_a < doc_b) gives matching
+         positions; a shared token run of length L contributes
+         L − n + 1 consecutive anchors on one DIAGONAL
+         (pos_a − pos_b constant);
+      4. runs are recovered with the islands trick per
+         (doc_a, doc_b, diagonal): consecutive pos_a values share
+         pos_a − row_number(); the longest island of length k is a
+         verbatim shared run of k + n − 1 tokens.
+
+    Every stage is a map, a bounded equi-join, or a keyed window —
+    no stage is quadratic in corpus size, only in per-n-gram document
+    frequency (explicitly capped). The DuckDB oracle mirrors the
+    identical anchoring, so results are bit-equal.
+
+    Returns (doc_a, doc_b, max_run_tokens, n_shared_ngrams) for pairs
+    whose longest verbatim run reaches `min_run`, ordered.
+    """
+    from .text import tokens_col
+    from ..functions.partitioning import spread
+    grams_expr = F.expr(
+        f"CASE WHEN size(_t) >= {n} THEN"
+        f" transform(sequence(1, size(_t) - {n - 1}),"
+        f"           i -> struct(i AS pos,"
+        f"                       md5(concat_ws(' ', slice(_t, i, {n})))"
+        f"                       AS gh))"
+        f" ELSE array() END")
+    g = (spread(docs, "doc_id")
+         .select("doc_id", tokens_col().alias("_t"))
+         .select("doc_id", F.explode(grams_expr).alias("g"))
+         .select("doc_id", F.col("g.pos").alias("pos"),
+                 F.col("g.gh").alias("gh")))
+    # document-frequency cap: count DISTINCT docs per n-gram
+    df = (g.select("gh", "doc_id").distinct()
+          .groupBy("gh").agg(F.count(F.lit(1)).alias("_df")))
+    kept = g.join(df.filter(F.col("_df") <= df_cap).select("gh"), "gh")
+    a = kept.select(F.col("doc_id").alias("doc_a"),
+                    F.col("pos").alias("pa"), "gh")
+    b = kept.select(F.col("doc_id").alias("doc_b"),
+                    F.col("pos").alias("pb"), "gh")
+    hits = (a.join(b, "gh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "pa", "pb",
+                    (F.col("pa") - F.col("pb")).alias("diag")))
+    w_run = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (hits
+            .withColumn("_grp", F.col("pa") - F.row_number().over(w_run))
+            .groupBy("doc_a", "doc_b", "diag", "_grp")
+            .agg(F.count(F.lit(1)).alias("_run")))
+    return (runs.groupBy("doc_a", "doc_b")
+            .agg((F.max("_run") + (n - 1)).cast("long")
+                 .alias("max_run_tokens"),
+                 F.sum("_run").cast("long").alias("n_shared_ngrams"))
+            .filter(F.col("max_run_tokens") >= min_run)
+            .orderBy("doc_a", "doc_b"))

@@ -594,3 +594,63 @@ def posting_lists(docs: DataFrame, terms: tuple = POSTING_TERMS,
     return (stats.join(headed, "term")
             .select("term", "df", "tf_total", "postings_head")
             .orderBy("term"))
+
+
+QUANTILE_KEEP_PCT = 30   # keep the top 30% of each source by quality
+
+
+def quality_quantile_cut(docs: DataFrame,
+                         keep_pct: int = QUANTILE_KEEP_PCT,
+                         n_parts: int | None = None) -> DataFrame:
+    """Per-source ADAPTIVE quality threshold: keep each source's top
+    `keep_pct` percent of documents by quality score — the mixing
+    policy real curation uses instead of one global cutoff (a global
+    threshold empties low-quality-distribution feeds and keeps
+    everything from high ones; a per-source quantile keeps the best
+    slice of every feed).
+
+    kept ⇔ rank ≤ ceil(cnt·pct/100), with rank over (quality DESC,
+    doc_id) — the tie-break makes the cut deterministic, and the
+    keep-count uses pure integer arithmetic ((cnt·pct + 99) div 100),
+    so no float quantile estimate is involved: the cut is EXACT.
+
+    Scale shape: ranking within a source is the same skew trap as any
+    per-key global order (one giant source → one serializing window
+    task), so the rank is computed with the two-pass
+    range-partitioned form (token_budget_mix_scalable's
+    factorization): range-partition on the full order key
+    (source, quality DESC, doc_id), partition-local running count,
+    then per-(partition, source) offsets — an O(parts·sources)
+    broadcast — added back. Per-source totals are a separate tiny
+    aggregate, also broadcast. No stage depends on the largest
+    source's size.
+
+    Returns (doc_id, source, quality, rnk, kept) ordered by doc_id.
+    """
+    from pyspark.sql import Window as W
+    q = quality_score(docs).select("doc_id", "quality")
+    base = docs.select("doc_id", "source").join(q, "doc_id")
+    n = n_parts or docs.sparkSession.sparkContext.defaultParallelism
+    ranged = (base.repartitionByRange(
+                  n, F.asc("source"), F.desc("quality"), F.asc("doc_id"))
+              .withColumn("_pid", F.spark_partition_id()))
+    w_local = (W.partitionBy("_pid", "source")
+               .orderBy(F.desc("quality"), F.asc("doc_id"))
+               .rowsBetween(W.unboundedPreceding, W.currentRow))
+    local = ranged.withColumn("_lrnk", F.count(F.lit(1)).over(w_local))
+    totals = (local.groupBy("_pid", "source")
+              .agg(F.count(F.lit(1)).alias("_ptot")))
+    w_off = (W.partitionBy("source").orderBy("_pid")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    offsets = totals.select(
+        "_pid", "source",
+        (F.sum("_ptot").over(w_off) - F.col("_ptot")).alias("_off"))
+    cnts = base.groupBy("source").agg(F.count(F.lit(1)).alias("_cnt"))
+    rnk = (F.col("_lrnk") + F.col("_off")).cast("long")
+    return (local
+            .join(F.broadcast(offsets), ["_pid", "source"])
+            .join(F.broadcast(cnts), "source")
+            .select("doc_id", "source", "quality", rnk.alias("rnk"),
+                    (rnk <= F.expr(f"(_cnt * {keep_pct} + 99) div 100"))
+                    .alias("kept"))
+            .orderBy("doc_id"))

@@ -529,3 +529,103 @@ def test_audio_meta_harness_fallback_invariants(spark, sf_dir):
         assert abs(r["duration_ms"]
                    - 1000.0 * r["n_samples"] / 8000.0) < 1e-9
         assert 0.0 <= r["rms"] <= r["peak"] <= 1.0
+
+
+def test_delta_dedup_flags_corpus_collisions(spark):
+    # delta = doc_id % 10 == 9. doc 9 duplicates corpus doc 1 -> match
+    # with first_match 1; doc 19 is unique -> is_new.
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, t, "en", "src", len(t)),
+            (2, "some other corpus document entirely", "en", "src", 35),
+            (9, t, "en", "src", len(t)),
+            (19, "nothing like anything else present", "en", "src", 34)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = {r["doc_id"]: r for r in DD.delta_dedup(d).collect()}
+    assert set(out) == {9, 19}          # one row per DELTA doc only
+    assert out[9]["is_new"] is False
+    assert out[9]["first_match"] == 1
+    assert out[9]["n_matches"] >= 1
+    assert out[19]["is_new"] is True
+    assert out[19]["n_matches"] == 0 and out[19]["first_match"] is None
+
+
+def test_delta_dedup_corpus_bucket_cap(spark):
+    # 6 identical corpus docs exceed a cap of 5 -> the boilerplate
+    # bucket is dropped from the index and the colliding delta doc
+    # reports is_new (bounded fan-out at scale).
+    t = "repeated boilerplate text shared by every mirror of the page"
+    rows = [(i, t, "en", "src", len(t)) for i in (1, 2, 3, 4, 5, 6)]
+    rows.append((9, t, "en", "src", len(t)))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    capped = {r["doc_id"]: r for r in
+              DD.delta_dedup(d, bucket_cap=5).collect()}
+    assert capped[9]["is_new"] is True
+    uncapped = {r["doc_id"]: r for r in DD.delta_dedup(d).collect()}
+    assert uncapped[9]["n_matches"] == 6
+
+
+def test_common_substring_pairs_finds_verbatim_run(spark):
+    # docs 0/1: different prefixes/suffixes around the SAME 18-token
+    # quote -> reported with max_run_tokens >= 18 even though overall
+    # Jaccard overlap is low; doc 2 shares nothing long -> absent.
+    quote = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo")
+    d = docs_df(spark, [
+        "unique opening words here " + quote + " and a closing remark",
+        "totally different start text " + quote + " then other endings",
+        "no long shared runs in this document at all whatsoever today "
+        "just filler words repeated filler words and more filler here"])
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in DD.common_substring_pairs(d).collect()}
+    assert set(rows) == {(0, 1)}
+    assert rows[(0, 1)]["max_run_tokens"] >= 18
+
+
+def test_common_substring_pairs_threshold_and_identity(spark):
+    # identical docs share their full length; short overlap below
+    # min_run is suppressed
+    t = ("one two three four five six seven eight nine ten eleven "
+         "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+    d = docs_df(spark, [t, t])
+    r = DD.common_substring_pairs(d).collect()
+    assert len(r) == 1
+    assert r[0]["max_run_tokens"] == 18
+    short = docs_df(spark, ["a b c d e f g h i j unrelated tail words",
+                            "x y z a b c d e f g h other words here"])
+    assert DD.common_substring_pairs(short).count() == 0
+
+
+def test_quality_quantile_cut_per_source_exact(spark):
+    # source A: 4 docs, keep_pct 50 -> ceil(4*50/100)=2 kept (the two
+    # highest-quality); source B: 1 doc -> ceil(0.5)=1 kept. Compare
+    # against the naive single-window form for rank equality.
+    rows = [(0, "the and of to a", "en", "A", 15),        # all stop
+            (1, "zz", "en", "A", 2),
+            (2, "the cat", "en", "A", 7),
+            (3, "xy zw qq", "en", "A", 8),
+            (4, "whatever text", "en", "B", 13)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = {r["doc_id"]: r for r in
+           TX.quality_quantile_cut(d, keep_pct=50).collect()}
+    kept_a = {i for i in (0, 1, 2, 3) if out[i]["kept"]}
+    assert len(kept_a) == 2
+    ranked = sorted((0, 1, 2, 3),
+                    key=lambda i: (-out[i]["quality"], i))
+    assert kept_a == set(ranked[:2])
+    assert out[4]["kept"] is True and out[4]["rnk"] == 1
+    # two-pass rank equals the naive per-source window rank
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    naive = TX.quality_score(d).select("doc_id", "quality").join(
+        d.select("doc_id", "source"), "doc_id").select(
+        "doc_id", F.row_number().over(
+            W.partitionBy("source")
+             .orderBy(F.desc("quality"), F.asc("doc_id"))).alias("rnk"))
+    for r in naive.collect():
+        assert out[r["doc_id"]]["rnk"] == r["rnk"]
