@@ -489,9 +489,13 @@ def _curation(spark, sf_dir):
     st = _CURATION_STATE.get(key)
     if st is None:
         docs = _docs(spark, sf_dir)
-        clusters = DD.dedup_clusters(docs).persist()
+        band_keys = DD.minhash_band_keys(docs).persist()
+        cands = DD.minhash_lsh_candidates(
+            docs, band_keys=band_keys).persist()
+        clusters = DD.dedup_clusters(docs, band_keys=band_keys).persist()
         verdict = DD.corpus_prune(docs, clusters=clusters).persist()
-        st = {"clusters": clusters, "verdict": verdict}
+        st = {"band_keys": band_keys, "cands": cands,
+              "clusters": clusters, "verdict": verdict}
         _CURATION_STATE[key] = st
     return st
 
@@ -525,7 +529,9 @@ def _q_contamination_check(spark, sf_dir):
 
 
 def _q_minhash_verified(spark, sf_dir):
-    return DD.minhash_verified(_docs(spark, sf_dir))
+    return DD.minhash_verified(
+        _docs(spark, sf_dir),
+        cands=_curation(spark, sf_dir)["cands"])
 
 
 def _q_leakage_safe_split(spark, sf_dir):
@@ -569,7 +575,9 @@ def _q_streaming_dedup_within_replay(spark, sf_dir):
 
 
 def _q_hybrid_near_dup(spark, sf_dir):
-    return SIM.hybrid_near_dup(_docs(spark, sf_dir), _emb(spark, sf_dir))
+    return SIM.hybrid_near_dup(
+        _docs(spark, sf_dir), _emb(spark, sf_dir),
+        cands=_curation(spark, sf_dir)["cands"])
 
 
 def _q_rp_project(spark, sf_dir):
@@ -585,7 +593,8 @@ def _q_hist_var(spark, sf_dir):
 
 
 def _q_kcore(spark, sf_dir):
-    return DD.kcore(_docs(spark, sf_dir))
+    return DD.kcore(_docs(spark, sf_dir),
+                    cands=_curation(spark, sf_dir)["cands"])
 
 
 def _q_ship_latency_histogram(spark, sf_dir):
@@ -663,7 +672,7 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
-    return DD.minhash_lsh_candidates(_docs(spark, sf_dir))
+    return _curation(spark, sf_dir)["cands"]
 
 
 def _q_simhash(spark, sf_dir):
@@ -716,7 +725,7 @@ def _q_resize_media(spark, sf_dir):
 
 
 def _q_dedup_clusters(spark, sf_dir):
-    return DD.dedup_clusters(_docs(spark, sf_dir))
+    return _curation(spark, sf_dir)["clusters"]
 
 
 def _q_hash_split(spark, sf_dir):
@@ -870,7 +879,8 @@ def _q_cheapest_supplier_per_part(spark, sf_dir):
 
 
 def _q_pagerank(spark, sf_dir):
-    return DD.pagerank(_docs(spark, sf_dir))
+    return DD.pagerank(_docs(spark, sf_dir),
+                       cands=_curation(spark, sf_dir)["cands"])
 
 
 def _q_prune_report(spark, sf_dir):
@@ -894,7 +904,9 @@ def _q_corpus_prune(spark, sf_dir):
 
 
 def _q_delta_dedup(spark, sf_dir):
-    return DD.delta_dedup(_docs(spark, sf_dir))
+    return DD.delta_dedup(
+        _docs(spark, sf_dir),
+        band_keys=_curation(spark, sf_dir)["band_keys"])
 
 
 def _q_common_substring_pairs(spark, sf_dir):
@@ -918,7 +930,9 @@ def _q_skyline_parts(spark, sf_dir):
 
 
 def _q_triangle_stats(spark, sf_dir):
-    return DD.triangle_stats(_docs(spark, sf_dir))
+    return DD.triangle_stats(
+        _docs(spark, sf_dir),
+        cands=_curation(spark, sf_dir)["cands"])
 
 
 def _q_conversion_latency(spark, sf_dir):

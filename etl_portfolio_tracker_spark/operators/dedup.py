@@ -184,7 +184,8 @@ MINHASH_BUCKET_CAP = 500
 
 
 def minhash_lsh_candidates(docs: DataFrame,
-                           bucket_cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+                           bucket_cap: int = MINHASH_BUCKET_CAP,
+                           band_keys: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     bucket, with the number of agreeing bands. The verify step
     (exact jaccard on candidates only) keeps the pipeline subquadratic.
@@ -203,7 +204,10 @@ def minhash_lsh_candidates(docs: DataFrame,
     # coalesce to one partition (bk itself is only |docs|×B rows).
     # Unconditional (not spread()): the band-key frame is always
     # |docs|×B narrow rows, so this exchange is cheap at any scale.
-    bk = minhash_band_keys(docs).repartition(n, "band", "band_key")
+    # `band_keys` lets a pipeline pass a precomputed/persisted
+    # signature index so the sha256 shingle scan runs once per run.
+    bk = (minhash_band_keys(docs) if band_keys is None
+          else band_keys).repartition(n, "band", "band_key")
     # cap window runs on the co-partitioned frame — no extra exchange
     w = Window.partitionBy("band", "band_key")
     bk = (bk.withColumn("_bsz", F.count("*").over(w))
@@ -219,7 +223,8 @@ def minhash_lsh_candidates(docs: DataFrame,
 
 
 def minhash_verified(docs: DataFrame,
-                     threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+                     threshold: float = JACCARD_THRESHOLD,
+                     cands: DataFrame | None = None) -> DataFrame:
     """The full text near-dup pipeline: MinHash-LSH candidates → exact
     shingle-Jaccard computed ONLY on candidate pairs → keep pairs ≥
     `threshold`. The text twin of embedding_near_dup_verified
@@ -247,7 +252,8 @@ def minhash_verified(docs: DataFrame,
     # restriction AND the pair join — without the checkpoint the whole
     # minhash stage recomputes per consumer (cluster: persist()).
     cands = iter_checkpoint(
-        minhash_lsh_candidates(docs).select("doc_a", "doc_b"), eager=False)
+        (minhash_lsh_candidates(docs) if cands is None else cands)
+        .select("doc_a", "doc_b"), eager=False)
     cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
@@ -367,7 +373,8 @@ def min_label_components(labels: DataFrame, edges: DataFrame,
     return labels
 
 
-def dedup_clusters(docs: DataFrame) -> DataFrame:
+def dedup_clusters(docs: DataFrame,
+                   band_keys: DataFrame | None = None) -> DataFrame:
     """Near-duplicate clusters over the whole corpus: connected
     components of the MinHash-LSH candidate graph. Emits
     (doc_id, cluster_id) for EVERY doc — singletons cluster to
@@ -392,7 +399,7 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     full pair graph — same fixpoint, quadratic state, fine at test
     scale; the star-contracted propagation is the 100 TB path.
     """
-    bk = minhash_band_keys(docs)
+    bk = minhash_band_keys(docs) if band_keys is None else band_keys
     hubs = bk.groupBy("band", "band_key").agg(F.min("doc_id").alias("hub"))
     star = iter_checkpoint(
         bk.join(hubs, ["band", "band_key"])
@@ -628,7 +635,8 @@ PAGERANK_DAMPING = 0.85
 
 
 def pagerank(docs: DataFrame, n_iter: int = PAGERANK_ITERS,
-             damping: float = PAGERANK_DAMPING) -> DataFrame:
+             damping: float = PAGERANK_DAMPING,
+             cands: DataFrame | None = None) -> DataFrame:
     """Fixed-iteration PageRank over the near-dup candidate graph —
     the document-centrality signal ("how connected is this doc to the
     duplication structure") a curation pipeline uses to spot template
@@ -651,7 +659,8 @@ def pagerank(docs: DataFrame, n_iter: int = PAGERANK_ITERS,
     (fixed n_iter), so no checkpointing is needed. The rank state is
     |docs| rows, never driver-side."""
     from ..derive import DEC
-    cands = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    cands = (minhash_lsh_candidates(docs) if cands is None
+             else cands).select("doc_a", "doc_b")
     edges = iter_checkpoint(
         cands.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst"))
@@ -697,7 +706,8 @@ TRIANGLE_MIN_BANDS = 2
 
 
 def triangle_stats(docs: DataFrame,
-                   min_bands: int = TRIANGLE_MIN_BANDS) -> DataFrame:
+                   min_bands: int = TRIANGLE_MIN_BANDS,
+                   cands: DataFrame | None = None) -> DataFrame:
     """Triangle census of the STRONG near-dup graph (pairs agreeing in
     ≥ min_bands LSH bands): edge/wedge/triangle counts and the global
     clustering coefficient — the structural signal that separates
@@ -714,7 +724,7 @@ def triangle_stats(docs: DataFrame,
     Σ C(deg,2) on the degree table (integer-exact, no join). One
     summary row out."""
     e = iter_checkpoint(
-        minhash_lsh_candidates(docs)
+        (minhash_lsh_candidates(docs) if cands is None else cands)
         .filter(F.col("n_bands") >= min_bands)
         .select("doc_a", "doc_b"),
         eager=False)      # one LSH materialization
@@ -816,7 +826,8 @@ KCORE_ROUNDS = 4
 
 
 def kcore(docs: DataFrame, k: int = KCORE_K,
-          rounds: int = KCORE_ROUNDS) -> DataFrame:
+          rounds: int = KCORE_ROUNDS,
+          cands: DataFrame | None = None) -> DataFrame:
     """k-core peeling over the near-dup candidate graph: repeatedly
     drop nodes with degree < k (and their edges) for a FIXED number
     of rounds — the density filter that separates genuine template
@@ -842,7 +853,8 @@ def kcore(docs: DataFrame, k: int = KCORE_K,
 
     Returns (doc_id, degree) for nodes still alive after `rounds`
     peels, with their degree in the surviving subgraph."""
-    cands = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    cands = (minhash_lsh_candidates(docs) if cands is None
+             else cands).select("doc_a", "doc_b")
     edges = iter_checkpoint(
         cands.unionByName(
             cands.select(F.col("doc_b").alias("doc_a"),
@@ -930,10 +942,16 @@ def curation_pipeline(docs: DataFrame,
     Returns the dict of all outputs; each value is bit-identical to
     its standalone form (asserted in tests/test_curation_pipeline.py).
     """
-    clusters = iter_checkpoint(dedup_clusters(docs), eager=False)
+    band_keys = iter_checkpoint(minhash_band_keys(docs), eager=False)
+    cands = iter_checkpoint(
+        minhash_lsh_candidates(docs, band_keys=band_keys), eager=False)
+    clusters = iter_checkpoint(
+        dedup_clusters(docs, band_keys=band_keys), eager=False)
     verdict = iter_checkpoint(corpus_prune(docs, clusters=clusters),
                               eager=False)
     return {
+        "band_keys": band_keys,
+        "cands": cands,
         "clusters": clusters,
         "verdict": verdict,
         "canonical_docs": canonical_docs(docs, clusters=clusters),
@@ -954,7 +972,8 @@ DELTA_REM = 9          # newly-ingested batch; the rest is the corpus
 
 def delta_dedup(docs: DataFrame, mod: int = DELTA_MOD,
                 rem: int = DELTA_REM,
-                bucket_cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+                bucket_cap: int = MINHASH_BUCKET_CAP,
+                band_keys: DataFrame | None = None) -> DataFrame:
     """Incremental dedup of a DELTA batch against the existing corpus
     — the operational dedup shape for continuously-ingested corpora:
     a crawl lands a new batch every few hours, and re-running the
@@ -989,7 +1008,8 @@ def delta_dedup(docs: DataFrame, mod: int = DELTA_MOD,
     # delta branches would otherwise each re-run the sha256 shingle
     # scan (in production they are separate inputs — the persisted
     # index and the new batch — so neither recompute exists at all)
-    bk = iter_checkpoint(minhash_band_keys(docs), eager=False)
+    bk = (iter_checkpoint(minhash_band_keys(docs), eager=False)
+          if band_keys is None else band_keys)
     corpus = bk.filter(F.col("doc_id") % mod != rem)
     delta = bk.filter(F.col("doc_id") % mod == rem)
     w = W.partitionBy("band", "band_key")

@@ -732,7 +732,8 @@ HYBRID_COS_THRESHOLD = 0.0
 
 
 def hybrid_near_dup(docs: DataFrame, emb: DataFrame,
-                    threshold: float = HYBRID_COS_THRESHOLD) -> DataFrame:
+                    threshold: float = HYBRID_COS_THRESHOLD,
+                    cands: DataFrame | None = None) -> DataFrame:
     """Multi-signal near-dup verify: TEXT MinHash-LSH candidates
     cross-checked by EMBEDDING cosine — the two-modality agreement
     rule real curation pipelines apply before destructive dedup
@@ -751,7 +752,8 @@ def hybrid_near_dup(docs: DataFrame, emb: DataFrame,
     Output: (doc_a, doc_b, n_bands, cos_sim rounded 6dp), filtered
     on the ROUNDED cosine so the cut is engine-independent."""
     from .dedup import minhash_lsh_candidates
-    cands = minhash_lsh_candidates(docs)
+    if cands is None:
+        cands = minhash_lsh_candidates(docs)
     sides = emb.select("vec_id", "embedding",
                        F.expr(_norm_sql("embedding")).alias("_n"))
     va = sides.select(F.col("vec_id").alias("doc_a"),
