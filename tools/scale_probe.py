@@ -165,6 +165,21 @@ def main() -> None:
     bench("corpus_prune 1x", lambda: DD.corpus_prune(docs1))
     bench("corpus_prune 10x", lambda: DD.corpus_prune(docs10))
 
+    # round-3 additions: delta-vs-corpus index join (linear in delta +
+    # index size), substring anchors (linear map + DF-capped join),
+    # per-source quantile rank (two-pass distributed rank — no stage
+    # bounded by the largest source)
+    bench("delta_dedup 1x", lambda: DD.delta_dedup(docs1))
+    bench("delta_dedup 10x", lambda: DD.delta_dedup(docs10))
+    bench("common_substring_pairs 1x",
+          lambda: DD.common_substring_pairs(docs1))
+    bench("common_substring_pairs 10x",
+          lambda: DD.common_substring_pairs(docs10))
+    bench("quality_quantile_cut 1x",
+          lambda: TX.quality_quantile_cut(docs1))
+    bench("quality_quantile_cut 10x",
+          lambda: TX.quality_quantile_cut(docs10))
+
 
 if __name__ == "__main__":
     main()
