@@ -917,6 +917,12 @@ def _q_quality_quantile_cut(spark, sf_dir):
     return TX.quality_quantile_cut(_docs(spark, sf_dir))
 
 
+def _q_streaming_delta_dedup_replay(spark, sf_dir):
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_delta_dedup_replay)
+    return streaming_delta_dedup_replay(spark, sf_dir)
+
+
 def _q_modal_value_band(spark, sf_dir):
     return SE.modal_value_band(read_table(spark, sf_dir, "events"))
 
@@ -1071,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dedup": _q_delta_dedup,
         "common_substring_pairs": _q_common_substring_pairs,
         "quality_quantile_cut": _q_quality_quantile_cut,
+        "streaming_delta_dedup_replay": _q_streaming_delta_dedup_replay,
         "multi_rollup": _q_multi_rollup,
         "median_order_value": _q_median_order_value,
         "value_outliers": _q_value_outliers,
@@ -2254,6 +2261,29 @@ def oracle_sql() -> dict[str, str]:
             FROM runs GROUP BY 1, 2
             HAVING MAX(run) + {DD.SUBSTR_NGRAM - 1} >= {DD.SUBSTR_MIN_RUN}
             ORDER BY doc_a, doc_b
+        """,
+        # mirrors streaming.replay.streaming_delta_dedup_replay: the
+        # availableNow replay processes the whole delta in ONE batch,
+        # so the streaming stream-static left join equals this plain
+        # two-CTE batch join (canonical fingerprint = text.fingerprint
+        # md5 form).
+        "streaming_delta_dedup_replay": f"""
+            WITH corpus AS (
+                SELECT md5(regexp_replace({_NORM_SQL},
+                           '[^a-z0-9 ]', '', 'g')) AS fingerprint,
+                       MIN(doc_id) AS first_match
+                FROM documents WHERE doc_id % 10 <> 9
+                GROUP BY 1
+            ), delta AS (
+                SELECT doc_id,
+                       md5(regexp_replace({_NORM_SQL},
+                           '[^a-z0-9 ]', '', 'g')) AS fingerprint
+                FROM documents WHERE doc_id % 10 = 9
+            )
+            SELECT d.doc_id, d.fingerprint, c.first_match,
+                   c.first_match IS NULL AS is_new
+            FROM delta d LEFT JOIN corpus c USING (fingerprint)
+            ORDER BY d.doc_id
         """,
         # mirrors text.quality_quantile_cut: per-source top-pct cut by
         # the quality_score formula; integer keep-count arithmetic.

@@ -287,3 +287,56 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str,
         out.writeStream.format("memory").queryName(name)
            .outputMode("complete").trigger(availableNow=True), name, timeout_s)
     return spark.table(name)
+
+
+def streaming_delta_dedup_replay(spark: SparkSession, sf_dir: str,
+                                 mod: int = 10, rem: int = 9,
+                                 timeout_s: int = 300) -> DataFrame:
+    """Stream-static incremental dedup replay — the streaming twin of
+    dedup.delta_dedup at exact-fingerprint granularity: newly
+    ingested documents arrive as a STREAM (here the doc_id % mod ==
+    rem slice of the documents table, replayed availableNow) and each
+    micro-batch is stream-static LEFT-joined against the STATIC
+    corpus fingerprint index (md5 of the canonical text of every
+    already-ingested doc, reduced to its first doc_id). Each delta
+    doc emits immediately with the corpus doc it duplicates, or
+    is_new when the corpus has never seen its content.
+
+    This is the operational continuous-ingest dedup shape: the index
+    is a persisted table maintained by the batch side (an idempotent
+    upsert appends each accepted batch's fingerprints), and the
+    stream only ever joins against it — no stream-stream state, no
+    watermark bookkeeping, state size zero on the streaming side.
+    Spark broadcasts or shuffles the static side once per micro-batch
+    under AQE; at 100 TB the index join is a bucketed hash join on
+    the fingerprint.
+
+    availableNow replays the whole delta in one batch, so the output
+    equals the batch left join exactly — which is what makes the
+    DuckDB oracle a plain two-CTE join.
+
+    Returns (doc_id, fingerprint, first_match, is_new).
+    """
+    from pyspark.sql import functions as F
+
+    from ..io import read_table
+    from ..operators.text import fingerprint
+
+    name = "stream_delta_dedup_" + uuid.uuid4().hex[:8]
+    corpus = (fingerprint(
+                  read_table(spark, sf_dir, "documents")
+                  .filter(F.col("doc_id") % mod != rem))
+              .groupBy("fingerprint")
+              .agg(F.min("doc_id").alias("first_match")))
+    delta = (spark.readStream.schema(schemas.DOCUMENTS)
+             .option("pathGlobFilter", "documents.parquet")
+             .parquet(sf_dir)
+             .filter(F.col("doc_id") % mod == rem))
+    out = (fingerprint(delta).select("doc_id", "fingerprint")
+           .join(corpus, "fingerprint", "left")
+           .select("doc_id", "fingerprint", "first_match",
+                   F.col("first_match").isNull().alias("is_new")))
+    _run_to_completion(
+        out.writeStream.format("memory").queryName(name)
+           .outputMode("append").trigger(availableNow=True), name, timeout_s)
+    return spark.table(name)

@@ -334,3 +334,26 @@ def test_join_replay_tolerance_alias():
     import pytest
     with pytest.raises(ValueError):
         _parse_interval_seconds("soon")
+
+
+def test_streaming_delta_dedup_matches_batch_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators.text import fingerprint
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_delta_dedup_replay)
+    got = {r["doc_id"]: r for r in
+           streaming_delta_dedup_replay(spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents")
+    fp = fingerprint(docs).select("doc_id", "fingerprint")
+    corpus = (fp.filter(F.col("doc_id") % 10 != 9)
+              .groupBy("fingerprint")
+              .agg(F.min("doc_id").alias("first_match")))
+    want = {r["doc_id"]: r for r in
+            (fp.filter(F.col("doc_id") % 10 == 9)
+             .join(corpus, "fingerprint", "left")).collect()}
+    assert set(got) == set(want) and len(got) > 0
+    for k, w in want.items():
+        g = got[k]
+        assert g["first_match"] == w["first_match"]
+        assert g["is_new"] == (w["first_match"] is None)
