@@ -687,8 +687,24 @@ def _q_lsh_buckets(spark, sf_dir):
     return SIM.lsh_buckets(_emb(spark, sf_dir))
 
 
+_EMB_PAIRS_STATE: dict = {}
+
+
+def _emb_pairs(spark, sf_dir):
+    """Shared banded-LSH embedding candidate pairs (pipeline mode,
+    same rule as _curation): computed and persisted once per
+    (session, sf_dir), consumed by embedding_near_dup and
+    embedding_near_dup_verified."""
+    key = (id(spark), sf_dir)
+    p = _EMB_PAIRS_STATE.get(key)
+    if p is None:
+        p = SIM.embedding_near_dup_pairs(_emb(spark, sf_dir)).persist()
+        _EMB_PAIRS_STATE[key] = p
+    return p
+
+
 def _q_embedding_near_dup(spark, sf_dir):
-    return SIM.embedding_near_dup_pairs(_emb(spark, sf_dir))
+    return _emb_pairs(spark, sf_dir)
 
 
 def _q_embedding_near_dup_verified(spark, sf_dir):
@@ -697,7 +713,8 @@ def _q_embedding_near_dup_verified(spark, sf_dir):
     # at sf0.01), so a low cut keeps the verify kernel's output
     # non-trivial end-to-end.
     return SIM.embedding_near_dup_verified(_emb(spark, sf_dir),
-                                           threshold=0.2)
+                                           threshold=0.2,
+                                           pairs=_emb_pairs(spark, sf_dir))
 
 
 def _q_multimodal_meta(spark, sf_dir):

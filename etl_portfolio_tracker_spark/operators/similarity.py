@@ -388,7 +388,8 @@ def embedding_near_dup_pairs(
 def embedding_near_dup_verified(emb: DataFrame, threshold: float = 0.9,
                                 n_planes: int | None = None,
                                 band_planes: int | None = None,
-                                bucket_cap: int = NEAR_DUP_BUCKET_CAP
+                                bucket_cap: int = NEAR_DUP_BUCKET_CAP,
+                                pairs: DataFrame | None = None
                                 ) -> DataFrame:
     """The full ANN-dedup pipeline: banded-LSH candidate pairs →
     EXACT cosine on candidates only → keep pairs ≥ `threshold`.
@@ -410,8 +411,13 @@ def embedding_near_dup_verified(emb: DataFrame, threshold: float = 0.9,
     the join), not per pair — a vector in k candidate pairs would
     otherwise pay the exact-decimal norm kernel k times (measured
     13.5 s → ~6 s at sf0.1, where candidates ≈ 35× vectors); only the
-    pairwise dot remains per-pair work."""
-    pairs = embedding_near_dup_pairs(emb, n_planes, band_planes, bucket_cap)
+    pairwise dot remains per-pair work.
+
+    `pairs` — optional precomputed/persisted candidate frame (the
+    signature-index sharing rule: one LSH pass per run)."""
+    if pairs is None:
+        pairs = embedding_near_dup_pairs(emb, n_planes, band_planes,
+                                         bucket_cap)
     sides = emb.select("vec_id", "embedding",
                        F.expr(_norm_sql("embedding")).alias("_n"))
     va = sides.select(F.col("vec_id").alias("vec_a"),
