@@ -30,6 +30,7 @@ from etl_portfolio_tracker_spark.oracle import (
     STREAM_FOLD_SQL, TICK_PRICES_CTE, TRADES_CTE, UNIVERSE_CTE, with_domain,
 )
 from etl_portfolio_tracker_spark.operators import asof as AS
+from etl_portfolio_tracker_spark.operators import bpe as BPE
 from etl_portfolio_tracker_spark.operators import calendar as C
 from etl_portfolio_tracker_spark.operators import dedup as DD
 from etl_portfolio_tracker_spark.operators import finance as FIN
@@ -940,6 +941,75 @@ def _q_streaming_delta_dedup_replay(spark, sf_dir):
     return streaming_delta_dedup_replay(spark, sf_dir)
 
 
+def _q_bpe_train(spark, sf_dir):
+    return BPE.bpe_train(_docs(spark, sf_dir))
+
+
+def _q_bpe_segment(spark, sf_dir):
+    return BPE.bpe_segment(_docs(spark, sf_dir))
+
+
+def _bpe_sql(n_merges: int, final: str) -> str:
+    """Unrolled chained-CTE DuckDB twin of bpe_train/bpe_segment (the
+    kmeans_train rule: iteration count pinned, so both engines execute
+    the identical computation). Each round: weighted adjacent-pair
+    count over the vocab segmentations -> deterministic argmax ->
+    list_reduce merge fold whose accumulator string's last SEP segment
+    is the lookahead carry (byte-identical to the Spark aggregate())."""
+    sep = "chr(31)"
+    parts = [f"""
+        WITH w AS (
+            SELECT word, COUNT(*) AS freq FROM (
+                SELECT UNNEST(string_split({_NORM_SQL}, ' ')) AS word
+                FROM documents)
+            WHERE word <> '' GROUP BY 1
+        ), s0 AS (
+            SELECT array_to_string(regexp_extract_all(word, '.'), {sep})
+                       AS sym,
+                   SUM(freq) AS freq
+            FROM w GROUP BY 1
+        )"""]
+    for i in range(n_merges):
+        parts.append(f"""
+        , p{i} AS (
+            SELECT a[j - 1] AS l, a[j] AS r, SUM(freq) AS cnt
+            FROM (
+                SELECT a, freq, UNNEST(generate_series(2, len(a))) AS j
+                FROM (SELECT string_split(sym, {sep}) AS a, freq
+                      FROM s{i})
+            ) GROUP BY 1, 2
+        ), m{i} AS (
+            SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+        )""")
+        if i < n_merges - 1 or final == "segment":
+            parts.append(f"""
+        , s{i + 1} AS (
+            SELECT sym, SUM(freq) AS freq FROM (
+                SELECT list_reduce(a, (acc, x) -> CASE
+                         WHEN (acc = m.l OR ends_with(acc, {sep} || m.l))
+                              AND x = m.r
+                         THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+                         ELSE acc || {sep} || x END) AS sym, freq
+                FROM (SELECT string_split(sym, {sep}) AS a, freq
+                      FROM s{i})
+                CROSS JOIN m{i} m
+            ) GROUP BY 1
+        )""")
+    if final == "train":
+        sel = " UNION ALL ".join(
+            f"SELECT {i + 1} AS merge_rank, l AS left_sym,"
+            f" r AS right_sym, CAST(cnt AS BIGINT) AS pair_count"
+            f" FROM m{i}"
+            for i in range(n_merges))
+        parts.append(f" SELECT * FROM ({sel}) ORDER BY merge_rank")
+    else:
+        parts.append(f"""
+        SELECT replace(sym, {sep}, ' ') AS segmentation,
+               CAST(freq AS BIGINT) AS freq
+        FROM s{n_merges} ORDER BY segmentation""")
+    return "".join(parts)
+
+
 def _q_modal_value_band(spark, sf_dir):
     return SE.modal_value_band(read_table(spark, sf_dir, "events"))
 
@@ -1095,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_substring_pairs": _q_common_substring_pairs,
         "quality_quantile_cut": _q_quality_quantile_cut,
         "streaming_delta_dedup_replay": _q_streaming_delta_dedup_replay,
+        "bpe_train": _q_bpe_train,
+        "bpe_segment": _q_bpe_segment,
         "multi_rollup": _q_multi_rollup,
         "median_order_value": _q_median_order_value,
         "value_outliers": _q_value_outliers,
@@ -2279,6 +2351,8 @@ def oracle_sql() -> dict[str, str]:
             HAVING MAX(run) + {DD.SUBSTR_NGRAM - 1} >= {DD.SUBSTR_MIN_RUN}
             ORDER BY doc_a, doc_b
         """,
+        "bpe_train": _bpe_sql(BPE.BPE_MERGES, "train"),
+        "bpe_segment": _bpe_sql(BPE.BPE_MERGES, "segment"),
         # mirrors streaming.replay.streaming_delta_dedup_replay: the
         # availableNow replay processes the whole delta in ONE batch,
         # so the streaming stream-static left join equals this plain

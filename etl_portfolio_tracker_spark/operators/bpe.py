@@ -1,0 +1,142 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary induction — the
+tokenizer-training step of an LLM data pipeline (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"), as a
+Spark job.
+
+BPE training is an iterative argmax: count adjacent symbol pairs
+across the corpus, merge the most frequent pair everywhere, repeat.
+The classic implementation is a single-machine loop over a Counter;
+the distributed re-expression here follows the same shape as
+kmeans_train (fixed iteration count, O(model) driver state, unrolled
+chained-CTE DuckDB oracle so both engines execute the identical
+computation):
+
+  * the corpus is first reduced to its WORD VOCABULARY with
+    frequencies — the standard trick: pair statistics are identical
+    when computed over (distinct word, freq) instead of raw tokens,
+    and the vocabulary is orders of magnitude smaller than the corpus
+    (this is what makes 100 TB BPE training tractable: one
+    corpus-sized aggregation, then everything else is vocab-sized);
+  * each word's segmentation is carried as a SEP-joined symbol
+    string; pair counts are one explode over adjacent positions with
+    freq weights (map-side combine);
+  * the argmax merge is a 1-row collect — O(1) model state per
+    round, like the k-means codebook, never data;
+  * applying a merge is a pure per-word map: a left fold over the
+    symbol array that greedily merges non-overlapping (left, right)
+    occurrences left-to-right. The fold keeps the accumulator as a
+    SEP-joined string whose LAST segment doubles as the lookahead
+    carry — exactly expressible both as Spark `aggregate()` and
+    DuckDB `list_reduce()`, so the two engines produce byte-identical
+    segmentations.
+
+Determinism: tie-breaks on (count DESC, left ASC, right ASC); all
+counts are exact integers. SEP is U+001F (unit separator), which
+cannot appear inside whitespace-split tokens of the normalized text.
+
+Returns the learned merge table — the artifact a tokenizer ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.checkpoints import iter_checkpoint
+
+SEP = "\x1f"
+BPE_MERGES = 4
+
+
+def _word_vocab(docs: DataFrame) -> DataFrame:
+    """(sym, freq): SEP-joined character segmentation of each distinct
+    word with its corpus frequency."""
+    from .text import tokens_col
+    from ..functions.partitioning import spread
+    words = (spread(docs, "doc_id")
+             .select(F.explode(tokens_col()).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    sym = F.concat_ws(SEP, F.regexp_extract_all("word", F.lit("."), 0))
+    return words.select(sym.alias("sym"), "freq")
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the current segmentations."""
+    arr = F.split("sym", SEP)
+    pairs = (vocab
+             .select(arr.alias("_a"), "freq")
+             # CASE guard: Spark's sequence(1, 0) would generate a
+             # DESCENDING [1, 0], not an empty list
+             .select(F.explode(F.expr(
+                 "CASE WHEN size(_a) >= 2 THEN"
+                 " transform(sequence(1, size(_a) - 1),"
+                 "           i -> struct(_a[i - 1] AS l, _a[i] AS r))"
+                 " ELSE array() END"))
+                 .alias("p"), "freq")
+             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+             .agg(F.sum("freq").cast("long").alias("cnt")))
+    return pairs
+
+
+def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy non-overlapping left-to-right merge of (left, right) in
+    every word — a fold where the accumulator string's last SEP
+    segment is the pending carry."""
+    arr = F.split("sym", SEP)
+    merged = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: F.when(
+            ((acc == F.lit(left)) | acc.endswith(SEP + left))
+            & (x == F.lit(right)),
+            F.concat(F.substring(acc, F.lit(1),
+                                 F.length(acc) - len(left)),
+                     F.lit(left + right)))
+        .otherwise(F.concat(acc, F.lit(SEP), x)))
+    # re-compact the vocabulary: words whose segmentations collide
+    # after the merge share one row (keeps each round vocab-bounded)
+    return (vocab.select(merged.alias("sym"), "freq")
+            .groupBy("sym").agg(F.sum("freq").alias("freq")))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES,
+              vocab: DataFrame | None = None) -> DataFrame:
+    """Learn `n_merges` BPE merges over the corpus; returns the merge
+    table (merge_rank, left_sym, right_sym, pair_count) ordered by
+    rank — O(model) rows. Each round is one vocab-sized pair count +
+    a 1-row argmax collect + one vocab-sized map. `vocab` — optional
+    precomputed/persisted _word_vocab frame (one corpus scan per
+    run)."""
+    spark = docs.sparkSession
+    if vocab is None:
+        vocab = iter_checkpoint(_word_vocab(docs), eager=False)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        top = (_pair_counts(vocab)
+               .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+               .limit(1).collect())
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((rank, l, r, cnt))
+        if rank < n_merges:
+            vocab = iter_checkpoint(_apply_merge(vocab, l, r), eager=False)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string,"
+                " pair_count long")
+
+
+def bpe_segment(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Final vocabulary after `n_merges` learned merges:
+    (sym, freq) — the segmentation state a tokenizer would persist.
+    Ordered for determinism."""
+    vocab = iter_checkpoint(_word_vocab(docs), eager=False)
+    table = bpe_train(docs, n_merges, vocab=vocab).collect()
+    for row in table:
+        vocab = iter_checkpoint(_apply_merge(
+            vocab, row["left_sym"], row["right_sym"]), eager=False)
+    return (vocab.select(
+                F.replace(F.col("sym"), F.lit(SEP), F.lit(" "))
+                 .alias("segmentation"),
+                F.col("freq").cast("long").alias("freq"))
+            .orderBy("segmentation"))

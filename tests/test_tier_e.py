@@ -629,3 +629,33 @@ def test_quality_quantile_cut_per_source_exact(spark):
              .orderBy(F.desc("quality"), F.asc("doc_id"))).alias("rnk"))
     for r in naive.collect():
         assert out[r["doc_id"]]["rnk"] == r["rnk"]
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    from etl_portfolio_tracker_spark.operators.bpe import (
+        bpe_train, bpe_segment)
+    d = docs_df(spark, ["low lower lowest low low",
+                        "new newer newest new"])
+    merges = [(r["merge_rank"], r["left_sym"], r["right_sym"],
+               r["pair_count"])
+              for r in bpe_train(d).collect()]
+    # 'lo' (5 occurrences) wins round 1 by (count, tie-break); then
+    # 'lo'+'w' fuses the most frequent word; 'e'+'w'/'n'+'ew' build
+    # toward 'new' — the classic low/new BPE walkthrough.
+    assert merges == [(1, "l", "o", 5), (2, "lo", "w", 5),
+                      (3, "e", "w", 4), (4, "n", "ew", 4)]
+    seg = {r["segmentation"]: r["freq"] for r in bpe_segment(d).collect()}
+    assert seg["low"] == 3 and seg["new"] == 2
+    assert seg["low e r"] == 1 and seg["new e s t"] == 1
+
+
+def test_bpe_merge_is_greedy_non_overlapping(spark):
+    from etl_portfolio_tracker_spark.operators import bpe as B
+    d = docs_df(spark, ["aaaa aaaa"])
+    # round 1 pair count: 'aaaa' has 3 adjacent (a,a) pairs x freq 2
+    m = bpe_train_rows = B.bpe_train(d, n_merges=1).collect()
+    assert (m[0]["left_sym"], m[0]["right_sym"], m[0]["pair_count"]) \
+        == ("a", "a", 6)
+    # greedy left-to-right: aaaa -> (aa)(aa), not (aa)a a
+    seg = B.bpe_segment(d, n_merges=1).collect()
+    assert [(r["segmentation"], r["freq"]) for r in seg] == [("aa aa", 2)]
