@@ -1095,17 +1095,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          the r2-late curation/graph/stats ops (leakage_safe_split ..
          order_backlog), then the finance, PQ/ANN, packing, corpus-
          composite, text, and events tiers;
-      2. the remaining 46 never-checked queries (round-4 front: the
-         r3-new delta_dedup / common_substring_pairs /
-         quality_quantile_cut, then warehouse second tranche, stats,
-         rows-only audio_meta / approx_stats);
+      2. the remaining 49 never-checked queries (round-4 front: the
+         six r3-new ops — delta_dedup, common_substring_pairs,
+         quality_quantile_cut, streaming_delta_dedup_replay,
+         bpe_train, bpe_segment — then warehouse second tranche,
+         stats, rows-only audio_meta / approx_stats);
       3. the 76 queries already green in r1 or r2 driver rows
          (re-verified locally each round).
 
     ROUND-4 TODO (first edit of the round): move section 2 to the
-    front and the 50 r3-checked names behind it — after r3's window
-    lands, every remaining never-checked query fits in ONE more
-    50-row window.
+    front and the 50 r3-checked names behind it — the 49 remaining
+    never-checked queries fit in ONE more 50-row window exactly.
     """
     return {
         # -- 1. round-3 external window: never checked, highest priority ------------------------------------------
