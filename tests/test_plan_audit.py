@@ -208,3 +208,49 @@ def test_posting_lists_window_head_before_collect(spark):
     plan = physical_plan(q)
     assert "Window" in plan
     assert "collect_list" in plan
+
+
+def test_common_substring_pairs_no_quadratic_stage(spark):
+    # the anchor join must be an equi-join on the n-gram hash (hash
+    # partitioning on gh), never a cross/nested-loop product; the
+    # islands window must be keyed (no partitionless window over the
+    # hit stream)
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = DD.common_substring_pairs(read_table(spark, SF, "documents"))
+    plan = physical_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(gh" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_a" in line and "diag" in line
+
+
+def test_delta_dedup_corpus_cap_before_join(spark):
+    # the corpus-side bucket cap must be a window over (band,
+    # band_key) — the index partitioning — and the delta->corpus join
+    # an equi hash join on the same key, never a product
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = DD.delta_dedup(read_table(spark, SF, "documents"))
+    plan = physical_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(band" in plan
+
+
+def test_quality_quantile_cut_no_per_source_serialization(spark):
+    # every corpus-sized window must be keyed by (_pid, source); the
+    # only windows without _pid run on the O(parts x sources) offsets
+    # frame (_ptot) — the two-pass rank contract
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = TX.quality_quantile_cut(read_table(spark, SF, "documents"))
+    plan = physical_plan(q)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line or "_ptot" in line, line
