@@ -949,6 +949,10 @@ def _q_bpe_segment(spark, sf_dir):
     return BPE.bpe_segment(_docs(spark, sf_dir))
 
 
+def _q_bpe_token_counts(spark, sf_dir):
+    return BPE.bpe_token_counts(_docs(spark, sf_dir))
+
+
 def _bpe_sql(n_merges: int, final: str) -> str:
     """Unrolled chained-CTE DuckDB twin of bpe_train/bpe_segment (the
     kmeans_train rule: iteration count pinned, so both engines execute
@@ -1002,6 +1006,45 @@ def _bpe_sql(n_merges: int, final: str) -> str:
             f" FROM m{i}"
             for i in range(n_merges))
         parts.append(f" SELECT * FROM ({sel}) ORDER BY merge_rank")
+    elif final == "tokens":
+        # per-WORD segmentation chain (no vocab compaction — the word
+        # key is preserved), then one word-level join to the corpus
+        # token stream
+        parts.append(f"""
+        , ws0 AS (
+            SELECT word,
+                   array_to_string(regexp_extract_all(word, '.'), {sep})
+                       AS sym
+            FROM (SELECT DISTINCT word FROM w)
+        )""")
+        for i in range(n_merges):
+            parts.append(f"""
+        , ws{i + 1} AS (
+            SELECT word, list_reduce(string_split(sym, {sep}),
+                     (acc, x) -> CASE
+                       WHEN (acc = m.l OR ends_with(acc, {sep} || m.l))
+                            AND x = m.r
+                       THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
+                       ELSE acc || {sep} || x END) AS sym
+            FROM ws{i} CROSS JOIN m{i} m
+        )""")
+        parts.append(f"""
+        , segmap AS (
+            SELECT word,
+                   CAST(len(string_split(sym, {sep})) AS BIGINT) AS n_sub
+            FROM ws{n_merges}
+        ), tok AS (
+            SELECT source, UNNEST(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_sub) AS BIGINT) AS n_subword_tokens,
+               ROUND(CAST(SUM(n_sub) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_subwords
+        FROM tok JOIN segmap USING (word)
+        WHERE word <> ''
+        GROUP BY source ORDER BY source""")
     else:
         parts.append(f"""
         SELECT replace(sym, {sep}, ' ') AS segmentation,
@@ -1167,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_delta_dedup_replay": _q_streaming_delta_dedup_replay,
         "bpe_train": _q_bpe_train,
         "bpe_segment": _q_bpe_segment,
+        "bpe_token_counts": _q_bpe_token_counts,
         "multi_rollup": _q_multi_rollup,
         "median_order_value": _q_median_order_value,
         "value_outliers": _q_value_outliers,
@@ -2353,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_sql(BPE.BPE_MERGES, "train"),
         "bpe_segment": _bpe_sql(BPE.BPE_MERGES, "segment"),
+        "bpe_token_counts": _bpe_sql(BPE.BPE_MERGES, "tokens"),
         # mirrors streaming.replay.streaming_delta_dedup_replay: the
         # availableNow replay processes the whole delta in ONE batch,
         # so the streaming stream-static left join equals this plain

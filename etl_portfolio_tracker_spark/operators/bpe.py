@@ -78,12 +78,13 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     return pairs
 
 
-def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
-    """Greedy non-overlapping left-to-right merge of (left, right) in
-    every word — a fold where the accumulator string's last SEP
-    segment is the pending carry."""
+def _merged_sym(left: str, right: str):
+    """Column expr: greedy non-overlapping left-to-right merge of
+    (left, right) applied to the SEP-joined `sym` column — a fold
+    where the accumulator string's last SEP segment is the pending
+    carry."""
     arr = F.split("sym", SEP)
-    merged = F.aggregate(
+    return F.aggregate(
         F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
         F.element_at(arr, 1),
         lambda acc, x: F.when(
@@ -93,9 +94,13 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
                                  F.length(acc) - len(left)),
                      F.lit(left + right)))
         .otherwise(F.concat(acc, F.lit(SEP), x)))
-    # re-compact the vocabulary: words whose segmentations collide
-    # after the merge share one row (keeps each round vocab-bounded)
-    return (vocab.select(merged.alias("sym"), "freq")
+
+
+def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply one merge to the (sym, freq) vocabulary and re-compact:
+    words whose segmentations collide after the merge share one row
+    (keeps each round vocab-bounded)."""
+    return (vocab.select(_merged_sym(left, right).alias("sym"), "freq")
             .groupBy("sym").agg(F.sum("freq").alias("freq")))
 
 
@@ -140,3 +145,44 @@ def bpe_segment(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
                  .alias("segmentation"),
                 F.col("freq").cast("long").alias("freq"))
             .orderBy("segmentation"))
+
+
+def bpe_token_counts(docs: DataFrame,
+                     n_merges: int = BPE_MERGES) -> DataFrame:
+    """Apply the learned tokenizer to the corpus and report per-source
+    subword token budgets — the "what will training actually pay under
+    this vocabulary" report that closes the tokenizer loop
+    (train -> segment -> tokenize-and-count). Each word's subword
+    count under the merge table is computed ONCE on the word
+    vocabulary (vocab-sized fold chain, same merge fold as training),
+    then fanned to the corpus with one word-level equi-join — the
+    token stream is never re-segmented per occurrence, which is what
+    keeps corpus tokenization one join at 100 TB (the per-word map is
+    vocab-sized -> broadcast or bucketed join).
+
+    Returns (source, n_words, n_subword_tokens, avg_subwords) ordered
+    by source; avg is the integer-ratio division rounded 6dp."""
+    from .text import tokens_col
+    from ..functions.partitioning import spread
+    table = bpe_train(docs, n_merges).collect()
+    toks = (spread(docs, "doc_id")
+            .select("source", F.explode(tokens_col()).alias("word"))
+            .filter(F.col("word") != ""))
+    seg = (toks.select("word").distinct()
+           .select("word",
+                   F.concat_ws(SEP, F.regexp_extract_all(
+                       "word", F.lit("."), 0)).alias("sym")))
+    for row in table:
+        seg = seg.select(
+            "word", _merged_sym(row["left_sym"],
+                                row["right_sym"]).alias("sym"))
+    seg = seg.select(
+        "word", F.size(F.split("sym", SEP)).cast("long").alias("n_sub"))
+    return (toks.join(seg, "word")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sub").cast("long").alias("n_subword_tokens"))
+            .select("source", "n_words", "n_subword_tokens",
+                    F.round(F.col("n_subword_tokens").cast("double")
+                            / F.col("n_words"), 6).alias("avg_subwords"))
+            .orderBy("source"))

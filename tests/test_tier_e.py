@@ -659,3 +659,23 @@ def test_bpe_merge_is_greedy_non_overlapping(spark):
     # greedy left-to-right: aaaa -> (aa)(aa), not (aa)a a
     seg = B.bpe_segment(d, n_merges=1).collect()
     assert [(r["segmentation"], r["freq"]) for r in seg] == [("aa aa", 2)]
+
+
+def test_bpe_token_counts_small_corpus(spark):
+    from etl_portfolio_tracker_spark.operators import bpe as B
+    # learned merges fuse 'low'/'new' into single tokens (see
+    # test_bpe_train_learns_expected_merges); remaining words segment
+    # into (merged-prefix + leftover chars).
+    d = spark.createDataFrame(
+        [(0, "low lower lowest low low", "en", "A", 24),
+         (1, "new newer newest new", "en", "B", 20)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["source"]: r for r in B.bpe_token_counts(d).collect()}
+    # source A: low(1)x3 + lower(low,e,r = 3) + lowest(low,e,s,t = 4)
+    assert out["A"]["n_words"] == 5
+    assert out["A"]["n_subword_tokens"] == 3 * 1 + 3 + 4
+    # source B: new(1)x2 + newer(3) + newest(4)
+    assert out["B"]["n_words"] == 4
+    assert out["B"]["n_subword_tokens"] == 2 * 1 + 3 + 4
+    assert out["B"]["avg_subwords"] == round(9 / 4, 6)
