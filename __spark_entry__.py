@@ -953,6 +953,10 @@ def _q_bpe_token_counts(spark, sf_dir):
     return BPE.bpe_token_counts(_docs(spark, sf_dir))
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    return DD.simhash_pairs(_docs(spark, sf_dir))
+
+
 def _bpe_sql(n_merges: int, final: str) -> str:
     """Unrolled chained-CTE DuckDB twin of bpe_train/bpe_segment (the
     kmeans_train rule: iteration count pinned, so both engines execute
@@ -1211,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "bpe_segment": _q_bpe_segment,
         "bpe_token_counts": _q_bpe_token_counts,
+        "simhash_pairs": _q_simhash_pairs,
         "multi_rollup": _q_multi_rollup,
         "median_order_value": _q_median_order_value,
         "value_outliers": _q_value_outliers,
@@ -2603,6 +2608,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
             FROM bitsum GROUP BY doc_id
+        """,
+        # mirrors dedup.simhash_pairs: 32-bit fingerprint, 8-bit-band
+        # equality candidates (pigeonhole: hamming<=2 agrees exactly
+        # on >=1 of 4 bands), exact bit_count(xor) verify
+        "simhash_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents
+            ),
+            weighted AS (
+                SELECT doc_id, j,
+                       CASE WHEN substr(md5(tok), j + 1, 1) IN
+                                 ('8','9','a','b','c','d','e','f')
+                            THEN 1 ELSE -1 END AS w
+                FROM toks
+                CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS j)
+            ),
+            bitsum AS (SELECT doc_id, j, SUM(w) AS s
+                       FROM weighted GROUP BY 1, 2),
+            fp AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0
+                                     THEN CAST(1 AS BIGINT) << j
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM bitsum GROUP BY doc_id
+            ),
+            bk0 AS (
+                SELECT doc_id, simhash, b AS band,
+                       (simhash >> (b * 8)) & 255 AS bkey
+                FROM fp
+                CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b)
+            ),
+            bk AS (
+                SELECT doc_id, simhash, band, bkey FROM bk0
+                QUALIFY COUNT(*) OVER (PARTITION BY band, bkey)
+                        <= {DD.MINHASH_BUCKET_CAP}
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                       AS hamming
+            FROM bk a JOIN bk b USING (band, bkey)
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 2
+            ORDER BY doc_a, doc_b
         """,
         "cosine_topk": _PE_SQL + """
             , q AS (SELECT pos AS qpos, val AS qval FROM pe WHERE vec_id = 0),

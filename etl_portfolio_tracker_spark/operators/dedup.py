@@ -1116,3 +1116,71 @@ def common_substring_pairs(docs: DataFrame,
                  F.sum("_run").cast("long").alias("n_shared_ngrams"))
             .filter(F.col("max_run_tokens") >= min_run)
             .orderBy("doc_a", "doc_b"))
+
+
+SIMHASH_PAIR_BITS = 32     # fingerprint width for PAIRING (16-bit —
+# the standalone `simhash` query's width — saturates by the birthday
+# bound once |docs| approaches 2^8: at sf0.1's 5000 docs it emitted
+# 1.5M hamming<=2 pairs, almost all chance collisions. 32 bits keeps
+# chance pairs negligible at oracle scales; production web-dedup uses
+# 64 bits for the same reason — Manku et al. WWW'07.)
+SIMHASH_BANDS = 4          # 8-bit bands over the 32-bit fingerprint
+SIMHASH_MAX_HAMMING = 2    # report pairs within this bit distance
+
+
+def simhash_pairs(docs: DataFrame,
+                  bits: int = SIMHASH_PAIR_BITS,
+                  n_bands: int = SIMHASH_BANDS,
+                  max_hamming: int = SIMHASH_MAX_HAMMING,
+                  bucket_cap: int = MINHASH_BUCKET_CAP) -> DataFrame:
+    """SimHash near-dup PAIRS — the retrieval half of the SimHash
+    method (Charikar 2002; Manku-Jain-Sarma WWW'07 web-dedup): docs
+    whose fingerprints differ in at most `max_hamming` bits. By the
+    pigeonhole principle a pair within distance d agrees EXACTLY on
+    at least one of d+1 disjoint bit-bands (here d=2 < 4 bands), so
+    candidates come from equality joins on banded fingerprint slices
+    — the Manku table-lookup scheme as a band-key shuffle join, never
+    an O(n²) comparison. The exact hamming distance (bit_count of
+    xor) then verifies candidates, mirroring every other
+    candidates→verify pipeline in this module.
+
+    Scale: one fingerprint map (simhash — zero-shuffle), one
+    band-key equi-join bounded by per-band bucket sizes, one
+    row-local popcount verify. The fingerprint width is the bucket-
+    space knob (see SIMHASH_PAIR_BITS): band space must grow with the
+    corpus or chance collisions saturate the join — the same adaptive
+    rule as embedding_near_dup's band planes; production web-dedup
+    runs 64-bit fingerprints with 16-bit bands.
+
+    Returns (doc_a, doc_b, hamming), ordered."""
+    band_width = bits // n_bands
+    fp = simhash(docs, bits=bits)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 (F.shiftright(F.col("simhash"), b * band_width)
+                  % (1 << band_width)).alias("bkey"))
+        for b in range(n_bands)])
+    bk = (fp.select("doc_id", "simhash", F.explode(bands).alias("b"))
+          .select("doc_id", "simhash",
+                  F.col("b.band").alias("band"),
+                  F.col("b.bkey").alias("bkey")))
+    # bucket cap (the MINHASH_BUCKET_CAP rule): a band bucket bigger
+    # than this is a mass-duplication family — pair enumeration there
+    # is quadratic by definition; clusters that big belong to
+    # dedup_clusters. Mirrored in the oracle (QUALIFY), so results
+    # agree at every sf.
+    w_cap = W.partitionBy("band", "bkey")
+    bk = (bk.withColumn("_bsz", F.count(F.lit(1)).over(w_cap))
+          .filter(F.col("_bsz") <= bucket_cap).drop("_bsz"))
+    a = bk.select(F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("_fa"), "band", "bkey")
+    b = bk.select(F.col("doc_id").alias("doc_b"),
+                  F.col("simhash").alias("_fb"), "band", "bkey")
+    return (a.join(b, ["band", "bkey"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    F.expr("bit_count(_fa ^ _fb)").cast("int")
+                     .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+            .orderBy("doc_a", "doc_b"))

@@ -679,3 +679,20 @@ def test_bpe_token_counts_small_corpus(spark):
     assert out["B"]["n_words"] == 4
     assert out["B"]["n_subword_tokens"] == 2 * 1 + 3 + 4
     assert out["B"]["avg_subwords"] == round(9 / 4, 6)
+
+
+def test_simhash_pairs_identical_docs_zero_hamming(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    d = docs_df(spark, [t, t, "totally different words entirely here"])
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in DD.simhash_pairs(d).collect()}
+    assert rows.get((0, 1)) == 0
+    assert all(h <= DD.SIMHASH_MAX_HAMMING for h in rows.values())
+
+
+def test_simhash_pairs_bucket_cap(spark):
+    # 6 identical docs share every band bucket; cap 5 drops the
+    # boilerplate bucket entirely (bounded pair output at scale)
+    d = docs_df(spark, ["same boilerplate text on every mirror"] * 6)
+    assert DD.simhash_pairs(d, bucket_cap=5).count() == 0
+    assert DD.simhash_pairs(d).count() == 15
