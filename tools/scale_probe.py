@@ -179,6 +179,16 @@ def main() -> None:
           lambda: TX.quality_quantile_cut(docs1))
     bench("quality_quantile_cut 10x",
           lambda: TX.quality_quantile_cut(docs10))
+    bench("simhash_pairs 1x", lambda: DD.simhash_pairs(docs1))
+    bench("simhash_pairs 10x", lambda: DD.simhash_pairs(docs10))
+
+    # BPE trains through driver-coordinated rounds with collects —
+    # time end-to-end like the CC probes
+    from etl_portfolio_tracker_spark.operators import bpe as BP
+    for label, d in (("bpe_train 1x", docs1), ("bpe_train 10x", docs10)):
+        t0 = time.time()
+        BP.bpe_train(d).write.format("noop").mode("overwrite").save()
+        print(f"{label}: {time.time() - t0:.2f}s", flush=True)
 
 
 if __name__ == "__main__":
