@@ -88,3 +88,44 @@ def bucketed_join_demo(spark: SparkSession, sf_dir: str,
     return (lb.join(ob, lb.l_orderkey == ob.o_orderkey)
             .groupBy("o_orderpriority")
             .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n")))
+
+
+def run_curation_job(spark: SparkSession, sf_dir: str,
+                     out_dir: str) -> dict:
+    """Productionized curation run — the cross-JOB form of
+    dedup.curation_pipeline: compute the two expensive shared
+    intermediates ONCE, persist them as parquet tables, and derive
+    every report by READING the tables (so later jobs — dashboards,
+    splits, mixers — never re-run the LSH/CC stage; the in-session
+    pipeline shares DataFrames, this shares storage).
+
+      {out_dir}/clusters/   (doc_id, cluster_id)       near-dup CC
+      {out_dir}/verdict/    corpus_prune output        per-doc keep
+      {out_dir}/reports/prune_report/                  tiny rollups
+      {out_dir}/reports/source_quality_report/
+      {out_dir}/reports/dup_inflation/
+
+    At 100 TB the two big tables would be written bucketed on doc_id
+    (write_bucketed) so report joins are exchange-free; parquet +
+    doc_id partitioning keeps this demo engine-only. Returns row
+    counts for the job log (the S9 logging contract)."""
+    from .io import read_table
+    from .operators import dedup as DD
+
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = DD.dedup_clusters(docs)
+    clusters.write.mode("overwrite").parquet(f"{out_dir}/clusters")
+    clusters_t = spark.read.parquet(f"{out_dir}/clusters")
+    verdict = DD.corpus_prune(docs, clusters=clusters_t)
+    verdict.write.mode("overwrite").parquet(f"{out_dir}/verdict")
+    verdict_t = spark.read.parquet(f"{out_dir}/verdict")
+    counts = {"clusters": clusters_t.count(), "verdict": verdict_t.count()}
+    for name, df in (
+            ("prune_report", DD.prune_report(docs, verdict=verdict_t)),
+            ("source_quality_report",
+             DD.source_quality_report(docs, verdict=verdict_t)),
+            ("dup_inflation", DD.dup_inflation(docs, verdict=verdict_t))):
+        df.write.mode("overwrite").parquet(f"{out_dir}/reports/{name}")
+        counts[name] = spark.read.parquet(
+            f"{out_dir}/reports/{name}").count()
+    return counts

@@ -87,3 +87,23 @@ def test_salted_sum_equals_plain(spark):
               for r in salted_sum(df, ["user", "ticker"], F.col("v"), "s",
                                   n_salts=8).collect()}
     assert plain == salted
+
+
+def test_run_curation_job_materializes_shared_state(spark, sf_dir,
+                                                    tmp_path):
+    from etl_portfolio_tracker_spark import jobs
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    out = str(tmp_path / "curation")
+    counts = jobs.run_curation_job(spark, sf_dir, out)
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert counts["clusters"] == counts["verdict"] == n_docs
+    assert counts["prune_report"] >= 2
+    # report read from storage equals the standalone derivation
+    stored = spark.read.parquet(f"{out}/reports/source_quality_report")
+    live = DD.source_quality_report(docs)
+    cols = sorted(stored.columns)
+    as_rows = lambda df: sorted(  # noqa: E731
+        tuple(str(r[c]) for c in cols) for r in df.collect())
+    assert as_rows(stored) == as_rows(live)
