@@ -3,12 +3,13 @@ columns with typed metadata, processed in Arrow batches via
 mapInPandas (SURVEY §7 tier E / task brief).
 
 Decode support (no image/audio libraries exist in this container):
-uncompressed formats with trivially parseable containers — binary
-NetPBM (P5/P6), 24-bpp uncompressed BMP, and RIFF/WAVE PCM audio —
-are decoded FOR REAL (pure struct + numpy: header dims + Rec.601
-mean luminance over the actual pixels; sample rate / duration /
-RMS / peak over the actual samples). Compressed formats
-(JPEG/PNG/MP3/video) would need PIL/libvips/ffmpeg; for those and
+formats whose containers and codecs are parseable with the stdlib —
+binary NetPBM (P5/P6), 24-bpp uncompressed BMP, 8-bit non-interlaced
+PNG (DEFLATE via stdlib zlib + the five RFC 2083 row filters), and
+RIFF/WAVE PCM audio — are decoded FOR REAL (struct + zlib + numpy:
+header dims + Rec.601 mean luminance over the actual pixels; sample
+rate / duration / RMS / peak over the actual samples). Entropy-coded
+formats (JPEG/MP3/video) would need PIL/libvips/ffmpeg; for those and
 for unknown payloads `_decode_image_bytes` falls back to a documented
 deterministic fake so the plumbing stays testable on the harness's
 synthetic blobs. A production deploy swaps the fallback for a codec
@@ -94,13 +95,94 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     return rgb[::-1] if h_raw > 0 else rgb        # positive h = bottom-up
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (h, w, 3) uint8 RGB — a REAL decode
+    with no image library: PNG's only compression is DEFLATE, which
+    the Python stdlib ships (`zlib`), so the full decode is chunk
+    walk → zlib.decompress → per-row filter reconstruction (the five
+    PNG filters: None/Sub/Up/Average/Paeth, RFC 2083 §6) → channel
+    mapping. Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA) at bit depth 8; alpha is dropped for the luma kernel.
+    Interlaced (Adam7) and 16-bit images raise → documented fallback.
+    """
+    import zlib
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(b):
+        ln = struct.unpack_from(">I", b, pos)[0]
+        ctype = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln                                  # len+type+crc
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = meta
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels                                      # bytes per pixel
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=y * (stride + 1) + 1)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:                                   # None
+            out[y] = row
+        elif ftype == 2:                                 # Up
+            out[y] = row + prev
+        elif ftype in (1, 3, 4):                         # sequential in x
+            cur = out[y]
+            r = row.astype(np.int32)
+            p = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if ftype == 1:                           # Sub
+                    cur[x] = (r[x] + a) & 0xFF
+                elif ftype == 3:                         # Average
+                    cur[x] = (r[x] + ((a + p[x]) >> 1)) & 0xFF
+                else:                                    # Paeth
+                    c = int(out[y - 1][x - bpp]) \
+                        if (x >= bpp and y > 0) else 0
+                    pa, pb, pc = (abs(p[x] - c), abs(a - c),
+                                  abs(a + p[x] - 2 * c))
+                    pred = a if (pa <= pb and pa <= pc) \
+                        else (p[x] if pb <= pc else c)
+                    cur[x] = (r[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+    px = out.reshape(h, w, channels)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])            # 2 / 6
+
+
 def _decode_pixels(payload: bytes) -> np.ndarray | None:
     """(h, w, 3) uint8 RGB for REAL-decodable payloads (binary NetPBM,
-    24-bpp BMP), None for anything compressed/unknown."""
+    24-bpp BMP, 8-bit non-interlaced PNG), None for anything the
+    container genuinely cannot decode (JPEG/video — DCT/entropy
+    codecs need external libraries)."""
     if payload[:2] in (b"P5", b"P6"):
         return _decode_netpbm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     return None
 
 
@@ -116,12 +198,17 @@ def _encode_ppm(px: np.ndarray) -> bytes:
 
 
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, float]:
-    """(width, height, mean_luma). REAL decode for binary NetPBM and
-    24-bpp BMP (see module docstring); a deterministic payload-derived
-    fake for every other format — compressed codecs need external
-    libraries this container doesn't ship, and the harness's synthetic
-    blobs must keep flowing through the same plumbing either way."""
-    px = _decode_pixels(payload)
+    """(width, height, mean_luma). REAL decode for binary NetPBM,
+    24-bpp BMP, and 8-bit PNG (see module docstring); a deterministic
+    payload-derived fake for every other format — entropy codecs need
+    external libraries this container doesn't ship, and the harness's
+    synthetic blobs must keep flowing through the same plumbing
+    either way."""
+    try:
+        px = _decode_pixels(payload)
+    except ValueError:
+        px = None                 # malformed/unsupported variant of a
+        # known magic (16-bit PNG, interlace, truncation) → fallback
     if px is not None:
         return px.shape[1], px.shape[0], _mean_luma(px)
     n = len(payload)
@@ -178,7 +265,10 @@ def resize_media(media: DataFrame, max_px: int = 64) -> DataFrame:
     else keeps the deterministic fallback (scaled fake dims +
     every-k-th-byte thumbnail) so the harness blobs stay exercised."""
     def _resize_one(b: bytes):
-        px = _decode_pixels(b)
+        try:
+            px = _decode_pixels(b)
+        except ValueError:
+            px = None             # unsupported variant → fallback path
         if px is not None:
             h, w = px.shape[:2]
             scale = max(1.0, max(w, h) / max_px)

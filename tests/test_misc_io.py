@@ -244,3 +244,93 @@ def test_docgen_datasource_deterministic_and_partitioned(spark):
     from etl_portfolio_tracker_spark.operators import text as TX
     out = TX.token_stats(df).toPandas()
     assert len(out) == 200 and (out["n_ws_tokens"] >= 8).all()
+
+
+def _png_encode(px, color_type, filters):
+    """Minimal PNG writer for tests: applies the requested per-row
+    filter FORWARD (the decoder must invert it), stdlib zlib only."""
+    import struct as st
+    import zlib
+    import numpy as np
+    h, w = px.shape[:2]
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = flat[y]
+        enc = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = int(row[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if (x >= ch and y > 0) else 0
+            if y == 0 and f in (2,):
+                b = 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (int(row[x]) - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+    def chunk(t, d):
+        return (st.pack(">I", len(d)) + t + d
+                + st.pack(">I", zlib.crc32(t + d)))
+    ihdr = st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_roundtrip_all_filters_and_colors():
+    import numpy as np
+    from etl_portfolio_tracker_spark.operators.multimodal import (
+        _decode_png)
+    rng = np.random.default_rng(7)
+    for color_type, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = rng.integers(0, 256, size=(9, 7, ch), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            blob = _png_encode(px, color_type, filters)
+            got = _decode_png(blob)
+            assert got.shape == (9, 7, 3)
+            if color_type == 2:
+                assert (got == px).all()
+            elif color_type == 6:
+                assert (got == px[:, :, :3]).all()
+            else:  # gray / gray+alpha replicate channel 0
+                assert (got == np.repeat(px[:, :, :1], 3, axis=2)).all()
+
+
+def test_png_decode_in_media_pipeline(spark):
+    import numpy as np
+    from etl_portfolio_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_media, resize_media)
+    px = np.arange(16 * 12 * 3, dtype=np.uint8).reshape(16, 12, 3) % 251
+    blob = _png_encode(px, 2, [0, 4])
+    rows = [(1, bytearray(blob), "image/png", None, None),
+            # unsupported 16-bit depth -> deterministic fallback, no raise
+            (2, bytearray(blob[:8] + blob[8:]).replace(
+                 b"\x08\x02", b"\x10\x02", 1), "image/png", None, None)]
+    out = (decode_media(spark.createDataFrame(rows, MEDIA_SCHEMA))
+           .toPandas().set_index("media_id"))
+    assert out.loc[1, "decoded_width"] == 12
+    assert out.loc[1, "decoded_height"] == 16
+    rgb = px.reshape(-1, 3).astype(np.float64)
+    want = (0.299 * rgb[:, 0] + 0.587 * rgb[:, 1]
+            + 0.114 * rgb[:, 2]).mean()
+    assert abs(out.loc[1, "mean_luma"] - want) < 1e-9
+    assert out.loc[2, "decoded_width"] == len(rows[1][1]) % 640 + 1
+    # resize path: real nearest-neighbor thumb from the PNG
+    r = (resize_media(spark.createDataFrame(rows[:1], MEDIA_SCHEMA),
+                      max_px=8).toPandas().iloc[0])
+    assert (r["out_width"], r["out_height"]) == (6, 8)
+    assert bytes(r["thumb"])[:2] == b"P6"
