@@ -172,17 +172,127 @@ def _decode_png(b: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])            # 2 / 6
 
 
+def _lzw_decode(min_code_size: int, data: bytes,
+                n_pixels: int) -> list[int]:
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width
+    starting at min+1 bits, LSB-first packing, CLEAR/END control
+    codes, dictionary capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < n_pixels:
+        byte_i = bitpos // 8
+        chunk = int.from_bytes(data[byte_i:byte_i + 4], "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("corrupt LZW stream")
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out[:n_pixels]
+
+
+def _decode_gif(b: bytes) -> list[np.ndarray]:
+    """GIF87a/89a → list of (h, w, 3) uint8 RGB frames — REAL decode,
+    no image library: the only compression in GIF is LZW, implemented
+    above. Frames are composed draw-over onto the logical screen
+    (disposal modes and GCE transparency are ignored — documented
+    subset); interlaced images raise → fallback."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", b, 6)
+    packed, bg = b[10], b[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None:
+        canvas[:] = gct[bg % len(gct)]
+    frames: list[np.ndarray] = []
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:                                 # trailer
+            break
+        if block == 0x21:                                 # extension
+            pos += 2                                      # introducer+label
+            while b[pos]:                                 # sub-blocks
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", b, pos + 1)
+        ipacked = b[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("GIF image without a color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos]:
+            ln = b[pos]
+            data += b[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(_lzw_decode(min_code, bytes(data), iw * ih),
+                       dtype=np.int64)
+        if len(idx) < iw * ih:
+            raise ValueError("truncated GIF frame")
+        canvas[top:top + ih, left:left + iw] = \
+            ct[idx % len(ct)].reshape(ih, iw, 3)
+        frames.append(canvas.copy())
+    if not frames:
+        raise ValueError("GIF with no image blocks")
+    return frames
+
+
 def _decode_pixels(payload: bytes) -> np.ndarray | None:
     """(h, w, 3) uint8 RGB for REAL-decodable payloads (binary NetPBM,
-    24-bpp BMP, 8-bit non-interlaced PNG), None for anything the
-    container genuinely cannot decode (JPEG/video — DCT/entropy
-    codecs need external libraries)."""
+    24-bpp BMP, 8-bit non-interlaced PNG, GIF first frame), None for
+    anything the container genuinely cannot decode (JPEG/video —
+    DCT/entropy codecs need external libraries)."""
     if payload[:2] in (b"P5", b"P6"):
         return _decode_netpbm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)[0]
     return None
 
 
@@ -314,22 +424,39 @@ def frame_sample(media: DataFrame, frame_size: int = 256,
     from input, which rules out a scalar pandas UDF; mapInPandas lets
     one Arrow batch in yield any number of rows out while staying
     partition-parallel with bounded memory (frames stream per batch,
-    never one giant per-video list pinned on an executor)."""
+    never one giant per-video list pinned on an executor).
+
+    Animated GIF payloads get REAL frame sampling: every n-th decoded
+    frame (LZW decode + draw-over composition, _decode_gif) re-encoded
+    as binary PPM. Everything else keeps the byte-chunk treatment —
+    genuine video containers need ffmpeg."""
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"media_id": [], "frame_idx": [], "frame": [],
                    "frame_bytes": []}
+
+            def emit(mid, idx, fr):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["frame"].append(fr)
+                out["frame_bytes"].append(len(fr))
+
             for mid, p in zip(pdf["media_id"], pdf["media"]):
                 if p is None:
                     continue
                 b = bytes(p)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        frames = _decode_gif(b)
+                    except ValueError:
+                        frames = None
+                    if frames is not None:
+                        for idx in range(0, len(frames), every_n):
+                            emit(mid, idx, _encode_ppm(frames[idx]))
+                        continue
                 n_frames = max(1, (len(b) + frame_size - 1) // frame_size)
                 for idx in range(0, n_frames, every_n):
-                    fr = b[idx * frame_size:(idx + 1) * frame_size]
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(idx)
-                    out["frame"].append(fr)
-                    out["frame_bytes"].append(len(fr))
+                    emit(mid, idx, b[idx * frame_size:(idx + 1) * frame_size])
             yield pd.DataFrame(out)
     return media.mapInPandas(_batches, schema=FRAMES_SCHEMA)
 

@@ -334,3 +334,84 @@ def test_png_decode_in_media_pipeline(spark):
                       max_px=8).toPandas().iloc[0])
     assert (r["out_width"], r["out_height"]) == (6, 8)
     assert bytes(r["thumb"])[:2] == b"P6"
+
+
+def _gif_encode(frames_idx, palette, w, h):
+    """Minimal GIF89a writer for tests: global color table, one image
+    block per frame, LZW stream in 'uncompressed' form (a CLEAR code
+    before every literal pixel code keeps the table empty and the
+    code width fixed) — a valid stream any conforming decoder accepts."""
+    import struct as st
+    n_colors = len(palette)
+    ct_bits = max(1, (n_colors - 1).bit_length())
+    ct_size = 1 << ct_bits
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HH", w, h)
+    out += bytes([0x80 | (ct_bits - 1), 0, 0])      # GCT flag + bg + aspect
+    for i in range(ct_size):
+        out += bytes(palette[i] if i < n_colors else (0, 0, 0))
+    min_code = max(2, ct_bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_w = min_code + 1
+    for idx in frames_idx:
+        out += b"\x2c" + st.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([min_code])
+        bits, nbits = 0, 0
+        data = bytearray()
+        def push(code):
+            nonlocal bits, nbits
+            bits |= code << nbits
+            nbits += code_w
+            while nbits >= 8:
+                data.append(bits & 0xFF)
+                bits >>= 8
+                nbits -= 8
+        for px in idx:
+            push(clear)
+            push(px)
+        push(end)
+        if nbits:
+            data.append(bits & 0xFF)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_frames_and_first_frame():
+    import numpy as np
+    from etl_portfolio_tracker_spark.operators.multimodal import (
+        _decode_gif, _decode_pixels)
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    w, h = 4, 3
+    f0 = [1] * (w * h)
+    f1 = [(i % 4) for i in range(w * h)]
+    blob = _gif_encode([f0, f1], palette, w, h)
+    frames = _decode_gif(blob)
+    assert len(frames) == 2
+    assert (frames[0] == np.array([255, 0, 0], np.uint8)).all()
+    want1 = np.array([palette[i % 4] for i in range(w * h)],
+                     np.uint8).reshape(h, w, 3)
+    assert (frames[1] == want1).all()
+    assert (_decode_pixels(blob) == frames[0]).all()
+
+
+def test_gif_real_frame_sampling(spark):
+    from etl_portfolio_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA, frame_sample)
+    palette = [(10, 20, 30), (200, 100, 50)]
+    w, h = 3, 2
+    frames_idx = [[0] * 6, [1] * 6, [0, 1] * 3, [1, 0] * 3, [1] * 6]
+    blob = _gif_encode(frames_idx, palette, w, h)
+    rows = [(7, bytearray(blob), "image/gif", None, None)]
+    out = (frame_sample(spark.createDataFrame(rows, MEDIA_SCHEMA),
+                        every_n=2).toPandas())
+    # frames 0, 2, 4 sampled; each a real PPM of the composed canvas
+    assert list(out["frame_idx"]) == [0, 2, 4]
+    first = bytes(out["frame"][0])
+    assert first.startswith(b"P6\n3 2\n255\n")
+    assert first.endswith(bytes(palette[0]) * 6)
+    last = bytes(out["frame"][2])
+    assert last.endswith(bytes(palette[1]) * 6)
