@@ -486,7 +486,12 @@ def _curation(spark, sf_dir):
     (dedup.curation_pipeline; asserted in
     tests/test_curation_pipeline.py), so the oracle gate is
     unaffected."""
-    key = (id(spark), sf_dir)
+    # keyed on applicationId, not id(spark): a stopped session's
+    # object address can be recycled by a new session, which would
+    # serve persisted frames bound to a dead SparkContext. App ids
+    # are timestamped-unique per context. Entries are O(sf_dirs) per
+    # process — bounded; dead-app entries are dropped lazily here.
+    key = (spark.sparkContext.applicationId, sf_dir)
     st = _CURATION_STATE.get(key)
     if st is None:
         docs = _docs(spark, sf_dir)
@@ -696,7 +701,7 @@ def _emb_pairs(spark, sf_dir):
     same rule as _curation): computed and persisted once per
     (session, sf_dir), consumed by embedding_near_dup and
     embedding_near_dup_verified."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     p = _EMB_PAIRS_STATE.get(key)
     if p is None:
         p = SIM.embedding_near_dup_pairs(_emb(spark, sf_dir)).persist()
@@ -990,17 +995,25 @@ def _bpe_sql(n_merges: int, final: str) -> str:
             SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
         )""")
         if i < n_merges - 1 or final == "segment":
+            # LEFT JOIN ON TRUE (not CROSS JOIN): when the corpus
+            # exhausts its merges early, m{i} is EMPTY and a cross
+            # join would wipe the vocab chain; the left join keeps one
+            # row with NULL l/r and the fold's NULL guard reproduces
+            # the unchanged segmentation — matching Spark, which
+            # simply stops merging.
             parts.append(f"""
         , s{i + 1} AS (
             SELECT sym, SUM(freq) AS freq FROM (
                 SELECT list_reduce(a, (acc, x) -> CASE
-                         WHEN (acc = m.l OR ends_with(acc, {sep} || m.l))
+                         WHEN m.l IS NOT NULL
+                              AND (acc = m.l
+                                   OR ends_with(acc, {sep} || m.l))
                               AND x = m.r
                          THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
                          ELSE acc || {sep} || x END) AS sym, freq
                 FROM (SELECT string_split(sym, {sep}) AS a, freq
                       FROM s{i})
-                CROSS JOIN m{i} m
+                LEFT JOIN m{i} m ON TRUE
             ) GROUP BY 1
         )""")
     if final == "train":
@@ -1026,11 +1039,13 @@ def _bpe_sql(n_merges: int, final: str) -> str:
         , ws{i + 1} AS (
             SELECT word, list_reduce(string_split(sym, {sep}),
                      (acc, x) -> CASE
-                       WHEN (acc = m.l OR ends_with(acc, {sep} || m.l))
+                       WHEN m.l IS NOT NULL
+                            AND (acc = m.l
+                                 OR ends_with(acc, {sep} || m.l))
                             AND x = m.r
                        THEN left(acc, len(acc) - len(m.l)) || m.l || m.r
                        ELSE acc || {sep} || x END) AS sym
-            FROM ws{i} CROSS JOIN m{i} m
+            FROM ws{i} LEFT JOIN m{i} m ON TRUE
         )""")
         parts.append(f"""
         , segmap AS (
@@ -1142,17 +1157,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          the r2-late curation/graph/stats ops (leakage_safe_split ..
          order_backlog), then the finance, PQ/ANN, packing, corpus-
          composite, text, and events tiers;
-      2. the remaining 49 never-checked queries (round-4 front: the
-         six r3-new ops — delta_dedup, common_substring_pairs,
+      2. the remaining 51 never-checked queries (round-4 front: the
+         eight r3-new ops — delta_dedup, common_substring_pairs,
          quality_quantile_cut, streaming_delta_dedup_replay,
-         bpe_train, bpe_segment — then warehouse second tranche,
-         stats, rows-only audio_meta / approx_stats);
+         bpe_train / bpe_segment / bpe_token_counts, simhash_pairs —
+         then warehouse second tranche and stats; audio_meta, which
+         is rows-only by design and cannot earn a hash row, is
+         deliberately declared 51st);
       3. the 76 queries already green in r1 or r2 driver rows
          (re-verified locally each round).
 
     ROUND-4 TODO (first edit of the round): move section 2 to the
-    front and the 50 r3-checked names behind it — the 49 remaining
-    never-checked queries fit in ONE more 50-row window exactly.
+    front and the 50 r3-checked names behind it — 50 of the 51
+    remaining never-checked queries fill round 4's window; audio_meta
+    (rows-only) is the deliberate 51st.
     """
     return {
         # -- 1. round-3 external window: never checked, highest priority ------------------------------------------
@@ -1220,9 +1238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_order_value": _q_median_order_value,
         "value_outliers": _q_value_outliers,
         "range_window_avg": _q_range_window_avg,
-        # rows-only by design (float reductions over raw bytes);
-        # WAV decode pytest-verified on constructed RIFF payloads.
-        "audio_meta": _q_audio_meta,
         "returned_order_priority": _q_returned_order_priority,
         "market_share": _q_market_share,
         "key_parts": _q_key_parts,
@@ -1263,6 +1278,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "idle_rich_customers": _q_idle_rich_customers,
         "region_revenue_sql": _q_region_revenue_sql,
+        # rows-only by design (float reductions over raw bytes); WAV
+        # decode pytest-verified on constructed RIFF payloads.
+        # DELIBERATELY 51st of the 51 never-checked: the one query
+        # that can't earn a hash row anyway sits just past round 4's
+        # 50-row window.
+        "audio_meta": _q_audio_meta,
         # -- 3. externally green in r1/r2 (locally re-verified each round) ------------------------------------------
         "positions": _q_positions,
         "incremental_positions": _q_incremental_positions,

@@ -164,24 +164,35 @@ def bpe_token_counts(docs: DataFrame,
     by source; avg is the integer-ratio division rounded 6dp."""
     from .text import tokens_col
     from ..functions.partitioning import spread
-    table = bpe_train(docs, n_merges).collect()
-    toks = (spread(docs, "doc_id")
-            .select("source", F.explode(tokens_col()).alias("word"))
-            .filter(F.col("word") != ""))
-    seg = (toks.select("word").distinct()
-           .select("word",
-                   F.concat_ws(SEP, F.regexp_extract_all(
-                       "word", F.lit("."), 0)).alias("sym")))
+    # ONE corpus explode: the per-(source, word) counts feed BOTH the
+    # training vocabulary and the final per-source rollup — the
+    # corpus-sized scan happens exactly once (everything after is
+    # vocab-sized).
+    word_counts = iter_checkpoint(
+        spread(docs, "doc_id")
+        .select("source", F.explode(tokens_col()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word").agg(F.count(F.lit(1)).alias("_n")),
+        eager=False)
+    words = iter_checkpoint(
+        word_counts.groupBy("word").agg(F.sum("_n").alias("freq")),
+        eager=False)
+    sym0 = F.concat_ws(SEP, F.regexp_extract_all("word", F.lit("."), 0))
+    table = bpe_train(
+        docs, n_merges,
+        vocab=words.select(sym0.alias("sym"), "freq")).collect()
+    seg = words.select("word", sym0.alias("sym"))
     for row in table:
         seg = seg.select(
             "word", _merged_sym(row["left_sym"],
                                 row["right_sym"]).alias("sym"))
     seg = seg.select(
         "word", F.size(F.split("sym", SEP)).cast("long").alias("n_sub"))
-    return (toks.join(seg, "word")
+    return (word_counts.join(seg, "word")
             .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_words"),
-                 F.sum("n_sub").cast("long").alias("n_subword_tokens"))
+            .agg(F.sum("_n").cast("long").alias("n_words"),
+                 F.sum(F.col("_n") * F.col("n_sub")).cast("long")
+                  .alias("n_subword_tokens"))
             .select("source", "n_words", "n_subword_tokens",
                     F.round(F.col("n_subword_tokens").cast("double")
                             / F.col("n_words"), 6).alias("avg_subwords"))

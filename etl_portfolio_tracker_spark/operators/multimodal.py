@@ -21,11 +21,20 @@ memory bounded by `maxRecordsPerBatch`, no per-row serialization.
 from __future__ import annotations
 
 import struct
+import zlib
 
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+
+# every exception a malformed payload can raise out of the real
+# decoders (truncated headers -> struct.error/IndexError, corrupt
+# DEFLATE -> zlib.error, corrupt LZW -> KeyError, unsupported variant
+# -> ValueError): the decode contract is fall-back, never task-crash,
+# so all call sites catch this tuple.
+DECODE_ERRORS = (ValueError, struct.error, zlib.error,
+                 IndexError, KeyError)
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F, types as T
@@ -108,7 +117,6 @@ def _decode_png(b: bytes) -> np.ndarray:
     6 (RGBA) at bit depth 8; alpha is dropped for the luma kernel.
     Interlaced (Adam7) and 16-bit images raise → documented fallback.
     """
-    import zlib
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat, meta = 8, [], None
@@ -316,9 +324,10 @@ def _decode_image_bytes(payload: bytes) -> tuple[int, int, float]:
     either way."""
     try:
         px = _decode_pixels(payload)
-    except ValueError:
+    except DECODE_ERRORS:
         px = None                 # malformed/unsupported variant of a
-        # known magic (16-bit PNG, interlace, truncation) → fallback
+        # known magic (truncation, 16-bit PNG, interlace, corrupt
+        # DEFLATE/LZW) → fallback
     if px is not None:
         return px.shape[1], px.shape[0], _mean_luma(px)
     n = len(payload)
@@ -377,7 +386,7 @@ def resize_media(media: DataFrame, max_px: int = 64) -> DataFrame:
     def _resize_one(b: bytes):
         try:
             px = _decode_pixels(b)
-        except ValueError:
+        except DECODE_ERRORS:
             px = None             # unsupported variant → fallback path
         if px is not None:
             h, w = px.shape[:2]
@@ -448,7 +457,7 @@ def frame_sample(media: DataFrame, frame_size: int = 256,
                 if b[:6] in (b"GIF87a", b"GIF89a"):
                     try:
                         frames = _decode_gif(b)
-                    except ValueError:
+                    except DECODE_ERRORS:
                         frames = None
                     if frames is not None:
                         for idx in range(0, len(frames), every_n):

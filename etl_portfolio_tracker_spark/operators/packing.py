@@ -196,31 +196,20 @@ def token_budget_mix_scalable(docs: DataFrame,
     Integer token counts make both variants exactly equal (asserted
     in tests); the plan trades the simple version's single
     skew-vulnerable window for one range exchange + one
-    bounded-group window + one broadcast join.
+    bounded-group window + one broadcast join. Steps 1-4 are
+    `ranged_cumsum` with `group_cols=["source"]` — the shared
+    factorization (also pps_sample global form,
+    text.quality_quantile_cut rank form).
     """
     from .text import _norm
     toks = F.split(_norm(F.col("text")), " ")
-    n = n_parts or docs.sparkSession.sparkContext.defaultParallelism
     base = docs.select(
         "doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"))
-    ranged = (base.repartitionByRange(
-                  n, F.asc("source"), F.desc("n_tokens"), F.asc("doc_id"))
-              .withColumn("_pid", F.spark_partition_id()))
-    w_local = (W.partitionBy("_pid", "source")
-               .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
-               .rowsBetween(W.unboundedPreceding, W.currentRow))
-    local = ranged.withColumn("_lcum", F.sum("n_tokens").over(w_local))
-    totals = (local.groupBy("_pid", "source")
-              .agg(F.sum("n_tokens").alias("_ptot")))
-    w_off = (W.partitionBy("source").orderBy("_pid")
-             .rowsBetween(W.unboundedPreceding, W.currentRow))
-    offsets = totals.select(
-        "_pid", "source",
-        (F.sum("_ptot").over(w_off) - F.col("_ptot")).alias("_off"))
-    sel = (local.join(F.broadcast(offsets), ["_pid", "source"])
+    sel = (ranged_cumsum(base, "n_tokens",
+                         [F.desc("n_tokens"), F.asc("doc_id")],
+                         group_cols=["source"], n_parts=n_parts)
            .select("source", "n_tokens",
-                   ((F.col("_lcum") + F.col("_off")) <= budget)
-                   .alias("kept")))
+                   (F.col("_cum") <= budget).alias("kept")))
     return (sel.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.when(F.col("kept"), 1).otherwise(0))
@@ -231,38 +220,50 @@ def token_budget_mix_scalable(docs: DataFrame,
 
 
 def ranged_cumsum(df: DataFrame, value_col: str, order_cols: list,
+                  group_cols: list[str] | None = None,
                   n_parts: int | None = None) -> DataFrame:
     """Two-pass distributed prefix sum — the scalable replacement for
-    a global `W.orderBy(...)` window (which funnels every row through
-    ONE task regardless of cluster size; Spark warns
-    `WindowExec: No Partition Defined`).
+    a global (or giant-group) `W.orderBy(...)` window, which funnels
+    every row of the order domain through ONE task regardless of
+    cluster size (Spark warns `WindowExec: No Partition Defined`).
 
-      1. range-partition on the order key: each partition holds a
-         contiguous slice of the global order, bounded by partition
-         size;
-      2. partition-local inclusive cumsum (bounded-group window);
-      3. per-partition totals (n_parts rows) get an exclusive prefix
-         over partition id — an O(parts) window on a broadcast-sized
-         frame;
+      1. range-partition on (group keys, order key): each partition
+         holds a contiguous slice of every group's order, bounded by
+         partition size, not group size;
+      2. partition-local inclusive cumsum keyed by (partition, group)
+         — bounded-group window;
+      3. per-(partition, group) totals get an exclusive prefix over
+         partition id — an O(parts × groups) window on a
+         broadcast-sized frame;
       4. global cumsum = local cumsum + partition offset.
 
     Integer/decimal value columns make the result bit-identical to
-    the single-window form. Same factorization as
-    token_budget_mix_scalable (which adds a per-source grouping key).
+    the single-window form. With `group_cols` this is the per-key
+    form (token_budget_mix_scalable, quality_quantile_cut); without,
+    the global form (pps_sample). The windowed frame is
+    iter_checkpoint'ed: both the totals aggregate and the final join
+    consume it, and without the boundary the range exchange + window
+    would execute twice per action.
     Returns `df` plus `_cum` (inclusive cumulative sum of
-    `value_col` in `order_cols` order)."""
+    `value_col` per group in `order_cols` order)."""
+    from ..functions.checkpoints import iter_checkpoint
+    g = list(group_cols or [])
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (df.repartitionByRange(n, *order_cols)
+    ranged = (df.repartitionByRange(
+                  n, *[F.asc(c) for c in g], *order_cols)
               .withColumn("_pid", F.spark_partition_id()))
-    w_local = (W.partitionBy("_pid").orderBy(*order_cols)
+    w_local = (W.partitionBy("_pid", *g).orderBy(*order_cols)
                .rowsBetween(W.unboundedPreceding, W.currentRow))
-    local = ranged.withColumn("_lcum", F.sum(value_col).over(w_local))
-    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
-    w_off = (W.orderBy("_pid")
+    local = iter_checkpoint(
+        ranged.withColumn("_lcum", F.sum(value_col).over(w_local)),
+        eager=False)
+    totals = local.groupBy("_pid", *g).agg(F.sum(value_col).alias("_ptot"))
+    w_off = (W.partitionBy(*g).orderBy("_pid")
              .rowsBetween(W.unboundedPreceding, W.currentRow))
     offsets = totals.select(
-        "_pid", (F.sum("_ptot").over(w_off) - F.col("_ptot")).alias("_off"))
-    return (local.join(F.broadcast(offsets), "_pid")
+        "_pid", *g,
+        (F.sum("_ptot").over(w_off) - F.col("_ptot")).alias("_off"))
+    return (local.join(F.broadcast(offsets), ["_pid", *g])
             .withColumn("_cum", F.col("_lcum") + F.col("_off"))
             .drop("_pid", "_lcum", "_off"))
 

@@ -616,40 +616,24 @@ def quality_quantile_cut(docs: DataFrame,
 
     Scale shape: ranking within a source is the same skew trap as any
     per-key global order (one giant source → one serializing window
-    task), so the rank is computed with the two-pass
-    range-partitioned form (token_budget_mix_scalable's
-    factorization): range-partition on the full order key
-    (source, quality DESC, doc_id), partition-local running count,
-    then per-(partition, source) offsets — an O(parts·sources)
-    broadcast — added back. Per-source totals are a separate tiny
-    aggregate, also broadcast. No stage depends on the largest
-    source's size.
+    task), so the rank is a per-source distributed prefix COUNT via
+    `packing.ranged_cumsum(group_cols=["source"])` — range exchange,
+    bounded-group window, O(parts·sources) broadcast offsets; no
+    stage depends on the largest source's size. Per-source totals are
+    a separate tiny broadcast aggregate.
 
     Returns (doc_id, source, quality, rnk, kept) ordered by doc_id.
     """
-    from pyspark.sql import Window as W
+    from .packing import ranged_cumsum
     q = quality_score(docs).select("doc_id", "quality")
-    base = docs.select("doc_id", "source").join(q, "doc_id")
-    n = n_parts or docs.sparkSession.sparkContext.defaultParallelism
-    ranged = (base.repartitionByRange(
-                  n, F.asc("source"), F.desc("quality"), F.asc("doc_id"))
-              .withColumn("_pid", F.spark_partition_id()))
-    w_local = (W.partitionBy("_pid", "source")
-               .orderBy(F.desc("quality"), F.asc("doc_id"))
-               .rowsBetween(W.unboundedPreceding, W.currentRow))
-    local = ranged.withColumn("_lrnk", F.count(F.lit(1)).over(w_local))
-    totals = (local.groupBy("_pid", "source")
-              .agg(F.count(F.lit(1)).alias("_ptot")))
-    w_off = (W.partitionBy("source").orderBy("_pid")
-             .rowsBetween(W.unboundedPreceding, W.currentRow))
-    offsets = totals.select(
-        "_pid", "source",
-        (F.sum("_ptot").over(w_off) - F.col("_ptot")).alias("_off"))
+    base = (docs.select("doc_id", "source").join(q, "doc_id")
+            .withColumn("_one", F.lit(1).cast("long")))
+    cum = ranged_cumsum(base, "_one",
+                        [F.desc("quality"), F.asc("doc_id")],
+                        group_cols=["source"], n_parts=n_parts)
     cnts = base.groupBy("source").agg(F.count(F.lit(1)).alias("_cnt"))
-    rnk = (F.col("_lrnk") + F.col("_off")).cast("long")
-    return (local
-            .join(F.broadcast(offsets), ["_pid", "source"])
-            .join(F.broadcast(cnts), "source")
+    rnk = F.col("_cum").cast("long")
+    return (cum.join(F.broadcast(cnts), "source")
             .select("doc_id", "source", "quality", rnk.alias("rnk"),
                     (rnk <= F.expr(f"(_cnt * {keep_pct} + 99) div 100"))
                     .alias("kept"))

@@ -415,3 +415,37 @@ def test_gif_real_frame_sampling(spark):
     assert first.endswith(bytes(palette[0]) * 6)
     last = bytes(out["frame"][2])
     assert last.endswith(bytes(palette[1]) * 6)
+
+
+def test_malformed_known_magic_payloads_fall_back(spark):
+    # regression (r3 review): truncated/corrupt payloads with a known
+    # magic raised struct.error / zlib.error / IndexError / KeyError
+    # through the task instead of taking the documented fallback
+    import zlib as _zlib
+    from etl_portfolio_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_media, frame_sample, resize_media)
+    bad = [
+        (1, b"GIF87a"),                      # truncated header
+        (2, b"GIF89a" + b"\x00" * 4),        # 10-byte header
+        (3, b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x02IHDR\x01\x02"),
+        (4, b"\x89PNG\r\n\x1a\n"             # corrupt IDAT
+            + b"\x00\x00\x00\x0dIHDR"
+            + b"\x00\x00\x00\x02\x00\x00\x00\x02\x08\x02\x00\x00\x00"
+            + b"\x00" * 4
+            + b"\x00\x00\x00\x04IDAT" + b"\xde\xad\xbe\xef" + b"\x00" * 4),
+        (5, b"BM" + b"\x00" * 8),            # truncated BMP
+        (6, b"P6\n2 2\n255\n"),              # truncated NetPBM
+    ]
+    # also a corrupt-LZW GIF: valid header + image block, garbage codes
+    gif = bytearray(b"GIF87a")
+    import struct as st
+    gif += st.pack("<HH", 2, 2) + bytes([0x80, 0, 0]) + b"\x01\x02\x03" * 2
+    gif += b"\x2c" + st.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+    gif += bytes([2]) + bytes([2, 0xFF, 0xFF]) + b"\x00\x3b"
+    bad.append((7, bytes(gif)))
+    rows = [(i, bytearray(b), "x", None, None) for i, b in bad]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    assert decode_media(df).count() == len(bad)        # no task crash
+    assert resize_media(df).count() == len(bad)
+    frame_sample(df).count()                           # completes
+    del _zlib
