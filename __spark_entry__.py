@@ -962,6 +962,10 @@ def _q_simhash_pairs(spark, sf_dir):
     return DD.simhash_pairs(_docs(spark, sf_dir))
 
 
+def _q_incremental_topk(spark, sf_dir):
+    return SIM.incremental_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
 def _bpe_sql(n_merges: int, final: str) -> str:
     """Unrolled chained-CTE DuckDB twin of bpe_train/bpe_segment (the
     kmeans_train rule: iteration count pinned, so both engines execute
@@ -1157,20 +1161,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          the r2-late curation/graph/stats ops (leakage_safe_split ..
          order_backlog), then the finance, PQ/ANN, packing, corpus-
          composite, text, and events tiers;
-      2. the remaining 51 never-checked queries (round-4 front: the
-         eight r3-new ops — delta_dedup, common_substring_pairs,
+      2. the remaining 52 never-checked queries (round-4 front: the
+         nine r3-new ops — delta_dedup, common_substring_pairs,
          quality_quantile_cut, streaming_delta_dedup_replay,
-         bpe_train / bpe_segment / bpe_token_counts, simhash_pairs —
-         then warehouse second tranche and stats; audio_meta, which
-         is rows-only by design and cannot earn a hash row, is
-         deliberately declared 51st);
+         bpe_train / bpe_segment / bpe_token_counts, simhash_pairs,
+         incremental_topk — then warehouse second tranche and stats;
+         audio_meta and approx_stats, rows-only by design, are
+         deliberately declared last);
       3. the 76 queries already green in r1 or r2 driver rows
          (re-verified locally each round).
 
     ROUND-4 TODO (first edit of the round): move section 2 to the
-    front and the 50 r3-checked names behind it — 50 of the 51
-    remaining never-checked queries fill round 4's window; audio_meta
-    (rows-only) is the deliberate 51st.
+    front and the 50 r3-checked names behind it — 50 of the 52
+    remaining never-checked queries fill round 4's window; the two
+    rows-only-by-design queries (audio_meta, approx_stats — no hash
+    row possible) are the deliberate overflow.
     """
     return {
         # -- 1. round-3 external window: never checked, highest priority ------------------------------------------
@@ -1234,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": _q_bpe_segment,
         "bpe_token_counts": _q_bpe_token_counts,
         "simhash_pairs": _q_simhash_pairs,
+        "incremental_topk": _q_incremental_topk,
         "multi_rollup": _q_multi_rollup,
         "median_order_value": _q_median_order_value,
         "value_outliers": _q_value_outliers,
@@ -1256,9 +1262,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_volume_part_suppliers": _q_high_volume_part_suppliers,
         "normalize_embeddings": _q_normalize_embeddings,
         "stats_summary": _q_stats_summary,
-        # approx_stats: sketch values are engine-specific -> no oracle
-        # (driver records rows-only); error bounds tested in pytest.
-        "approx_stats": _q_approx_stats,
         "user_ticker_list": _q_user_ticker_list,
         "brand_revenue": _q_brand_revenue,
         "top_customers": _q_top_customers,
@@ -1278,11 +1281,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "idle_rich_customers": _q_idle_rich_customers,
         "region_revenue_sql": _q_region_revenue_sql,
-        # rows-only by design (float reductions over raw bytes); WAV
-        # decode pytest-verified on constructed RIFF payloads.
-        # DELIBERATELY 51st of the 51 never-checked: the one query
-        # that can't earn a hash row anyway sits just past round 4's
-        # 50-row window.
+        # The two rows-only-by-design queries (no hash row possible)
+        # are DELIBERATELY the last of the never-checked section, so
+        # round 4's 50-row window covers every hash-checkable query:
+        # approx_stats — sketch values are engine-specific (error
+        # bounds pytest-verified); audio_meta — float reductions over
+        # raw bytes (WAV decode pytest-verified on RIFF payloads).
+        "approx_stats": _q_approx_stats,
         "audio_meta": _q_audio_meta,
         # -- 3. externally green in r1/r2 (locally re-verified each round) ------------------------------------------
         "positions": _q_positions,
@@ -2673,6 +2678,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 2
             ORDER BY doc_a, doc_b
+        """,
+        # mirrors similarity.incremental_topk — the oracle is the
+        # DIRECT top-k over the full table, so the gate literally
+        # proves merge-of-corpus/delta-top-k == full top-k.
+        "incremental_topk": _PE_SQL + """
+            , q AS (SELECT pos AS qpos, val AS qval FROM pe WHERE vec_id = 0),
+            dots AS (
+                SELECT vec_id,
+                       CAST(SUM(CAST(val * qval AS DECIMAL(38,10))) AS DOUBLE) AS dot
+                FROM pe JOIN q ON pe.pos = q.qpos
+                GROUP BY vec_id
+            ),
+            norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10))) AS DOUBLE)) AS norm
+                FROM pe GROUP BY vec_id
+            )
+            SELECT d.vec_id,
+                   ROUND(d.dot / (n.norm * qn.qnorm), 6) AS cos_sim
+            FROM dots d
+            JOIN norms n USING (vec_id)
+            CROSS JOIN (SELECT norm AS qnorm FROM norms WHERE vec_id = 0) qn
+            WHERE d.vec_id <> 0
+            ORDER BY cos_sim DESC, d.vec_id ASC
+            LIMIT 10
         """,
         "cosine_topk": _PE_SQL + """
             , q AS (SELECT pos AS qpos, val AS qval FROM pe WHERE vec_id = 0),

@@ -813,3 +813,45 @@ def rp_project(emb: DataFrame, out_dims: int = RP_OUT_DIMS) -> DataFrame:
                f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
         comps.append(F.round(F.expr(acc), 6).alias(f"p{j}"))
     return _spread(emb).select("vec_id", *comps).orderBy("vec_id")
+
+
+def incremental_topk(emb: DataFrame, query_vec_id: int = 0,
+                     k: int = 10, mod: int = 10,
+                     rem: int = 9) -> DataFrame:
+    """Incrementally-maintained exact cosine top-k — the
+    interactive-session pattern (cf. EDBT'20 incremental top-k
+    similarity search): a standing top-k result over the corpus is
+    kept as STATE, and when a delta batch of vectors arrives only the
+    delta is scanned; the new global answer is the re-ranked merge of
+    the stored top-k with the delta's top-k. Correct because top-k is
+    a monoid over disjoint unions: the global top-k is contained in
+    (top-k of corpus) ∪ (top-k of delta), so the merge loses nothing
+    — the same partial-aggregate algebra Spark's own
+    TakeOrderedAndProject exploits per partition, lifted to the
+    batch-over-time dimension.
+
+    Demo split: corpus = vec_id % mod != rem, delta = the rest;
+    in production the corpus top-k is a k-row stored table and each
+    arriving batch costs O(|delta| + k·log k) instead of a corpus
+    rescan. The DuckDB oracle computes the DIRECT top-k over the full
+    table — the gate literally proves merge-of-top-k == full top-k.
+
+    Returns (vec_id, cos_sim) — the global top-k."""
+    corpus = emb.filter(F.col("vec_id") % mod != rem)
+    delta = emb.filter(F.col("vec_id") % mod == rem)
+    # the query row comes from the full table so both legs score
+    # against the identical vector
+    q = F.broadcast(_query_row(emb, query_vec_id))
+    def leg(side: DataFrame) -> DataFrame:
+        base = _spread(side).crossJoin(q)
+        dot = F.expr(_dot_sql("embedding", "_q"))
+        norm = F.expr(_norm_sql("embedding"))
+        return (base.filter(F.col("vec_id") != query_vec_id)
+                .select("vec_id",
+                        F.round(dot / (norm * F.col("_qnorm")), 6)
+                         .alias("cos_sim"))
+                .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+                .limit(k))
+    return (leg(corpus).unionByName(leg(delta))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(k))

@@ -91,3 +91,17 @@ def test_rp_project_deterministic_and_sign_structured(spark):
         assert out[1][f"p{j}"] == round(2 * out[0][f"p{j}"], 6)
         # components are signed sums of the inputs: bounded by L1 norm
         assert abs(out[0][f"p{j}"]) <= 7.0
+
+
+def test_incremental_topk_merge_equals_full_scan(spark, sf_dir):
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+    emb = read_table(spark, sf_dir, "embeddings")
+    full = [(r["vec_id"], r["cos_sim"])
+            for r in SIM.cosine_topk(emb, 0, k=10).collect()]
+    inc = [(r["vec_id"], r["cos_sim"])
+           for r in SIM.incremental_topk(emb, 0, k=10).collect()]
+    assert inc == full and len(inc) == 10
+    # the delta leg alone contributes at most k rows to the merge
+    delta_only = SIM.incremental_topk(emb, 0, k=3)
+    assert delta_only.count() == 3
