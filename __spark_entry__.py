@@ -966,6 +966,16 @@ def _q_incremental_topk(spark, sf_dir):
     return SIM.incremental_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def _q_near_dup_edit_stats(spark, sf_dir):
+    return DD.near_dup_edit_stats(
+        _docs(spark, sf_dir),
+        cands=_curation(spark, sf_dir)["cands"])
+
+
+def _q_length_bucket_batches(spark, sf_dir):
+    return PK.length_bucket_batches(_docs(spark, sf_dir))
+
+
 def _bpe_sql(n_merges: int, final: str) -> str:
     """Unrolled chained-CTE DuckDB twin of bpe_train/bpe_segment (the
     kmeans_train rule: iteration count pinned, so both engines execute
@@ -1161,21 +1171,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          the r2-late curation/graph/stats ops (leakage_safe_split ..
          order_backlog), then the finance, PQ/ANN, packing, corpus-
          composite, text, and events tiers;
-      2. the remaining 52 never-checked queries (round-4 front: the
-         nine r3-new ops — delta_dedup, common_substring_pairs,
+      2. the remaining 54 never-checked queries (round-4 front: the
+         eleven r3-new ops — delta_dedup, common_substring_pairs,
          quality_quantile_cut, streaming_delta_dedup_replay,
          bpe_train / bpe_segment / bpe_token_counts, simhash_pairs,
-         incremental_topk — then warehouse second tranche and stats;
+         incremental_topk, near_dup_edit_stats,
+         length_bucket_batches — then warehouse second tranche and
+         stats;
          audio_meta and approx_stats, rows-only by design, are
          deliberately declared last);
       3. the 76 queries already green in r1 or r2 driver rows
          (re-verified locally each round).
 
     ROUND-4 TODO (first edit of the round): move section 2 to the
-    front and the 50 r3-checked names behind it — 50 of the 52
-    remaining never-checked queries fill round 4's window; the two
-    rows-only-by-design queries (audio_meta, approx_stats — no hash
-    row possible) are the deliberate overflow.
+    front and the 50 r3-checked names behind it — 50 of the 54
+    remaining never-checked queries fill round 4's window; the
+    overflow is the two rows-only-by-design queries (audio_meta,
+    approx_stats — no hash row possible) plus the tail of section 2,
+    which leads round 5.
     """
     return {
         # -- 1. round-3 external window: never checked, highest priority ------------------------------------------
@@ -1240,6 +1253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "simhash_pairs": _q_simhash_pairs,
         "incremental_topk": _q_incremental_topk,
+        "near_dup_edit_stats": _q_near_dup_edit_stats,
+        "length_bucket_batches": _q_length_bucket_batches,
         "multi_rollup": _q_multi_rollup,
         "median_order_value": _q_median_order_value,
         "value_outliers": _q_value_outliers,
@@ -2678,6 +2693,77 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 2
             ORDER BY doc_a, doc_b
+        """,
+        # mirrors dedup.near_dup_edit_stats: the minhash_verified pair
+        # chain (same CTEs) joined back to texts with an exact
+        # Levenshtein — integer DP, identical in both engines.
+        "near_dup_edit_stats": _SHINGLES_SQL.replace("SELECT DISTINCT",
+                                                     "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS) + f"""
+            , kept AS (
+                SELECT band, band_key, doc_id FROM bands
+                QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
+                        <= {DD.MINHASH_BUCKET_CAP}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM kept a JOIN kept b USING (band, band_key)
+                WHERE a.doc_id < b.doc_id
+            ),
+            dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+            common AS (
+                SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+                FROM cand c
+                JOIN dsh a ON a.doc_id = c.doc_a
+                JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                GROUP BY 1, 2
+            ),
+            mv AS (
+                SELECT doc_a, doc_b,
+                       CAST(n_common AS DOUBLE)
+                           / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(n_common AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - n_common)
+                      >= {DD.JACCARD_THRESHOLD}
+            )
+            SELECT mv.doc_a, mv.doc_b, mv.jaccard,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT)
+                       AS lev_dist,
+                   ROUND(CAST(LEAST(LENGTH(a.text), LENGTH(b.text))
+                              AS DOUBLE)
+                         / GREATEST(LENGTH(a.text), LENGTH(b.text)), 6)
+                       AS len_ratio
+            FROM mv
+            JOIN documents a ON a.doc_id = mv.doc_a
+            JOIN documents b ON b.doc_id = mv.doc_b
+            ORDER BY mv.doc_a, mv.doc_b
+        """,
+        # mirrors packing.length_bucket_batches: global rank by token
+        # count, fixed-size batch cut, per-batch padding waste.
+        "length_bucket_batches": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(LEN(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), r AS (
+                SELECT n_tokens,
+                       ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id)
+                           AS rnk
+                FROM t
+            )
+            SELECT (rnk - 1) // {PK.BATCH_SIZE} AS batch_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MAX(n_tokens) AS max_tokens,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+                       AS padding_waste
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         # mirrors similarity.incremental_topk — the oracle is the
         # DIRECT top-k over the full table, so the gate literally

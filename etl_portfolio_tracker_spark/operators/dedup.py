@@ -1184,3 +1184,38 @@ def simhash_pairs(docs: DataFrame,
             .distinct()
             .filter(F.col("hamming") <= max_hamming)
             .orderBy("doc_a", "doc_b"))
+
+
+def near_dup_edit_stats(docs: DataFrame,
+                        threshold: float = JACCARD_THRESHOLD,
+                        cands: DataFrame | None = None) -> DataFrame:
+    """Second-opinion verification of near-dup pairs by EDIT distance:
+    for every minhash_verified pair, the exact Levenshtein distance
+    between the two texts and the length ratio — the signal that
+    separates true revisions (small absolute edits) from
+    shingle-coincidental pairs, and the final human-review column a
+    curation dashboard shows next to Jaccard.
+
+    Scale: Levenshtein is O(len²) per pair — affordable ONLY because
+    the input is the candidate-bounded verified pair set, never the
+    corpus (the same bounded-verifier rule as the exact-Jaccard
+    step). Two doc_id hash joins fetch the texts; the DP runs
+    row-local inside codegen (Spark's levenshtein == DuckDB's —
+    integer-exact in both engines).
+
+    Returns (doc_a, doc_b, jaccard, lev_dist, len_ratio) ordered."""
+    pairs = minhash_verified(docs, threshold, cands=cands)
+    ta = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("text").alias("_tb"))
+    return (pairs.join(ta, "doc_a").join(tb, "doc_b")
+            .select("doc_a", "doc_b", "jaccard",
+                    F.levenshtein("_ta", "_tb").cast("long")
+                     .alias("lev_dist"),
+                    F.round(F.least(F.length("_ta"), F.length("_tb"))
+                            .cast("double")
+                            / F.greatest(F.length("_ta"),
+                                         F.length("_tb")), 6)
+                     .alias("len_ratio"))
+            .orderBy("doc_a", "doc_b"))

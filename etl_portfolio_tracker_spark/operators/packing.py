@@ -311,3 +311,46 @@ def pps_sample(docs: DataFrame, k: int = PPS_SAMPLE_K) -> DataFrame:
                     F.col("cum_start").cast("long").alias("cum_start"),
                     "n_picks")
             .orderBy("doc_id"))
+
+
+BATCH_SIZE = 32
+
+
+def length_bucket_batches(docs: DataFrame,
+                          batch_size: int = BATCH_SIZE,
+                          n_parts: int | None = None) -> DataFrame:
+    """Length-bucketed inference batching report: order documents by
+    token count (desc, doc_id tie-break), cut into fixed-size
+    batches, and report each batch's padding waste — the serving-side
+    counterpart of pack_sequences (training packs to eliminate
+    padding; inference batches same-length inputs so the per-batch
+    pad-to-max cost collapses; sorted batching is the standard
+    bucketing trick).
+
+    The global rank comes from ranged_cumsum (two-pass distributed
+    prefix count) — no partitionless window at any corpus size;
+    batch stats are one batch-keyed aggregate with map-side partials.
+
+    padding_waste = batch_size·max(n_tokens) − Σ n_tokens over the
+    batch's actual members (the last partial batch pads to its own
+    max). Returns (batch_id, n_docs, max_tokens, sum_tokens,
+    padding_waste) ordered by batch_id."""
+    from .text import _norm
+    toks = F.split(_norm(F.col("text")), " ")
+    base = (docs.select("doc_id",
+                        F.size(toks).cast("bigint").alias("n_tokens"))
+            .withColumn("_one", F.lit(1).cast("long")))
+    ranked = ranged_cumsum(base, "_one",
+                           [F.desc("n_tokens"), F.asc("doc_id")],
+                           n_parts=n_parts)
+    batch = F.expr(f"(_cum - 1) div {batch_size}")
+    return (ranked.select(batch.alias("batch_id"), "n_tokens")
+            .groupBy("batch_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.max("n_tokens").alias("max_tokens"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"))
+            .select("batch_id", "n_docs", "max_tokens", "sum_tokens",
+                    (F.col("n_docs") * F.col("max_tokens")
+                     - F.col("sum_tokens")).cast("long")
+                     .alias("padding_waste"))
+            .orderBy("batch_id"))

@@ -696,3 +696,33 @@ def test_simhash_pairs_bucket_cap(spark):
     d = docs_df(spark, ["same boilerplate text on every mirror"] * 6)
     assert DD.simhash_pairs(d, bucket_cap=5).count() == 0
     assert DD.simhash_pairs(d).count() == 15
+
+
+def test_near_dup_edit_stats_identical_and_revision(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    rev = t.replace("lazy", "hazy")
+    d = docs_df(spark, [t, t, rev,
+                        "zzzz xxxx yyyy wwww vvvv uuuu tttt ssss"])
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in DD.near_dup_edit_stats(d).collect()}
+    assert rows[(0, 1)]["lev_dist"] == 0
+    assert rows[(0, 1)]["len_ratio"] == 1.0
+    # the one-char revision survives verify and shows 1 edit
+    assert rows[(0, 2)]["lev_dist"] == 1
+    assert all(k[0] < k[1] and 3 not in k for k in rows)
+
+
+def test_length_bucket_batches_invariants(spark, sf_dir):
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators.packing import (
+        BATCH_SIZE, length_bucket_batches)
+    docs = read_table(spark, sf_dir, "documents")
+    rows = length_bucket_batches(docs).collect()
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert [r["batch_id"] for r in rows] == list(range(len(rows)))
+    # every batch full except possibly the last; lengths descend
+    assert all(r["n_docs"] == BATCH_SIZE for r in rows[:-1])
+    assert all(r["padding_waste"] >= 0 for r in rows)
+    maxes = [r["max_tokens"] for r in rows]
+    assert maxes == sorted(maxes, reverse=True)
