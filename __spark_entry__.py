@@ -198,6 +198,34 @@ _BANDS_SQL = """
             )
 """
 
+
+
+# The verified-pair chain (bucket-capped candidates -> distinct-shingle
+# sizes -> per-pair intersection counts) shared by the minhash_verified
+# and near_dup_edit_stats oracles — ONE definition so the candidate /
+# verify algebra can never drift between the two.
+_MV_CHAIN_SQL = f"""
+            , kept AS (
+                SELECT band, band_key, doc_id FROM bands
+                QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
+                        <= {DD.MINHASH_BUCKET_CAP}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM kept a JOIN kept b USING (band, band_key)
+                WHERE a.doc_id < b.doc_id
+            ),
+            dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+            common AS (
+                SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+                FROM cand c
+                JOIN dsh a ON a.doc_id = c.doc_a
+                JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                GROUP BY 1, 2
+            )
+"""
+
 _PE_SQL = """
     WITH pe AS (
         SELECT vec_id,
@@ -489,9 +517,15 @@ def _curation(spark, sf_dir):
     # keyed on applicationId, not id(spark): a stopped session's
     # object address can be recycled by a new session, which would
     # serve persisted frames bound to a dead SparkContext. App ids
-    # are timestamped-unique per context. Entries are O(sf_dirs) per
-    # process — bounded; dead-app entries are dropped lazily here.
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # are timestamped-unique per context. Entries from OTHER app ids
+    # belong to stopped sessions (one live context per process) and
+    # are evicted here, so state stays O(sf_dirs) for the live app.
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in (*_CURATION_STATE, *_EMB_PAIRS_STATE)
+                  if k[0] != app]:
+        _CURATION_STATE.pop(stale, None)
+        _EMB_PAIRS_STATE.pop(stale, None)
+    key = (app, sf_dir)
     st = _CURATION_STATE.get(key)
     if st is None:
         docs = _docs(spark, sf_dir)
@@ -701,7 +735,12 @@ def _emb_pairs(spark, sf_dir):
     same rule as _curation): computed and persisted once per
     (session, sf_dir), consumed by embedding_near_dup and
     embedding_near_dup_verified."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in (*_CURATION_STATE, *_EMB_PAIRS_STATE)
+                  if k[0] != app]:
+        _CURATION_STATE.pop(stale, None)
+        _EMB_PAIRS_STATE.pop(stale, None)
+    key = (app, sf_dir)
     p = _EMB_PAIRS_STATE.get(key)
     if p is None:
         p = SIM.embedding_near_dup_pairs(_emb(spark, sf_dir)).persist()
@@ -2312,26 +2351,8 @@ def oracle_sql() -> dict[str, str]:
         # shingle stream, Jaccard the distinct sets — hence dsh).
         "minhash_verified": _SHINGLES_SQL.replace("SELECT DISTINCT", "SELECT")
         + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
-                            band_rows=DD.LSH_BAND_ROWS) + f"""
-            , kept AS (
-                SELECT band, band_key, doc_id FROM bands
-                QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
-                        <= {DD.MINHASH_BUCKET_CAP}
-            ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM kept a JOIN kept b USING (band, band_key)
-                WHERE a.doc_id < b.doc_id
-            ),
-            dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
-            common AS (
-                SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-                FROM cand c
-                JOIN dsh a ON a.doc_id = c.doc_a
-                JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-                GROUP BY 1, 2
-            )
+                            band_rows=DD.LSH_BAND_ROWS)
+        + _MV_CHAIN_SQL + f"""
             SELECT doc_a, doc_b, n_common,
                    CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
             FROM common
@@ -2700,26 +2721,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_edit_stats": _SHINGLES_SQL.replace("SELECT DISTINCT",
                                                      "SELECT")
         + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
-                            band_rows=DD.LSH_BAND_ROWS) + f"""
-            , kept AS (
-                SELECT band, band_key, doc_id FROM bands
-                QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
-                        <= {DD.MINHASH_BUCKET_CAP}
-            ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM kept a JOIN kept b USING (band, band_key)
-                WHERE a.doc_id < b.doc_id
-            ),
-            dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
-            common AS (
-                SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-                FROM cand c
-                JOIN dsh a ON a.doc_id = c.doc_a
-                JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-                GROUP BY 1, 2
-            ),
+                            band_rows=DD.LSH_BAND_ROWS)
+        + _MV_CHAIN_SQL + f""",
             mv AS (
                 SELECT doc_a, doc_b,
                        CAST(n_common AS DOUBLE)
@@ -2731,7 +2734,16 @@ def oracle_sql() -> dict[str, str]:
                       / (sa.n_sh + sb.n_sh - n_common)
                       >= {DD.JACCARD_THRESHOLD}
             )
+            , tx AS (
+                SELECT doc_id,
+                       regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g')
+                           AS text
+                FROM documents
+            )
             SELECT mv.doc_a, mv.doc_b, mv.jaccard,
+                   -- ASCII projection first: DuckDB levenshtein is
+                   -- byte-based, Spark's codepoint-based; on the
+                   -- projection they coincide (see operator docstring)
                    CAST(levenshtein(a.text, b.text) AS BIGINT)
                        AS lev_dist,
                    ROUND(CAST(LEAST(LENGTH(a.text), LENGTH(b.text))
@@ -2739,8 +2751,8 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(LENGTH(a.text), LENGTH(b.text)), 6)
                        AS len_ratio
             FROM mv
-            JOIN documents a ON a.doc_id = mv.doc_a
-            JOIN documents b ON b.doc_id = mv.doc_b
+            JOIN tx a ON a.doc_id = mv.doc_a
+            JOIN tx b ON b.doc_id = mv.doc_b
             ORDER BY mv.doc_a, mv.doc_b
         """,
         # mirrors packing.length_bucket_batches: global rank by token

@@ -1200,15 +1200,24 @@ def near_dup_edit_stats(docs: DataFrame,
     the input is the candidate-bounded verified pair set, never the
     corpus (the same bounded-verifier rule as the exact-Jaccard
     step). Two doc_id hash joins fetch the texts; the DP runs
-    row-local inside codegen (Spark's levenshtein == DuckDB's —
-    integer-exact in both engines).
+    row-local inside codegen.
+
+    Cross-engine unit mismatch: Spark's levenshtein counts CODEPOINT
+    edits while DuckDB's counts BYTE edits (they disagree on any
+    multi-byte character, e.g. 'é'→'e' is 1 vs 2). Both texts are
+    therefore ASCII-PROJECTED first — every non-ASCII codepoint
+    becomes '?' identically in both engines — making byte and
+    codepoint distances coincide; the emitted stat is the edit
+    distance of the ASCII projection (documented unit).
 
     Returns (doc_a, doc_b, jaccard, lev_dist, len_ratio) ordered."""
     pairs = minhash_verified(docs, threshold, cands=cands)
+    ascii_ = lambda c: F.regexp_replace(  # noqa: E731
+        F.col(c), r"[^\x00-\x7F]", "?")
     ta = docs.select(F.col("doc_id").alias("doc_a"),
-                     F.col("text").alias("_ta"))
+                     ascii_("text").alias("_ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"),
-                     F.col("text").alias("_tb"))
+                     ascii_("text").alias("_tb"))
     return (pairs.join(ta, "doc_a").join(tb, "doc_b")
             .select("doc_a", "doc_b", "jaccard",
                     F.levenshtein("_ta", "_tb").cast("long")

@@ -137,9 +137,18 @@ def _decode_png(b: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
     if depth != 8 or channels is None or interlace != 0:
         raise ValueError("only 8-bit non-interlaced PNG supported")
-    raw = zlib.decompress(b"".join(idat))
+    if w == 0 or h == 0 or w * h > 16_000_000:
+        # zero-dim images would emit NaN luma; absurd dims are a
+        # decompression-bomb tell — both take the fallback
+        raise ValueError(f"unsupported PNG dimensions {w}x{h}")
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    want = h * (stride + 1)
+    # bounded inflate: the expected pixel volume is known from the
+    # header, so never let a crafted IDAT (DEFLATE expands ~1000:1)
+    # allocate more than that — an unbounded zlib.decompress would
+    # OOM the executor before any size check ran
+    raw = zlib.decompressobj().decompress(b"".join(idat), want)
+    if len(raw) < want:
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels                                      # bytes per pixel
@@ -152,15 +161,20 @@ def _decode_png(b: bytes) -> np.ndarray:
             out[y] = row
         elif ftype == 2:                                 # Up
             out[y] = row + prev
-        elif ftype in (1, 3, 4):                         # sequential in x
+        elif ftype == 1:                                 # Sub — the
+            # recurrence out[x] = row[x] + out[x-bpp] is a per-channel
+            # prefix sum: vectorized cumsum mod 256 (Sub is the most
+            # common cheap filter; no Python-level inner loop)
+            out[y] = (row.reshape(w, bpp).astype(np.int64)
+                      .cumsum(axis=0) % 256).astype(np.uint8).ravel()
+        elif ftype in (3, 4):                            # sequential in
+            # x AND coupled to the row above — genuinely serial
             cur = out[y]
             r = row.astype(np.int32)
             p = prev.astype(np.int32)
             for x in range(stride):
                 a = int(cur[x - bpp]) if x >= bpp else 0
-                if ftype == 1:                           # Sub
-                    cur[x] = (r[x] + a) & 0xFF
-                elif ftype == 3:                         # Average
+                if ftype == 3:                           # Average
                     cur[x] = (r[x] + ((a + p[x]) >> 1)) & 0xFF
                 else:                                    # Paeth
                     c = int(out[y - 1][x - bpp]) \
@@ -233,6 +247,8 @@ def _decode_gif(b: bytes) -> list[np.ndarray]:
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h = struct.unpack_from("<HH", b, 6)
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension GIF")   # NaN-luma guard
     packed, bg = b[10], b[11]
     pos = 13
     gct = None

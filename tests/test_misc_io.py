@@ -421,7 +421,6 @@ def test_malformed_known_magic_payloads_fall_back(spark):
     # regression (r3 review): truncated/corrupt payloads with a known
     # magic raised struct.error / zlib.error / IndexError / KeyError
     # through the task instead of taking the documented fallback
-    import zlib as _zlib
     from etl_portfolio_tracker_spark.operators.multimodal import (
         MEDIA_SCHEMA, decode_media, frame_sample, resize_media)
     bad = [
@@ -448,4 +447,31 @@ def test_malformed_known_magic_payloads_fall_back(spark):
     assert decode_media(df).count() == len(bad)        # no task crash
     assert resize_media(df).count() == len(bad)
     frame_sample(df).count()                           # completes
-    del _zlib
+
+
+def test_png_zero_dims_and_bounded_inflate():
+    import struct as st
+    import zlib
+    import numpy as np
+    from etl_portfolio_tracker_spark.operators.multimodal import (
+        DECODE_ERRORS, _decode_gif, _decode_png)
+    import pytest
+    def png(w, h, idat):
+        def chunk(t, d):
+            return (st.pack(">I", len(d)) + t + d
+                    + st.pack(">I", zlib.crc32(t + d)))
+        ihdr = st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    # zero-dimension header -> ValueError (fallback), never NaN luma
+    with pytest.raises(DECODE_ERRORS):
+        _decode_png(png(0, 0, zlib.compress(b"")))
+    with pytest.raises(DECODE_ERRORS):
+        _decode_gif(b"GIF87a" + st.pack("<HH", 0, 0) + b"\x00\x00\x00\x3b")
+    # decompression bomb: 1x2 gray image whose IDAT inflates to 50 MB;
+    # the bounded inflate must read only the 6 header-implied bytes
+    bomb = zlib.compress(b"\x00\x01\x00\x02" + b"\x00" * (50_000_000 - 4))
+    px = _decode_png(png(1, 2, bomb))
+    assert px.shape == (2, 1, 3)
+    assert px[0, 0, 0] == 1 and px[1, 0, 0] == 2
+    assert isinstance(px, np.ndarray)
