@@ -534,8 +534,10 @@ def _curation(spark, sf_dir):
             docs, band_keys=band_keys).persist()
         clusters = DD.dedup_clusters(docs, band_keys=band_keys).persist()
         verdict = DD.corpus_prune(docs, clusters=clusters).persist()
+        verified = DD.minhash_verified(docs, cands=cands).persist()
         st = {"band_keys": band_keys, "cands": cands,
-              "clusters": clusters, "verdict": verdict}
+              "clusters": clusters, "verdict": verdict,
+              "verified": verified}
         _CURATION_STATE[key] = st
     return st
 
@@ -569,9 +571,7 @@ def _q_contamination_check(spark, sf_dir):
 
 
 def _q_minhash_verified(spark, sf_dir):
-    return DD.minhash_verified(
-        _docs(spark, sf_dir),
-        cands=_curation(spark, sf_dir)["cands"])
+    return _curation(spark, sf_dir)["verified"]
 
 
 def _q_leakage_safe_split(spark, sf_dir):
@@ -1008,7 +1008,7 @@ def _q_incremental_topk(spark, sf_dir):
 def _q_near_dup_edit_stats(spark, sf_dir):
     return DD.near_dup_edit_stats(
         _docs(spark, sf_dir),
-        cands=_curation(spark, sf_dir)["cands"])
+        pairs=_curation(spark, sf_dir)["verified"])
 
 
 def _q_length_bucket_batches(spark, sf_dir):

@@ -1188,7 +1188,8 @@ def simhash_pairs(docs: DataFrame,
 
 def near_dup_edit_stats(docs: DataFrame,
                         threshold: float = JACCARD_THRESHOLD,
-                        cands: DataFrame | None = None) -> DataFrame:
+                        cands: DataFrame | None = None,
+                        pairs: DataFrame | None = None) -> DataFrame:
     """Second-opinion verification of near-dup pairs by EDIT distance:
     for every minhash_verified pair, the exact Levenshtein distance
     between the two texts and the length ratio — the signal that
@@ -1210,8 +1211,11 @@ def near_dup_edit_stats(docs: DataFrame,
     codepoint distances coincide; the emitted stat is the edit
     distance of the ASCII projection (documented unit).
 
+    `pairs` — optional precomputed minhash_verified result (the
+    shared-state rule); `cands` feeds the verify pipeline otherwise.
     Returns (doc_a, doc_b, jaccard, lev_dist, len_ratio) ordered."""
-    pairs = minhash_verified(docs, threshold, cands=cands)
+    if pairs is None:
+        pairs = minhash_verified(docs, threshold, cands=cands)
     ascii_ = lambda c: F.regexp_replace(  # noqa: E731
         F.col(c), r"[^\x00-\x7F]", "?")
     ta = docs.select(F.col("doc_id").alias("doc_a"),
