@@ -25,7 +25,9 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, InputPartition,
+    SimpleDataSourceStreamReader)
 
 VOCAB = ("key agg row scan slow fast table value part hash merge batch "
          "spark the line sort window join shuffle plan stage task core "
@@ -70,6 +72,43 @@ class DocGenReader(DataSourceReader):
             yield (doc_id, text, f"src{doc_id % self.n_sources}", len(text))
 
 
+class DocGenSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector (Spark 4
+    `simpleStreamReader`): the same deterministic corpus arrives as
+    micro-batches of `rowsPerBatch` docs until `rows` total, then the
+    source goes quiet (empty batches). Offsets are plain dicts
+    ({"offset": next_doc_id}) checkpointed by the engine;
+    `readBetweenOffsets` replays any committed range exactly —
+    identical rows to the batch reader because every row is a pure
+    function of (seed, doc_id). This is the ingest-connector contract
+    (S1 streaming form): swap the generator loop for a cursor/queue
+    client and the offset/replay plumbing stays."""
+
+    def __init__(self, options):
+        self.total = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rowsPerBatch", 100))
+        self.n_sources = int(options.get("sources", 20))
+        self.seed = int(options.get("seed", 7))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # materialized list, not a generator: the engine's prefetch
+        # cache copies the returned batch (generators can't pickle)
+        return [(doc_id, (t := _doc_text(self.seed, doc_id)),
+                 f"src{doc_id % self.n_sources}", len(t))
+                for doc_id in range(lo, hi)]
+
+    def read(self, start):
+        lo = start["offset"]
+        hi = min(lo + self.per_batch, self.total)
+        return self._rows(lo, hi), {"offset": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["offset"], end["offset"])
+
+
 class DocGenDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -80,6 +119,9 @@ class DocGenDataSource(DataSource):
 
     def reader(self, schema):
         return DocGenReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return DocGenSimpleStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -357,3 +357,37 @@ def test_streaming_delta_dedup_matches_batch_join(spark, sf_dir):
         g = got[k]
         assert g["first_match"] == w["first_match"]
         assert g["is_new"] == (w["first_match"] is None)
+
+
+def test_docgen_streaming_source_matches_batch(spark, tmp_path):
+    # Spark 4 custom streaming Python DataSource: the same
+    # deterministic corpus arrives as micro-batches; once drained,
+    # the sink must hold EXACTLY the batch reader's rows (every row
+    # is a pure function of (seed, doc_id), so offsets/replay cannot
+    # change content).
+    import time
+    import uuid
+    from etl_portfolio_tracker_spark.sources.docgen import register
+    register(spark)
+    total = 120
+    name = "docgen_stream_" + uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("docgen")
+         .option("rows", total).option("rowsPerBatch", 50)
+         .load()
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="0 seconds").start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= total:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {r["doc_id"]: (r["text"], r["source"], r["n_chars"])
+           for r in spark.table(name).collect()}
+    want = {r["doc_id"]: (r["text"], r["source"], r["n_chars"])
+            for r in (spark.read.format("docgen")
+                      .option("rows", total).load().collect())}
+    assert got == want and len(got) == total
