@@ -200,6 +200,47 @@ _BANDS_SQL = """
 
 
 
+# Positional n-gram anchor -> diagonal-island run CTEs shared by the
+# common_substring_pairs and doc_containment oracles (one definition,
+# no drift).
+_CSP_RUNS_SQL = f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents
+            ), p AS (
+                SELECT doc_id,
+                       UNNEST(generate_series(1,
+                           GREATEST(len(toks) - {DD.SUBSTR_NGRAM - 1}, 0)))
+                           AS pos,
+                       toks
+                FROM t
+            ), g AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(
+                           toks[pos:pos + {DD.SUBSTR_NGRAM - 1}], ' ')) AS gh
+                FROM p
+            ), keptg AS (
+                SELECT gh FROM g GROUP BY gh
+                HAVING COUNT(DISTINCT doc_id) <= {DD.SUBSTR_DF_CAP}
+            ), k AS (
+                SELECT g.* FROM g JOIN keptg USING (gh)
+            ), hits AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pa, a.pos - b.pos AS diag
+                FROM k a JOIN k b USING (gh)
+                WHERE a.doc_id < b.doc_id
+            ), isl AS (
+                SELECT doc_a, doc_b, diag, pa,
+                       pa - ROW_NUMBER() OVER (
+                           PARTITION BY doc_a, doc_b, diag
+                           ORDER BY pa) AS grp
+                FROM hits
+            ), runs AS (
+                SELECT doc_a, doc_b, COUNT(*) AS run
+                FROM isl GROUP BY doc_a, doc_b, diag, grp
+            )
+"""
+
 # The verified-pair chain (bucket-capped candidates -> distinct-shingle
 # sizes -> per-pair intersection counts) shared by the minhash_verified
 # and near_dup_edit_stats oracles — ONE definition so the candidate /
@@ -1015,6 +1056,16 @@ def _q_length_bucket_batches(spark, sf_dir):
     return PK.length_bucket_batches(_docs(spark, sf_dir))
 
 
+def _q_dedup_threshold_sweep(spark, sf_dir):
+    return DD.dedup_threshold_sweep(
+        _docs(spark, sf_dir),
+        pairs=_curation(spark, sf_dir)["verified"])
+
+
+def _q_doc_containment(spark, sf_dir):
+    return DD.doc_containment(_docs(spark, sf_dir))
+
+
 def _bpe_sql(n_merges: int, final: str) -> str:
     """Unrolled chained-CTE DuckDB twin of bpe_train/bpe_segment (the
     kmeans_train rule: iteration count pinned, so both engines execute
@@ -1210,24 +1261,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          the r2-late curation/graph/stats ops (leakage_safe_split ..
          order_backlog), then the finance, PQ/ANN, packing, corpus-
          composite, text, and events tiers;
-      2. the remaining 54 never-checked queries (round-4 front: the
-         eleven r3-new ops — delta_dedup, common_substring_pairs,
+      2. the remaining 56 never-checked queries (round-4 front: the
+         thirteen r3-new ops — delta_dedup, common_substring_pairs,
          quality_quantile_cut, streaming_delta_dedup_replay,
          bpe_train / bpe_segment / bpe_token_counts, simhash_pairs,
          incremental_topk, near_dup_edit_stats,
-         length_bucket_batches — then warehouse second tranche and
-         stats;
+         length_bucket_batches, dedup_threshold_sweep,
+         doc_containment — then warehouse second tranche and stats;
          audio_meta and approx_stats, rows-only by design, are
          deliberately declared last);
       3. the 76 queries already green in r1 or r2 driver rows
          (re-verified locally each round).
 
     ROUND-4 TODO (first edit of the round): move section 2 to the
-    front and the 50 r3-checked names behind it — 50 of the 54
+    front and the 50 r3-checked names behind it — 50 of the 56
     remaining never-checked queries fill round 4's window; the
     overflow is the two rows-only-by-design queries (audio_meta,
     approx_stats — no hash row possible) plus the tail of section 2,
-    which leads round 5.
+    which leads round 5's window.
     """
     return {
         # -- 1. round-3 external window: never checked, highest priority ------------------------------------------
@@ -1294,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_topk": _q_incremental_topk,
         "near_dup_edit_stats": _q_near_dup_edit_stats,
         "length_bucket_batches": _q_length_bucket_batches,
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
+        "doc_containment": _q_doc_containment,
         "multi_rollup": _q_multi_rollup,
         "median_order_value": _q_median_order_value,
         "value_outliers": _q_value_outliers,
@@ -2418,42 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         # mirrors dedup.common_substring_pairs: positional n-gram
         # anchors (md5 of n joined tokens), document-frequency cap,
         # diagonal islands → longest verbatim shared token run.
-        "common_substring_pairs": f"""
-            WITH t AS (
-                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-                FROM documents
-            ), p AS (
-                SELECT doc_id,
-                       UNNEST(generate_series(1,
-                           GREATEST(len(toks) - {DD.SUBSTR_NGRAM - 1}, 0)))
-                           AS pos,
-                       toks
-                FROM t
-            ), g AS (
-                SELECT doc_id, pos,
-                       md5(array_to_string(
-                           toks[pos:pos + {DD.SUBSTR_NGRAM - 1}], ' ')) AS gh
-                FROM p
-            ), keptg AS (
-                SELECT gh FROM g GROUP BY gh
-                HAVING COUNT(DISTINCT doc_id) <= {DD.SUBSTR_DF_CAP}
-            ), k AS (
-                SELECT g.* FROM g JOIN keptg USING (gh)
-            ), hits AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.pos AS pa, a.pos - b.pos AS diag
-                FROM k a JOIN k b USING (gh)
-                WHERE a.doc_id < b.doc_id
-            ), isl AS (
-                SELECT doc_a, doc_b, diag, pa,
-                       pa - ROW_NUMBER() OVER (
-                           PARTITION BY doc_a, doc_b, diag
-                           ORDER BY pa) AS grp
-                FROM hits
-            ), runs AS (
-                SELECT doc_a, doc_b, COUNT(*) AS run
-                FROM isl GROUP BY doc_a, doc_b, diag, grp
-            )
+        "common_substring_pairs": _CSP_RUNS_SQL + f"""
             SELECT doc_a, doc_b,
                    CAST(MAX(run) + {DD.SUBSTR_NGRAM - 1} AS BIGINT)
                        AS max_run_tokens,
@@ -2714,6 +2732,71 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 2
             ORDER BY doc_a, doc_b
+        """,
+        # mirrors dedup.dedup_threshold_sweep: one verify pass at the
+        # lowest threshold, then the tiny threshold list joins the
+        # bounded pair set; zero-pair thresholds still emit.
+        "dedup_threshold_sweep": _SHINGLES_SQL.replace("SELECT DISTINCT",
+                                                       "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS)
+        + _MV_CHAIN_SQL + f""",
+            mv AS (
+                SELECT doc_a, doc_b,
+                       CAST(n_common AS DOUBLE)
+                           / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(n_common AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+            ),
+            th AS (SELECT CAST(x AS DOUBLE) AS threshold
+                   FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9),
+                                (1.0)) v(x)),
+            hit AS (
+                SELECT th.threshold, mv.doc_a, mv.doc_b
+                FROM th JOIN mv ON mv.jaccard >= th.threshold
+            )
+            SELECT th.threshold,
+                   CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs
+            FROM th
+            LEFT JOIN (SELECT threshold, COUNT(*) AS n_pairs
+                       FROM hit GROUP BY 1) p USING (threshold)
+            LEFT JOIN (SELECT threshold, COUNT(DISTINCT doc) AS n_docs
+                       FROM (SELECT threshold, doc_a AS doc FROM hit
+                             UNION
+                             SELECT threshold, doc_b FROM hit)
+                       GROUP BY 1) d USING (threshold)
+            ORDER BY th.threshold
+        """,
+        # mirrors dedup.doc_containment: shared-run pairs whose longest
+        # run covers the shorter doc's full token stream.
+        "doc_containment": _CSP_RUNS_SQL + f"""
+            , csp AS (
+                SELECT doc_a, doc_b,
+                       MAX(run) + {DD.SUBSTR_NGRAM - 1} AS max_run_tokens
+                FROM runs GROUP BY 1, 2
+                HAVING MAX(run) + {DD.SUBSTR_NGRAM - 1}
+                       >= {DD.SUBSTR_MIN_RUN}
+            ), ntk AS (
+                SELECT doc_id,
+                       CAST(LEN(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+                           AS nt
+                FROM documents
+            )
+            SELECT CASE WHEN a.nt <= b.nt THEN csp.doc_a
+                        ELSE csp.doc_b END AS contained_doc,
+                   CASE WHEN a.nt <= b.nt THEN csp.doc_b
+                        ELSE csp.doc_a END AS container_doc,
+                   LEAST(a.nt, b.nt) AS n_tokens_contained,
+                   GREATEST(a.nt, b.nt) AS container_tokens
+            FROM csp
+            JOIN ntk a ON a.doc_id = csp.doc_a
+            JOIN ntk b ON b.doc_id = csp.doc_b
+            WHERE max_run_tokens >= LEAST(a.nt, b.nt)
+            ORDER BY contained_doc, container_doc
         """,
         # mirrors dedup.near_dup_edit_stats: the minhash_verified pair
         # chain (same CTEs) joined back to texts with an exact

@@ -1232,3 +1232,88 @@ def near_dup_edit_stats(docs: DataFrame,
                                          F.length("_tb")), 6)
                      .alias("len_ratio"))
             .orderBy("doc_a", "doc_b"))
+
+
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+
+
+def dedup_threshold_sweep(docs: DataFrame,
+                          thresholds=SWEEP_THRESHOLDS,
+                          cands: DataFrame | None = None,
+                          pairs: DataFrame | None = None) -> DataFrame:
+    """Dedup yield curve — how many near-dup pairs (and how many
+    distinct documents) survive each candidate Jaccard threshold: the
+    tuning report that picks the production cutoff (too low deletes
+    paraphrases, too high keeps templates; the curve's knee is the
+    usual operating point).
+
+    One verify pass at the LOWEST threshold gives every pair's exact
+    Jaccard; the sweep is then a broadcast join of the tiny threshold
+    list against the bounded pair set — no per-threshold rescans.
+    Thresholds with zero surviving pairs still emit a row (left join
+    from the threshold list). Both engines compare the identical
+    jaccard double to the identically-parsed literal, so the cut
+    agrees bit-for-bit even for non-representable thresholds.
+
+    Returns (threshold, n_pairs, n_docs) ordered by threshold."""
+    spark = docs.sparkSession
+    if pairs is None:
+        pairs = minhash_verified(docs, min(thresholds), cands=cands)
+    th = spark.createDataFrame([(float(t),) for t in thresholds],
+                               "threshold double")
+    hit = (pairs.crossJoin(F.broadcast(th))
+           .filter(F.col("jaccard") >= F.col("threshold")))
+    n_pairs = hit.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    n_docs = (hit.select("threshold",
+                         F.explode(F.array("doc_a", "doc_b")).alias("d"))
+              .groupBy("threshold")
+              .agg(F.count_distinct("d").cast("long").alias("n_docs")))
+    return (th.join(n_pairs, "threshold", "left")
+            .join(n_docs, "threshold", "left")
+            .select("threshold",
+                    F.coalesce("n_pairs", F.lit(0).cast("long"))
+                     .alias("n_pairs"),
+                    F.coalesce("n_docs", F.lit(0).cast("long"))
+                     .alias("n_docs"))
+            .orderBy("threshold"))
+
+
+def doc_containment(docs: DataFrame,
+                    n: int = SUBSTR_NGRAM,
+                    min_run: int = SUBSTR_MIN_RUN,
+                    df_cap: int = SUBSTR_DF_CAP) -> DataFrame:
+    """Verbatim CONTAINMENT detection: pairs where one document's
+    entire token stream appears verbatim inside the other — the
+    quote-inclusion/page-wrapper case that set-similarity dedup
+    scores low (a short doc inside a long one barely moves Jaccard)
+    but that a curation pipeline must collapse.
+
+    Derived from the substring machinery: a pair whose longest shared
+    run covers the SHORTER document's full token count is a
+    containment. Detection floor: the contained doc must have at
+    least `min_run` tokens (shorter docs fall below the anchor
+    pipeline's reporting floor — documented bound).
+
+    Returns (contained_doc, container_doc, n_tokens_contained,
+    container_tokens) ordered."""
+    from .text import tokens_col
+    runs = common_substring_pairs(docs, n, min_run, df_cap)
+    nt = docs.select("doc_id",
+                     F.size(tokens_col()).cast("long").alias("_nt"))
+    j = (runs
+         .join(nt.select(F.col("doc_id").alias("doc_a"),
+                         F.col("_nt").alias("_na")), "doc_a")
+         .join(nt.select(F.col("doc_id").alias("doc_b"),
+                         F.col("_nt").alias("_nb")), "doc_b")
+         .filter(F.col("max_run_tokens")
+                 >= F.least("_na", "_nb")))
+    contained = F.when(F.col("_na") <= F.col("_nb"), F.col("doc_a")) \
+                 .otherwise(F.col("doc_b"))
+    container = F.when(F.col("_na") <= F.col("_nb"), F.col("doc_b")) \
+                 .otherwise(F.col("doc_a"))
+    return (j.select(contained.alias("contained_doc"),
+                     container.alias("container_doc"),
+                     F.least("_na", "_nb").alias("n_tokens_contained"),
+                     F.greatest("_na", "_nb").alias("container_tokens"))
+            .orderBy("contained_doc", "container_doc"))

@@ -726,3 +726,31 @@ def test_length_bucket_batches_invariants(spark, sf_dir):
     assert all(r["padding_waste"] >= 0 for r in rows)
     maxes = [r["max_tokens"] for r in rows]
     assert maxes == sorted(maxes, reverse=True)
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    d = docs_df(spark, [t, t, t.replace("lazy", "hazy"),
+                        "zzzz xxxx yyyy wwww vvvv uuuu tttt ssss"])
+    rows = DD.dedup_threshold_sweep(d).collect()
+    assert [r["threshold"] for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
+    pair_counts = [r["n_pairs"] for r in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    assert rows[0]["n_pairs"] >= 3          # identical + revision pairs
+    assert rows[-1]["n_pairs"] >= 1         # the identical pair at 1.0
+    assert all(r["n_docs"] <= 2 * r["n_pairs"] for r in rows)
+
+
+def test_doc_containment_detects_quote_inclusion(spark):
+    quote = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa")   # 16 tokens
+    d = docs_df(spark, [
+        quote,                                               # contained
+        "a very long wrapper document begins here " + quote
+        + " and then continues with a closing statement afterwards",
+        "completely unrelated filler text with nothing shared today"])
+    rows = DD.doc_containment(d).collect()
+    assert [(r["contained_doc"], r["container_doc"]) for r in rows] \
+        == [(0, 1)]
+    assert rows[0]["n_tokens_contained"] == 16
+    assert rows[0]["container_tokens"] > 16
