@@ -1252,36 +1252,93 @@ def _q_audio_meta(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order encodes verification priority: the driver only
     records external correctness rows for the FIRST 50 declared queries
-    per round (observed in r1/r2), so queries that most need a fresh
+    per round (observed in r1/r2/r3), so queries that most need a fresh
     external row come first.  The full set is verified locally every
     round via ``tools/check.py`` (committed log).
 
-    Round-3 ordering (executes the round-2 reorder plan):
-      1. the 50 highest-priority never-externally-checked queries —
-         the r2-late curation/graph/stats ops (leakage_safe_split ..
-         order_backlog), then the finance, PQ/ANN, packing, corpus-
-         composite, text, and events tiers;
-      2. the remaining 56 never-checked queries (round-4 front: the
-         thirteen r3-new ops — delta_dedup, common_substring_pairs,
-         quality_quantile_cut, streaming_delta_dedup_replay,
-         bpe_train / bpe_segment / bpe_token_counts, simhash_pairs,
-         incremental_topk, near_dup_edit_stats,
-         length_bucket_batches, dedup_threshold_sweep,
-         doc_containment — then warehouse second tranche and stats;
-         audio_meta and approx_stats, rows-only by design, are
-         deliberately declared last);
-      3. the 76 queries already green in r1 or r2 driver rows
+    Round-4 ordering (executes the round-3 reorder plan):
+      1. the 50-query window: ``kmeans_train`` (replaces its stale r1
+         ``no_oracle`` row now that it has a bit-exact unrolled-CTE
+         oracle), the thirteen r3-new ops, ``simhash`` (re-scoped to a
+         32-bit fingerprint this round, so its r1 row is stale), and
+         the warehouse-second-tranche / stats queries;
+      2. never-checked overflow for round 5's window: six simple
+         warehouse queries plus any round-4-new operators, then the
+         two rows-only-by-design queries (approx_stats — sketch
+         values are engine-specific, error bounds pytest-verified;
+         audio_meta — float reductions over raw bytes, WAV decode
+         pytest-verified on constructed RIFF payloads) declared last;
+      3. the 126 queries already green in r1/r2/r3 driver rows
          (re-verified locally each round).
 
-    ROUND-4 TODO (first edit of the round): move section 2 to the
-    front and the 50 r3-checked names behind it — 50 of the 56
-    remaining never-checked queries fill round 4's window; the
-    overflow is the two rows-only-by-design queries (audio_meta,
-    approx_stats — no hash row possible) plus the tail of section 2,
-    which leads round 5's window.
+    ROUND-5 TODO (first edit of the round): move section 2's
+    hash-checkable names (plus any round-4-new operators appended
+    there) to the front of the dict; with ~6 carried over, nearly the
+    whole registry will then have an external hash row.
     """
     return {
-        # -- 1. round-3 external window: never checked, highest priority ------------------------------------------
+        # -- 1. round-4 external window: never checked (or stale row), highest priority --------------------
+        "kmeans_train": _q_kmeans_train,
+        "delta_dedup": _q_delta_dedup,
+        "common_substring_pairs": _q_common_substring_pairs,
+        "quality_quantile_cut": _q_quality_quantile_cut,
+        "streaming_delta_dedup_replay": _q_streaming_delta_dedup_replay,
+        "bpe_train": _q_bpe_train,
+        "bpe_segment": _q_bpe_segment,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "simhash_pairs": _q_simhash_pairs,
+        "incremental_topk": _q_incremental_topk,
+        "near_dup_edit_stats": _q_near_dup_edit_stats,
+        "length_bucket_batches": _q_length_bucket_batches,
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
+        "doc_containment": _q_doc_containment,
+        "simhash": _q_simhash,
+        "multi_rollup": _q_multi_rollup,
+        "median_order_value": _q_median_order_value,
+        "value_outliers": _q_value_outliers,
+        "range_window_avg": _q_range_window_avg,
+        "returned_order_priority": _q_returned_order_priority,
+        "market_share": _q_market_share,
+        "key_parts": _q_key_parts,
+        "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "modal_value_band": _q_modal_value_band,
+        "value_mad": _q_value_mad,
+        "skyline_parts": _q_skyline_parts,
+        "triangle_stats": _q_triangle_stats,
+        "cum_drift": _q_cum_drift,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "profile_table": _q_profile_table,
+        "market_basket": _q_market_basket,
+        "revenue_pareto": _q_revenue_pareto,
+        "snapshot_diff": _q_snapshot_diff,
+        "customer_spend_percentile": _q_customer_spend_percentile,
+        "high_volume_part_suppliers": _q_high_volume_part_suppliers,
+        "normalize_embeddings": _q_normalize_embeddings,
+        "stats_summary": _q_stats_summary,
+        "user_ticker_list": _q_user_ticker_list,
+        "brand_revenue": _q_brand_revenue,
+        "top_customers": _q_top_customers,
+        "region_revenue": _q_region_revenue,
+        "stale_parts": _q_stale_parts,
+        "urgent_customers": _q_urgent_customers,
+        "region_rollup": _q_region_rollup,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "multi_supp_orders": _q_multi_supp_orders,
+        "nation_trade_volume": _q_nation_trade_volume,
+        "supplier_nation_profit": _q_supplier_nation_profit,
+        "returned_revenue": _q_returned_revenue,
+        "cust_order_histogram": _q_cust_order_histogram,
+        # ---- driver's 50-query cap lands HERE (cust_order_histogram = #50) ----
+        # -- 2. never checked, round-5 front (rows-only pair deliberately last) ----------------------------
+        "promo_revenue_share": _q_promo_revenue_share,
+        "top_supplier": _q_top_supplier,
+        "big_orders": _q_big_orders,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "idle_rich_customers": _q_idle_rich_customers,
+        "region_revenue_sql": _q_region_revenue_sql,
+        "approx_stats": _q_approx_stats,
+        "audio_meta": _q_audio_meta,
+        # -- 3. externally green in r1/r2/r3 (locally re-verified each round) -------------------------------
         "leakage_safe_split": _q_leakage_safe_split,
         "bm25_search": _q_bm25_search,
         "label_outliers": _q_label_outliers,
@@ -1332,71 +1389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": _q_conversion_latency,
         "active_users_rolling": _q_active_users_rolling,
         "positions_salted": _q_positions_salted,
-        # ---- driver's 50-query cap lands HERE (positions_salted = #50) ----
-        # -- 2. never checked, round-4 front ------------------------------------------
-        "delta_dedup": _q_delta_dedup,
-        "common_substring_pairs": _q_common_substring_pairs,
-        "quality_quantile_cut": _q_quality_quantile_cut,
-        "streaming_delta_dedup_replay": _q_streaming_delta_dedup_replay,
-        "bpe_train": _q_bpe_train,
-        "bpe_segment": _q_bpe_segment,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "simhash_pairs": _q_simhash_pairs,
-        "incremental_topk": _q_incremental_topk,
-        "near_dup_edit_stats": _q_near_dup_edit_stats,
-        "length_bucket_batches": _q_length_bucket_batches,
-        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
-        "doc_containment": _q_doc_containment,
-        "multi_rollup": _q_multi_rollup,
-        "median_order_value": _q_median_order_value,
-        "value_outliers": _q_value_outliers,
-        "range_window_avg": _q_range_window_avg,
-        "returned_order_priority": _q_returned_order_priority,
-        "market_share": _q_market_share,
-        "key_parts": _q_key_parts,
-        "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
-        "modal_value_band": _q_modal_value_band,
-        "value_mad": _q_value_mad,
-        "skyline_parts": _q_skyline_parts,
-        "triangle_stats": _q_triangle_stats,
-        "cum_drift": _q_cum_drift,
-        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
-        "profile_table": _q_profile_table,
-        "market_basket": _q_market_basket,
-        "revenue_pareto": _q_revenue_pareto,
-        "snapshot_diff": _q_snapshot_diff,
-        "customer_spend_percentile": _q_customer_spend_percentile,
-        "high_volume_part_suppliers": _q_high_volume_part_suppliers,
-        "normalize_embeddings": _q_normalize_embeddings,
-        "stats_summary": _q_stats_summary,
-        "user_ticker_list": _q_user_ticker_list,
-        "brand_revenue": _q_brand_revenue,
-        "top_customers": _q_top_customers,
-        "region_revenue": _q_region_revenue,
-        "stale_parts": _q_stale_parts,
-        "urgent_customers": _q_urgent_customers,
-        "region_rollup": _q_region_rollup,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "multi_supp_orders": _q_multi_supp_orders,
-        "nation_trade_volume": _q_nation_trade_volume,
-        "supplier_nation_profit": _q_supplier_nation_profit,
-        "returned_revenue": _q_returned_revenue,
-        "cust_order_histogram": _q_cust_order_histogram,
-        "promo_revenue_share": _q_promo_revenue_share,
-        "top_supplier": _q_top_supplier,
-        "big_orders": _q_big_orders,
-        "disjunctive_revenue": _q_disjunctive_revenue,
-        "idle_rich_customers": _q_idle_rich_customers,
-        "region_revenue_sql": _q_region_revenue_sql,
-        # The two rows-only-by-design queries (no hash row possible)
-        # are DELIBERATELY the last of the never-checked section, so
-        # round 4's 50-row window covers every hash-checkable query:
-        # approx_stats — sketch values are engine-specific (error
-        # bounds pytest-verified); audio_meta — float reductions over
-        # raw bytes (WAV decode pytest-verified on RIFF payloads).
-        "approx_stats": _q_approx_stats,
-        "audio_meta": _q_audio_meta,
-        # -- 3. externally green in r1/r2 (locally re-verified each round) ------------------------------------------
         "positions": _q_positions,
         "incremental_positions": _q_incremental_positions,
         "zorder_events": _q_zorder_events,
@@ -1419,7 +1411,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_costs": _q_avg_costs,
         "realized_pnl": _q_realized_pnl,
         "overview_full": _q_overview_full,
-        "simhash": _q_simhash,
         "lsh_buckets": _q_lsh_buckets,
         "embedding_near_dup": _q_embedding_near_dup,
         "frame_sample": _q_frame_sample,
@@ -1472,7 +1463,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "kmeans_step": _q_kmeans_step,
         "top_parts_per_brand": _q_top_parts_per_brand,
-        "kmeans_train": _q_kmeans_train,
     }
 
 
@@ -2682,7 +2672,7 @@ def oracle_sql() -> dict[str, str]:
                                  ('8','9','a','b','c','d','e','f')
                             THEN 1 ELSE -1 END AS w
                 FROM toks
-                CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS j)
+                CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS j)
             ),
             bitsum AS (SELECT doc_id, j, SUM(w) AS s FROM weighted GROUP BY 1, 2)
             SELECT doc_id,
@@ -2749,11 +2739,11 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sa ON sa.doc_id = doc_a
                 JOIN sizes sb ON sb.doc_id = doc_b
                 WHERE CAST(n_common AS DOUBLE)
-                      / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+                      / (sa.n_sh + sb.n_sh - n_common)
+                      >= {min(DD.SWEEP_THRESHOLDS)}
             ),
             th AS (SELECT CAST(x AS DOUBLE) AS threshold
-                   FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9),
-                                (1.0)) v(x)),
+                   FROM (VALUES {", ".join(f"({t})" for t in DD.SWEEP_THRESHOLDS)}) v(x)),
             hit AS (
                 SELECT th.threshold, mv.doc_a, mv.doc_b
                 FROM th JOIN mv ON mv.jaccard >= th.threshold

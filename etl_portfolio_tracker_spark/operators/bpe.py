@@ -111,7 +111,24 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES,
     rank — O(model) rows. Each round is one vocab-sized pair count +
     a 1-row argmax collect + one vocab-sized map. `vocab` — optional
     precomputed/persisted _word_vocab frame (one corpus scan per
-    run)."""
+    run).
+
+    MERGE-COUNT SCALING (the honest production note): this loop is
+    one Spark job + one 1-row collect PER MERGE. A production
+    tokenizer wants 30k-50k merges → 30k sequential vocab-sized jobs,
+    and no amount of per-job tuning amortizes the scheduler
+    round-trips. That is NOT how 100 TB BPE is run: the distributed
+    part is the corpus→word-vocab reduction (one corpus-sized
+    aggregation — `_word_vocab`) plus the final corpus re-tokenization
+    (`bpe_token_counts`' one equi-join); the merge loop itself runs
+    WHEREVER THE WORD VOCABULARY FITS IN MEMORY — it always does (a
+    100 TB web corpus has ~10^7-10^8 distinct words ≈ a few GB with
+    frequencies), so production would `vocab.toPandas()` once and run
+    the classic single-machine Counter loop over it, byte-identically.
+    The Spark merge loop here exists so the demo's 4 merges are
+    executed by both engines under the unrolled-CTE oracle; it is
+    correct at any merge count, just not the plan you'd pick for 30k.
+    See SCALING.md §BPE."""
     spark = docs.sparkSession
     if vocab is None:
         vocab = iter_checkpoint(_word_vocab(docs), eager=False)

@@ -480,11 +480,17 @@ def leakage_safe_split(docs: DataFrame, train_pct: int = 80,
                      .otherwise("test").alias("split")))
 
 
-def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash (Charikar 2002) over whitespace tokens with md5-derived
     per-token bit projections: bit j weight = +1 if the j-th hex digit
     of md5(token) has its high bit set else −1, summed over token
-    occurrences; fingerprint bit j = (sum > 0)."""
+    occurrences; fingerprint bit j = (sum > 0).
+
+    Default width is 32 bits (md5 has 32 hex digits, so j < 32 needs
+    no second hash): 16 bits saturates by the birthday bound once
+    |docs| nears 2^8 — at sf0.1's 5000 docs a 16-bit fingerprint
+    emitted 1.5M hamming<=2 chance pairs (see SIMHASH_PAIR_BITS).
+    Production web-dedup uses 64 (Manku et al. WWW'07)."""
     from .text import tokens_col
     from ..functions.partitioning import spread
     # Per-row array pipeline — ZERO shuffle (same rewrite as
@@ -1119,11 +1125,12 @@ def common_substring_pairs(docs: DataFrame,
 
 
 SIMHASH_PAIR_BITS = 32     # fingerprint width for PAIRING (16-bit —
-# the standalone `simhash` query's width — saturates by the birthday
-# bound once |docs| approaches 2^8: at sf0.1's 5000 docs it emitted
-# 1.5M hamming<=2 pairs, almost all chance collisions. 32 bits keeps
-# chance pairs negligible at oracle scales; production web-dedup uses
-# 64 bits for the same reason — Manku et al. WWW'07.)
+# the standalone `simhash` query's width until round 4 — saturates by
+# the birthday bound once |docs| approaches 2^8: at sf0.1's 5000 docs
+# it emitted 1.5M hamming<=2 pairs, almost all chance collisions. 32
+# bits keeps chance pairs negligible at oracle scales; production
+# web-dedup uses 64 bits for the same reason — Manku et al. WWW'07.
+# The standalone query now emits the same 32-bit fingerprint.
 SIMHASH_BANDS = 4          # 8-bit bands over the 32-bit fingerprint
 SIMHASH_MAX_HAMMING = 2    # report pairs within this bit distance
 
@@ -1240,7 +1247,9 @@ SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
 def dedup_threshold_sweep(docs: DataFrame,
                           thresholds=SWEEP_THRESHOLDS,
                           cands: DataFrame | None = None,
-                          pairs: DataFrame | None = None) -> DataFrame:
+                          pairs: DataFrame | None = None,
+                          pairs_threshold: float = JACCARD_THRESHOLD,
+                          ) -> DataFrame:
     """Dedup yield curve — how many near-dup pairs (and how many
     distinct documents) survive each candidate Jaccard threshold: the
     tuning report that picks the production cutoff (too low deletes
@@ -1255,10 +1264,24 @@ def dedup_threshold_sweep(docs: DataFrame,
     jaccard double to the identically-parsed literal, so the cut
     agrees bit-for-bit even for non-representable thresholds.
 
+    `pairs` — optional precomputed minhash_verified frame;
+    `pairs_threshold` — the threshold those pairs were verified at
+    (default JACCARD_THRESHOLD, the curation pipeline's). A sweep is
+    only complete when the pair set covers its LOWEST threshold, so a
+    precomputed frame verified above min(thresholds) would silently
+    under-count low-threshold rows — that is rejected loudly here
+    rather than trusted.
+
     Returns (threshold, n_pairs, n_docs) ordered by threshold."""
     spark = docs.sparkSession
     if pairs is None:
         pairs = minhash_verified(docs, min(thresholds), cands=cands)
+    elif pairs_threshold > min(thresholds):
+        raise ValueError(
+            f"precomputed pairs verified at {pairs_threshold} cannot "
+            f"serve a sweep down to {min(thresholds)}: low-threshold "
+            "rows would silently under-count. Pass pairs verified at "
+            "<= min(thresholds), or let the sweep verify its own.")
     th = spark.createDataFrame([(float(t),) for t in thresholds],
                                "threshold double")
     hit = (pairs.crossJoin(F.broadcast(th))

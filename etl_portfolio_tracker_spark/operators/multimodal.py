@@ -34,7 +34,7 @@ import pandas as pd
 # -> ValueError): the decode contract is fall-back, never task-crash,
 # so all call sites catch this tuple.
 DECODE_ERRORS = (ValueError, struct.error, zlib.error,
-                 IndexError, KeyError)
+                 IndexError, KeyError, MemoryError)
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F, types as T
@@ -229,10 +229,11 @@ def _lzw_decode(min_code_size: int, data: bytes,
                 entry = prev + (prev[0],)
             else:
                 raise ValueError("corrupt LZW stream")
-            table[next_code] = prev + (entry[0],)
-            next_code += 1
-            if next_code == (1 << code_size) and code_size < 12:
-                code_size += 1
+            if next_code < 4096:      # 12-bit cap: table growth stops
+                table[next_code] = prev + (entry[0],)   # here per spec
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
         out.extend(entry)
         prev = entry
     return out[:n_pixels]
@@ -247,8 +248,13 @@ def _decode_gif(b: bytes) -> list[np.ndarray]:
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h = struct.unpack_from("<HH", b, 6)
-    if w == 0 or h == 0:
-        raise ValueError("zero-dimension GIF")   # NaN-luma guard
+    # decompression-bomb guard (mirrors _decode_png): header dims are
+    # uint16, so a ~30-byte payload can claim 60000x60000 and force a
+    # ~10.8 GB canvas allocation before any LZW data is read. Bound
+    # the canvas like PNG does; the per-frame copy multiplies it, so
+    # total decoded pixels across frames are bounded too (below).
+    if w == 0 or h == 0 or w * h > 16_000_000:
+        raise ValueError("zero-dimension or oversized GIF")
     packed, bg = b[10], b[11]
     pos = 13
     gct = None
@@ -298,6 +304,12 @@ def _decode_gif(b: bytes) -> list[np.ndarray]:
             raise ValueError("truncated GIF frame")
         canvas[top:top + ih, left:left + iw] = \
             ct[idx % len(ct)].reshape(ih, iw, 3)
+        # total-decoded-pixels bound: frames.append copies the whole
+        # canvas, so an adversarial animation multiplies the canvas
+        # cost per image block. Same 16M-pixel budget, spent across
+        # all frames.
+        if (len(frames) + 1) * w * h > 16_000_000:
+            raise ValueError("GIF animation exceeds decode budget")
         frames.append(canvas.copy())
     if not frames:
         raise ValueError("GIF with no image blocks")

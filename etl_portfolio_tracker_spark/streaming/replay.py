@@ -47,12 +47,23 @@ _INTERVAL_UNIT_S = {"second": 1, "seconds": 1, "minute": 60,
 
 
 def _parse_interval_seconds(s: str) -> int:
-    """'1 hour' / '90 minutes' / '3600 seconds' → whole seconds."""
+    """'1 hour' / '90 minutes' / '1 hour 30 minutes' / '1.5 hours' →
+    whole seconds. Accepts the multi-term and fractional forms Spark's
+    own interval syntax does (summed over '<n> <unit>' terms); rejects
+    anything else, and rejects a non-whole-second total (Spark
+    watermark delays are whole-second)."""
+    toks = s.strip().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"unsupported interval string: {s!r}")
+    total = 0.0
     try:
-        n, unit = s.strip().split()
-        return int(n) * _INTERVAL_UNIT_S[unit.lower()]
+        for i in range(0, len(toks), 2):
+            total += float(toks[i]) * _INTERVAL_UNIT_S[toks[i + 1].lower()]
     except (ValueError, KeyError):
         raise ValueError(f"unsupported interval string: {s!r}") from None
+    if total != int(total):
+        raise ValueError(f"interval is not a whole second: {s!r}")
+    return int(total)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):

@@ -19,3 +19,29 @@ def test_approx_stats_bounds(spark, sf_dir):
     assert abs(approx["approx_orders"] - exact["orders"]) <= 0.10 * exact["orders"]
     q50 = approx["price_quantiles"][0]
     assert abs(q50 - exact["p50"]) <= 0.05 * exact["p50"]
+
+
+def test_approx_stats_bounds_per_group(spark, sf_dir):
+    # per-group tightening (round-4): the global bound can hide a
+    # sketch that is wildly off inside one group and compensating in
+    # another; HLL++ and the quantile sketch are MERGEABLE, so the
+    # same rsd must hold inside every partial — check it per
+    # l_returnflag group with the exact same sketch parameters
+    # approx_stats uses.
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = {r["l_returnflag"]: r for r in li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"))
+        .collect()}
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_orders"),
+        F.percentile_approx("l_extendedprice", [0.5], 10_000)
+         .alias("q")).collect()
+    assert len(approx) == len(exact) >= 2          # real multi-group
+    for row in approx:
+        ex = exact[row["l_returnflag"]]
+        assert abs(row["a_parts"] - ex["parts"]) <= 0.10 * ex["parts"]
+        assert abs(row["a_orders"] - ex["orders"]) <= 0.10 * ex["orders"]
+        assert abs(row["q"][0] - ex["p50"]) <= 0.05 * ex["p50"]

@@ -475,3 +475,13 @@ def test_png_zero_dims_and_bounded_inflate():
     assert px.shape == (2, 1, 3)
     assert px[0, 0, 0] == 1 and px[1, 0, 0] == 2
     assert isinstance(px, np.ndarray)
+    # GIF decompression bomb: a ~30-byte payload claiming 60000x60000
+    # would allocate a ~10.8 GB canvas before any LZW data is read —
+    # the header guard must reject it (same 16M-pixel budget as PNG)
+    with pytest.raises(DECODE_ERRORS):
+        _decode_gif(b"GIF87a" + st.pack("<HH", 60000, 60000)
+                    + bytes([0x80, 0, 0]) + b"\x00\x00\x00" * 2
+                    + b"\x3b")
+    # MemoryError is in DECODE_ERRORS as the backstop for anything
+    # that slips past the header guards
+    assert MemoryError in DECODE_ERRORS

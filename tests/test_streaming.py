@@ -331,9 +331,17 @@ def test_join_replay_tolerance_alias():
     assert _parse_interval_seconds("90 minutes") == 5400
     assert _parse_interval_seconds("2 days") == 172800
     assert _parse_interval_seconds("45 seconds") == 45
+    # multi-term and fractional forms (Spark interval syntax parity)
+    assert _parse_interval_seconds("1 hour 30 minutes") == 5400
+    assert _parse_interval_seconds("1.5 hours") == 5400
+    assert _parse_interval_seconds("2 minutes 30 seconds") == 150
     import pytest
     with pytest.raises(ValueError):
         _parse_interval_seconds("soon")
+    with pytest.raises(ValueError):
+        _parse_interval_seconds("1 hour 30")          # dangling term
+    with pytest.raises(ValueError):
+        _parse_interval_seconds("0.5 seconds")        # sub-second
 
 
 def test_streaming_delta_dedup_matches_batch_join(spark, sf_dir):

@@ -61,7 +61,7 @@ def test_simhash_identical_equal(spark):
     d = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "delta epsilon"])
     s = {r["doc_id"]: r["simhash"] for r in DD.simhash(d).collect()}
     assert s[0] == s[1] and s[0] != s[2]
-    assert all(0 <= v < 2 ** 16 for v in s.values())
+    assert all(0 <= v < 2 ** 32 for v in s.values())
 
 
 def emb_df(spark, vecs):
@@ -739,6 +739,21 @@ def test_dedup_threshold_sweep_monotone(spark):
     assert rows[0]["n_pairs"] >= 3          # identical + revision pairs
     assert rows[-1]["n_pairs"] >= 1         # the identical pair at 1.0
     assert all(r["n_docs"] <= 2 * r["n_pairs"] for r in rows)
+
+
+def test_dedup_threshold_sweep_rejects_uncovering_pairs(spark):
+    # precomputed pairs verified ABOVE min(thresholds) would silently
+    # under-count the low-threshold rows; the sweep must refuse them.
+    import pytest
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    d = docs_df(spark, [t, t])
+    pairs = DD.minhash_verified(d, threshold=0.9)
+    with pytest.raises(ValueError, match="cannot serve a sweep"):
+        DD.dedup_threshold_sweep(d, pairs=pairs, pairs_threshold=0.9)
+    # covering pairs (verified at <= min) are accepted
+    ok = DD.minhash_verified(d, threshold=0.5)
+    rows = DD.dedup_threshold_sweep(d, pairs=ok, pairs_threshold=0.5)
+    assert rows.count() == len(DD.SWEEP_THRESHOLDS)
 
 
 def test_doc_containment_detects_quote_inclusion(spark):
