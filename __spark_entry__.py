@@ -1066,6 +1066,32 @@ def _q_doc_containment(spark, sf_dir):
     return DD.doc_containment(_docs(spark, sf_dir))
 
 
+# -- round-4 additions -------------------------------------------------
+
+def _q_word_entropy(spark, sf_dir):
+    return TX.word_entropy(_docs(spark, sf_dir))
+
+
+def _q_pmi_top_pairs(spark, sf_dir):
+    return TX.pmi_top_pairs(_docs(spark, sf_dir))
+
+
+def _q_ngram_dup_spans(spark, sf_dir):
+    return TX.ngram_dup_spans(_docs(spark, sf_dir))
+
+
+def _q_doc_chunks(spark, sf_dir):
+    return PK.doc_chunks(_docs(spark, sf_dir))
+
+
+def _q_stratified_kfold(spark, sf_dir):
+    return PK.stratified_kfold(_docs(spark, sf_dir))
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    return SIM.semantic_dedup(_emb(spark, sf_dir))
+
+
 def _bpe_sql(n_merges: int, final: str) -> str:
     """Unrolled chained-CTE DuckDB twin of bpe_train/bpe_segment (the
     kmeans_train rule: iteration count pinned, so both engines execute
@@ -1336,6 +1362,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "idle_rich_customers": _q_idle_rich_customers,
         "region_revenue_sql": _q_region_revenue_sql,
+        # round-4-new operators (next window, per the section-2 rule)
+        "word_entropy": _q_word_entropy,
+        "pmi_top_pairs": _q_pmi_top_pairs,
+        "ngram_dup_spans": _q_ngram_dup_spans,
+        "doc_chunks": _q_doc_chunks,
+        "stratified_kfold": _q_stratified_kfold,
+        "semantic_dedup": _q_semantic_dedup,
         "approx_stats": _q_approx_stats,
         "audio_meta": _q_audio_meta,
         # -- 3. externally green in r1/r2/r3 (locally re-verified each round) -------------------------------
@@ -2242,6 +2275,119 @@ def oracle_sql() -> dict[str, str]:
                         END AS dup_frac
             FROM bi
         """,
+        # mirrors text.word_entropy: counts exact, entropy is a left
+        # fold over WORD-SORTED counts (same IEEE add order as Spark's
+        # aggregate over sort_array), round-6
+        "word_entropy": f"""
+            WITH wc AS (
+                SELECT doc_id, word, COUNT(*) AS cnt
+                FROM (SELECT doc_id,
+                             UNNEST(string_split({_NORM_SQL}, ' ')) AS word
+                      FROM documents)
+                GROUP BY 1, 2
+            ), ag AS (
+                SELECT doc_id, SUM(cnt) AS n,
+                       list(CAST(cnt AS DOUBLE) ORDER BY word) AS cs
+                FROM wc GROUP BY 1
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(len(cs) AS BIGINT) AS n_distinct,
+                   ROUND(-list_reduce(
+                       list_prepend(0.0, [c / n * ln(c / n) FOR c IN cs]),
+                       (a, b) -> a + b), 6) AS entropy
+            FROM ag
+        """,
+        # mirrors text.pmi_top_pairs: rank on the exact-integer ratio
+        # in ONE divide (not the ln), ties (w1, w2); pmi round-6
+        "pmi_top_pairs": f"""
+            WITH bg AS (
+                SELECT s['w1'] AS w1, s['w2'] AS w2 FROM (
+                    SELECT UNNEST([struct_pack(w1 := t[i], w2 := t[i+1])
+                                   FOR i IN generate_series(1, len(t)-1)]) AS s
+                    FROM (SELECT string_split({_NORM_SQL}, ' ') AS t
+                          FROM documents))
+            ),
+            cc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+            m1 AS (SELECT w1, SUM(c12) AS c1 FROM cc GROUP BY 1),
+            m2 AS (SELECT w2, SUM(c12) AS c2 FROM cc GROUP BY 1),
+            nt AS (SELECT SUM(c12) AS n_tot FROM cc)
+            SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+                   ROUND(LN(CAST(c12 * n_tot AS DOUBLE)
+                            / CAST(c1 * c2 AS DOUBLE)), 6) AS pmi
+            FROM cc JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nt
+            WHERE c12 >= {TX.PMI_MIN_COUNT}
+            ORDER BY CAST(c12 * n_tot AS DOUBLE)
+                     / CAST(c1 * c2 AS DOUBLE) DESC, w1, w2
+            LIMIT {TX.PMI_TOP_K}
+        """,
+        # mirrors text.ngram_dup_spans: positional md5 8-grams, ≥2
+        # distinct docs ⇒ duplicated, span union via count-distinct
+        "ngram_dup_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, i AS pos,
+                       md5(array_to_string(t[i : i + {TX.DUP_SPAN_N - 1}],
+                                           ' ')) AS g
+                FROM (SELECT doc_id, t,
+                             UNNEST(generate_series(
+                                 1, len(t) - {TX.DUP_SPAN_N - 1})) AS i
+                      FROM toks)
+            ),
+            dupg AS (SELECT g FROM grams GROUP BY g
+                     HAVING COUNT(DISTINCT doc_id) >= 2),
+            duppos AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+            perdoc AS (SELECT doc_id, COUNT(*) AS n_dup_grams
+                       FROM duppos GROUP BY 1),
+            cov AS (
+                SELECT doc_id, COUNT(DISTINCT j) AS covered
+                FROM (SELECT doc_id,
+                             UNNEST(generate_series(
+                                 pos, pos + {TX.DUP_SPAN_N - 1})) AS j
+                      FROM duppos)
+                GROUP BY 1
+            ),
+            base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+                            CAST(GREATEST(len(t) - {TX.DUP_SPAN_N - 1}, 0)
+                                 AS BIGINT) AS n_grams
+                     FROM toks)
+            SELECT b.doc_id, b.n_words, b.n_grams,
+                   CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_words,
+                   ROUND(CAST(COALESCE(c.covered, 0) AS DOUBLE)
+                         / CAST(b.n_words AS DOUBLE), 6) AS covered_frac
+            FROM base b LEFT JOIN perdoc p USING (doc_id)
+                        LEFT JOIN cov c USING (doc_id)
+        """,
+        # mirrors packing.doc_chunks: windows of CHUNK_WINDOW tokens
+        # every CHUNK_STRIDE, trailing partials kept; md5 chunk keys
+        "doc_chunks": f"""
+            SELECT doc_id,
+                   CAST((s - 1) // {PK.CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+                   CAST(s AS BIGINT) AS chunk_start,
+                   CAST(len(t[s : s + {PK.CHUNK_WINDOW - 1}]) AS BIGINT)
+                       AS n_chunk_tokens,
+                   md5(array_to_string(t[s : s + {PK.CHUNK_WINDOW - 1}], ' '))
+                       AS chunk_hash
+            FROM (SELECT doc_id, t,
+                         UNNEST(generate_series(1, len(t),
+                                                {PK.CHUNK_STRIDE})) AS s
+                  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+                        FROM documents))
+        """,
+        # mirrors packing.stratified_kfold: per-source content-hash
+        # rank dealt round-robin into k folds (exact stratification)
+        "stratified_kfold": f"""
+            SELECT doc_id, source,
+                   CAST((row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(text), doc_id) - 1) % {PK.KFOLDS}
+                       AS INTEGER) AS fold
+            FROM documents
+            ORDER BY doc_id
+        """,
         "quality_score": f"""
             SELECT doc_id,
                    n_tokens, n_stopwords,
@@ -3127,6 +3273,69 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY dot DESC, cid ASC) AS rn
                   FROM dots)
             WHERE rn = 1
+        """,
+        # mirrors similarity.semantic_dedup: ivf_assign's argmax-dot
+        # cells (same decimal dot rule + lowest-cid tie), intra-cell
+        # pair cosines, is_dup on the UNROUNDED max vs τ
+        "semantic_dedup": _PE_SQL + f"""
+            , nc AS (  -- SQL twin of similarity.semantic_cells:
+                       -- smallest power of 2 with c² ≥ n, floor 8
+                SELECT CASE WHEN cnt <= 64 THEN 8
+                            WHEN cnt <= 256 THEN 16
+                            WHEN cnt <= 1024 THEN 32
+                            WHEN cnt <= 4096 THEN 64
+                            WHEN cnt <= 16384 THEN 128
+                            WHEN cnt <= 65536 THEN 256
+                            WHEN cnt <= 262144 THEN 512
+                            ELSE {SIM.SEMANTIC_CELL_CAP} END AS k
+                FROM (SELECT COUNT(*) AS cnt FROM embeddings)),
+            cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval
+                    FROM pe WHERE vec_id < (SELECT k FROM nc)),
+            cdots AS (
+                SELECT pe.vec_id, cid,
+                       CAST(SUM(CAST(val * cval AS DECIMAL(38,10)))
+                            AS DOUBLE) AS dot
+                FROM pe JOIN cpe ON pe.pos = cpe.cpos
+                GROUP BY 1, 2
+            ),
+            cells AS (
+                SELECT vec_id, cid AS cell
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id
+                          ORDER BY dot DESC, cid ASC) AS rn
+                      FROM cdots)
+                WHERE rn = 1
+            ),
+            norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10)))
+                                 AS DOUBLE)) AS nrm
+                FROM pe GROUP BY 1
+            ),
+            pdots AS (
+                SELECT ca.vec_id AS va, cb.vec_id AS vb,
+                       CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,10)))
+                            AS DOUBLE) AS dot
+                FROM cells ca
+                JOIN cells cb ON ca.cell = cb.cell
+                             AND ca.vec_id < cb.vec_id
+                JOIN pe a ON a.vec_id = ca.vec_id
+                JOIN pe b ON b.vec_id = cb.vec_id AND b.pos = a.pos
+                GROUP BY 1, 2
+            ),
+            mx AS (
+                SELECT vb AS vec_id,
+                       MAX(dot / (na.nrm * nb.nrm)) AS max_cos
+                FROM pdots JOIN norms na ON na.vec_id = va
+                           JOIN norms nb ON nb.vec_id = vb
+                GROUP BY 1
+            )
+            SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+                   ROUND(m.max_cos, 6) AS max_earlier_cos,
+                   COALESCE(m.max_cos >= {SIM.SEMANTIC_DEDUP_TAU}, FALSE)
+                       AS is_dup
+            FROM cells c LEFT JOIN mx m USING (vec_id)
+            ORDER BY c.vec_id
         """,
         "kmeans_train": _kmeans_train_oracle_sql(),
         # mirrors similarity.label_outliers: centroid = decimal-sum

@@ -354,3 +354,74 @@ def length_bucket_batches(docs: DataFrame,
                      - F.col("sum_tokens")).cast("long")
                      .alias("padding_waste"))
             .orderBy("batch_id"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4: overlapping-window chunking — the RAG/long-context
+# preprocessing shape (_chunks above is the DISJOINT packer segmenter;
+# retrieval chunking overlaps windows so no answer span straddles a
+# boundary unseen).
+
+CHUNK_WINDOW = 32   # tokens per chunk
+CHUNK_STRIDE = 24   # window start step (overlap = WINDOW - STRIDE)
+
+
+def doc_chunks(docs: DataFrame, window: int = CHUNK_WINDOW,
+               stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Overlapping token-window chunking: windows of `window` tokens
+    starting every `stride` tokens (trailing partial windows kept, so
+    every token belongs to ≥1 chunk). Emits a content hash per chunk —
+    the unit key downstream embedding/indexing stages join on.
+
+    Row-local transform + explode: zero shuffle, fuses into the scan —
+    the 1→many map shape that scales linearly. Output fan-out is
+    ≈ len/stride rows per doc (window/stride ≈ 1.33× token
+    duplication), the accepted overlap cost.
+
+    Returns (doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_hash) — all exact ints/md5, no float surface at all.
+    """
+    toks = F.split(_norm(F.col("text")), " ")
+    t = docs.select("doc_id", toks.alias("_toks"))
+    win = F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("_toks"), F.lit(stride)),
+        lambda s: F.struct(
+            s.alias("start"),
+            F.slice("_toks", s, window).alias("w"))))
+    return (t.select("doc_id", win.alias("c"))
+            .select("doc_id",
+                    (((F.col("c.start") - 1) / stride).cast("long"))
+                    .alias("chunk_idx"),
+                    F.col("c.start").cast("long").alias("chunk_start"),
+                    F.size("c.w").cast("long").alias("n_chunk_tokens"),
+                    F.md5(F.concat_ws(" ", "c.w")).alias("chunk_hash")))
+
+
+KFOLDS = 5
+
+
+def stratified_kfold(docs: DataFrame, k: int = KFOLDS) -> DataFrame:
+    """Stratified k-fold assignment: within every source, documents
+    are ranked by content hash (md5(text), doc_id tie-break — a
+    deterministic proxy shuffle with hash_split's re-ingest
+    invariance) and dealt round-robin into k folds, so each fold
+    holds an EXACT 1/k slice of every source — the cross-validation
+    split a data-mixture ablation needs (plain hash%k is only
+    balanced in expectation; per-source skew leaks into fold
+    variance).
+
+    The per-source rank is the same distributed prefix-count shape as
+    quality_quantile_cut (ranged_cumsum: range exchange + bounded
+    window + broadcast offsets), so no task serializes on the largest
+    source at 100 TB.
+
+    Returns (doc_id, source, fold) — exact integers only.
+    """
+    base = (docs.select("doc_id", "source",
+                        F.md5("text").alias("_h"))
+            .withColumn("_one", F.lit(1).cast("long")))
+    cum = ranged_cumsum(base, "_one", [F.asc("_h"), F.asc("doc_id")],
+                        group_cols=["source"])
+    return (cum.select("doc_id", "source",
+                       ((F.col("_cum") - 1) % k).cast("int").alias("fold"))
+            .orderBy("doc_id"))

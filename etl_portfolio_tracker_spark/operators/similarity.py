@@ -855,3 +855,99 @@ def incremental_topk(emb: DataFrame, query_vec_id: int = 0,
     return (leg(corpus).unionByName(leg(delta))
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+# space, then prune any vector whose cosine to an EARLIER member of
+# the same cluster clears a threshold — near-duplicate removal by
+# meaning, the step text-level MinHash can't do (paraphrases share no
+# shingles). Round-4 extension; reference has no embedding analogue.
+
+# SemDeDup's paper value is ~0.95 on real text embeddings; the test
+# corpus's synthetic vectors are near-orthogonal (max intra-cell
+# cosine ≈ 0.49 at sf0.01), so the demo τ sits inside the observed
+# range to keep BOTH verdict branches exercised by the oracle gate.
+SEMANTIC_DEDUP_TAU = 0.4
+SEMANTIC_CELL_CAP = 1024
+
+
+def semantic_cells(n_rows: int, cap: int = SEMANTIC_CELL_CAP) -> int:
+    """SemDeDup's cell-count rule, integer-exact: the smallest power
+    of two c with c² ≥ n (≈ √n, so expected pairs per corpus stay
+    ~n^1.5/2 instead of n²), floor 8, capped. Pure integer doubling —
+    no float log/sqrt whose 1-ulp boundary could diverge between the
+    Spark driver and the oracle's SQL CASE ladder (which pins the
+    same thresholds: c=8 ⇔ n≤64, 16 ⇔ n≤256, 32 ⇔ n≤1024, ...).
+
+    Measured motivation (BENCH_FULL r4): with n_cells FIXED at 8 the
+    intra-cell pair scan was N²/16 — 12.8 s at sf0.1 (1.5M pairs) and
+    quadratic beyond; with c ~ √N the same query is sub-second and
+    pair growth is ~N^1.5."""
+    c = 8
+    while c * c < n_rows and c < cap:
+        c *= 2
+    return c
+
+
+def semantic_dedup(emb: DataFrame, n_cells: int | None = None,
+                   threshold: float = SEMANTIC_DEDUP_TAU) -> DataFrame:
+    """SemDeDup over the embeddings table: IVF-style cell assignment
+    (argmax-dot against the deterministic first-c centroids — the
+    ivf_assign codebook rule, so assignments are engine-exact), then
+    an intra-cell pair scan marks vec b a duplicate when some a < b
+    in the same cell has cos(a,b) ≥ τ. Keep-lowest-id matches the
+    dedup.py canonical rule.
+
+    Scale shape: the pair scan is quadratic WITHIN a cell only, and
+    the cell count follows SemDeDup's √N recipe (semantic_cells) so
+    expected pair work is ~N^1.5, not N²; the cell id is the shuffle
+    key, so each cell's scan is one task with no cross-cell traffic.
+    The assignment is a broadcast join against the c-row centroid
+    frame (O(model) state; row_number picks argmax dot with
+    lowest-cid ties) — a join, not c unrolled columns, so c can grow
+    with the corpus without codegen blowup. The only corpus-sized
+    exchanges are the cell-keyed one and the assignment's row_number
+    window (keyed by vec_id — hash-distributed, no global order).
+    The driver-side .count() sizing the codebook is O(1) state, the
+    adaptive_band_planes precedent.
+
+    Determinism: dots/norms via the module's exact-unit decimal rule;
+    the τ compare and per-vec MAX are over bit-stable doubles;
+    max_earlier_cos is round-6 for display only (the flag uses the
+    unrounded value on both engines).
+    """
+    if n_cells is None:
+        n_cells = semantic_cells(emb.count())
+    cents = (emb.filter(F.col("vec_id") < n_cells)
+             .select(F.col("vec_id").cast("int").alias("_cid"),
+                     F.col("embedding").alias("_cvec")))
+    scored = (_spread(emb).crossJoin(F.broadcast(cents))
+              .select("vec_id", "embedding", "_cid",
+                      F.expr(_dot_sql("embedding", "_cvec")).alias("_dot")))
+    w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), F.asc("_cid"))
+    cells = (scored.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .select("vec_id", "embedding", F.col("_cid").alias("cell"),
+                     F.expr(_norm_sql("embedding")).alias("_nrm")))
+    a = cells.select(F.col("vec_id").alias("_va"),
+                     F.col("cell").alias("_ca"),
+                     F.col("embedding").alias("_ea"),
+                     F.col("_nrm").alias("_na"))
+    b = cells.select(F.col("vec_id").alias("_vb"),
+                     F.col("cell").alias("_cb"),
+                     F.col("embedding").alias("_eb"),
+                     F.col("_nrm").alias("_nb"))
+    cos = (F.expr(_dot_sql("_ea", "_eb"))
+           / (F.col("_na") * F.col("_nb")))
+    earlier = (a.join(b, (F.col("_ca") == F.col("_cb"))
+                      & (F.col("_va") < F.col("_vb")))
+               .select(F.col("_vb").alias("vec_id"), cos.alias("_cos"))
+               .groupBy("vec_id")
+               .agg(F.max("_cos").alias("_max_cos")))
+    return (cells.join(earlier, "vec_id", "left")
+            .select("vec_id", F.col("cell").cast("int").alias("cell"),
+                    F.round("_max_cos", 6).alias("max_earlier_cos"),
+                    F.coalesce(F.col("_max_cos") >= threshold,
+                               F.lit(False)).alias("is_dup"))
+            .orderBy("vec_id"))

@@ -638,3 +638,143 @@ def quality_quantile_cut(docs: DataFrame,
                     (rnk <= F.expr(f"(_cnt * {keep_pct} + 99) div 100"))
                     .alias("kept"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: information-theoretic quality signals and
+# exact-substring decontamination stats (reference has no analogue —
+# these extend the LLM-curation tier; cf. Gopher §A2 / C4 §2.3 for the
+# filter semantics they implement).
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+DUP_SPAN_N = 8
+
+
+def word_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution — the
+    classic "garble vs boilerplate" quality axis (low entropy = a few
+    words repeated = template/spam; high entropy at short length =
+    random noise). Complements repetition_score: entropy sees the
+    full distribution, not just adjacent repeats.
+
+    Plan shape: explode → count per (doc, word) [one shuffle keyed by
+    doc_id+word, map-side combined] → per-doc fold. 100 TB: the
+    shuffle carries one row per DISTINCT word per doc (≤ vocab, far
+    below token count) and everything downstream is per-doc local.
+
+    Determinism: counts are exact integers; the entropy sum is a
+    LEFT FOLD OVER WORD-SORTED counts (sort_array on struct(word) /
+    DuckDB list(... ORDER BY word)) so both engines add the same IEEE
+    doubles in the same order — the bpe.py fold rule. One ln() per
+    distinct word (1-ulp libm variance absorbed by round-6).
+    """
+    wc = (docs.select("doc_id", F.explode(tokens_col()).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt")))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sort_array(F.collect_list(F.struct("w", "cnt"))).alias("_ps"))
+    n = F.col("n_tokens").cast("double")
+    ent = -F.aggregate(
+        F.transform("_ps", lambda p: p["cnt"].cast("double")),
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log(c / n))
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("_ps").cast("long").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy"))
+
+
+def pmi_top_pairs(docs: DataFrame, k: int = PMI_TOP_K,
+                  min_count: int = PMI_MIN_COUNT) -> DataFrame:
+    """Corpus-level pointwise mutual information of ADJACENT word
+    pairs — the collocation detector (PMI = ln P(xy)/(P(x)P(y)));
+    training pipelines use it to find multi-word units worth
+    protecting from tokenizer splits and to spot templated boilerplate
+    (very high PMI at high count).
+
+    One shuffle builds the bigram model (groupBy(w1,w2), map-side
+    combined); the marginals c(w1,·), c(·,w2) and N all re-aggregate
+    the MODEL (vocab²-bounded, not corpus-bounded) — the same
+    corpus→model reduction bpe.py documents. Top-k is a
+    TakeOrderedAndProject, no global sort.
+
+    Determinism: ordering uses the exact-integer ratio
+    (c12·N)/(c1·c2) in ONE IEEE divide (products < 2^53 at any tested
+    SF) rather than the ln(), so rank order is engine-exact; ties
+    break on (w1, w2). The reported pmi is round-6 ln(ratio).
+    """
+    bg = (docs.select("doc_id", tokens_col().alias("_toks"))
+          .select(F.explode(_bigrams_col("_toks")).alias("bg"))
+          .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = c12.agg(F.sum("c12").alias("_N"))
+    ratio = ((F.col("c12") * F.col("_N")).cast("double")
+             / (F.col("c1") * F.col("c2")).cast("double"))
+    return (c12.filter(F.col("c12") >= min_count)
+            .join(c1, "w1").join(c2, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
+                    ratio.alias("_ratio"))
+            .orderBy(F.desc("_ratio"), "w1", "w2").limit(k)
+            .select("w1", "w2", "c12",
+                    F.round(F.log("_ratio"), 6).alias("pmi")))
+
+
+def ngram_dup_spans(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """Exact-substring decontamination stats: for every document,
+    how much of it is covered by an n-gram (n=8 words) that also
+    appears in ANOTHER document — the C4/RefinedWeb "remove any span
+    shared across documents" primitive, reported as per-doc coverage
+    so a pipeline can drop or trim.
+
+    Plan: positional n-grams (row-local transform — one row per
+    position), groupBy(gram) with a two-distinct-docs test, then the
+    duplicated positions fan out n span offsets and a per-doc
+    count-distinct closes the interval union. The gram shuffle is the
+    big one and it carries md5(gram) 16-byte keys, not the raw 8-word
+    strings; positions covered re-shuffles only DUPLICATED positions
+    (corpus-dup-bounded, the small side after curation).
+
+    All outputs are exact integers except covered_frac (one divide).
+    """
+    toks = docs.select("doc_id", tokens_col().alias("_toks"))
+    sz = F.size("_toks")
+    # guard: Spark sequence(1, 0) yields DESCENDING [1,0], not empty —
+    # docs shorter than n must produce zero grams explicitly
+    pos_grams = F.when(sz >= n, F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice("_toks", i, n))).alias("g")))
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    grams = (toks.select("doc_id", F.explode(pos_grams).alias("pg"))
+             .select("doc_id", F.col("pg.pos").alias("pos"),
+                     F.col("pg.g").alias("g")))
+    dup_grams = (grams.groupBy("g")
+                 .agg(F.count_distinct("doc_id").alias("_nd"))
+                 .filter(F.col("_nd") >= 2).select("g"))
+    dup_pos = grams.join(dup_grams, "g")
+    per_doc_dup = dup_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"))
+    covered = (dup_pos.select(
+        "doc_id", F.explode(F.sequence(
+            F.col("pos"), F.col("pos") + (n - 1))).alias("j"))
+        .groupBy("doc_id").agg(F.count_distinct("j").alias("covered")))
+    base = toks.select(
+        "doc_id", sz.cast("long").alias("n_words"),
+        F.greatest(sz - (n - 1), F.lit(0)).cast("long").alias("n_grams"))
+    out = (base.join(per_doc_dup, "doc_id", "left")
+           .join(covered, "doc_id", "left")
+           .select("doc_id", "n_words", "n_grams",
+                   F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                    .cast("long").alias("n_dup_grams"),
+                   F.coalesce(F.col("covered"), F.lit(0))
+                    .cast("long").alias("covered_words")))
+    return out.select(
+        "*",
+        F.round(F.col("covered_words").cast("double")
+                / F.col("n_words").cast("double"), 6).alias("covered_frac"))

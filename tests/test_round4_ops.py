@@ -1,0 +1,163 @@
+"""Round-4 operators on constructed micro-frames: word entropy, PMI
+collocations, duplicated-span coverage, overlapping chunking,
+stratified k-fold, semantic dedup."""
+
+import hashlib
+import math
+
+from etl_portfolio_tracker_spark import schemas
+from etl_portfolio_tracker_spark.operators import packing as PK
+from etl_portfolio_tracker_spark.operators import similarity as SIM
+from etl_portfolio_tracker_spark.operators import text as TX
+
+
+def docs_df(spark, texts, sources=None):
+    srcs = sources or ["src"] * len(texts)
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(zip(texts, srcs))],
+        schema=schemas.DOCUMENTS)
+
+
+def emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        schema=schemas.EMBEDDINGS)
+
+
+# -- word_entropy ------------------------------------------------------
+
+def test_word_entropy_degenerate_and_uniform(spark):
+    out = {r["doc_id"]: r for r in TX.word_entropy(
+        docs_df(spark, ["a a a a", "a b", "a a b b c c d d"])).collect()}
+    # one distinct word → zero entropy
+    assert out[0]["n_tokens"] == 4 and out[0]["n_distinct"] == 1
+    assert out[0]["entropy"] == 0.0
+    # two equally likely words → ln 2
+    assert out[1]["entropy"] == round(math.log(2), 6)
+    # four equally likely words → ln 4
+    assert out[2]["entropy"] == round(math.log(4), 6)
+
+
+def test_word_entropy_skewed(spark):
+    # p = (3/4, 1/4): H = -(0.75 ln 0.75 + 0.25 ln 0.25)
+    out = TX.word_entropy(docs_df(spark, ["a a a b"])).collect()[0]
+    expect = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert out["entropy"] == round(expect, 6)
+
+
+# -- pmi_top_pairs -----------------------------------------------------
+
+def test_pmi_perfect_collocation(spark):
+    # "x y" 5× in one doc: c12(x,y)=5, c1(x·)=5, c2(·y)=5, N=9 bigrams
+    out = TX.pmi_top_pairs(docs_df(spark, ["x y x y x y x y x y"]),
+                           k=5, min_count=5).collect()
+    assert [(r["w1"], r["w2"], r["c12"]) for r in out] == [("x", "y", 5)]
+    assert out[0]["pmi"] == round(math.log(5 * 9 / (5 * 5)), 6)
+
+
+def test_pmi_min_count_filters(spark):
+    # every bigram unique → nothing clears min_count
+    assert TX.pmi_top_pairs(docs_df(spark, ["a b c d e"]),
+                            min_count=2).count() == 0
+
+
+# -- ngram_dup_spans ---------------------------------------------------
+
+def test_ngram_dup_spans_shared_prefix(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    d = docs_df(spark, [shared + " a1 a2",       # 10 words, 3 grams
+                        shared + " b1 b2 b3",    # 11 words, 4 grams
+                        "q1 q2 q3 q4 q5 q6 q7 q8 q9"])  # no shared grams
+    out = {r["doc_id"]: r for r in TX.ngram_dup_spans(d).collect()}
+    # only the position-1 gram (the shared prefix) is duplicated
+    assert (out[0]["n_grams"], out[0]["n_dup_grams"],
+            out[0]["covered_words"]) == (3, 1, 8)
+    assert out[0]["covered_frac"] == round(8 / 10, 6)
+    assert (out[1]["n_dup_grams"], out[1]["covered_words"]) == (1, 8)
+    assert (out[2]["n_dup_grams"], out[2]["covered_words"]) == (0, 0)
+
+
+def test_ngram_dup_spans_short_doc(spark):
+    # shorter than n → zero grams, zero coverage, frac 0
+    out = TX.ngram_dup_spans(docs_df(spark, ["a b c"])).collect()[0]
+    assert (out["n_grams"], out["covered_words"], out["covered_frac"]) \
+        == (0, 0, 0.0)
+
+
+# -- doc_chunks --------------------------------------------------------
+
+def test_doc_chunks_overlap_and_trailing(spark):
+    words = [f"t{i}" for i in range(1, 41)]           # 40 tokens
+    out = sorted(PK.doc_chunks(docs_df(spark, [" ".join(words)])).collect(),
+                 key=lambda r: r["chunk_idx"])
+    assert [(r["chunk_idx"], r["chunk_start"], r["n_chunk_tokens"])
+            for r in out] == [(0, 1, 32), (1, 25, 16)]
+    # chunk hash is md5 of the space-joined window
+    w0 = " ".join(words[0:32])
+    assert out[0]["chunk_hash"] == hashlib.md5(w0.encode()).hexdigest()
+    w1 = " ".join(words[24:40])
+    assert out[1]["chunk_hash"] == hashlib.md5(w1.encode()).hexdigest()
+
+
+def test_doc_chunks_every_token_covered(spark):
+    words = [f"t{i}" for i in range(1, 101)]
+    out = PK.doc_chunks(docs_df(spark, [" ".join(words)])).collect()
+    covered = set()
+    for r in out:
+        covered.update(range(r["chunk_start"],
+                             r["chunk_start"] + r["n_chunk_tokens"]))
+    assert covered == set(range(1, 101))
+
+
+# -- stratified_kfold --------------------------------------------------
+
+def test_stratified_kfold_exact_balance(spark):
+    d = docs_df(spark, [f"doc number {i}" for i in range(20)],
+                sources=["s0"] * 10 + ["s1"] * 10)
+    out = PK.stratified_kfold(d, k=5).collect()
+    per = {}
+    for r in out:
+        per[(r["source"], r["fold"])] = per.get((r["source"], r["fold"]), 0) + 1
+    # 10 docs per source into 5 folds → exactly 2 per (source, fold)
+    assert all(v == 2 for v in per.values()) and len(per) == 10
+
+
+def test_stratified_kfold_content_invariant(spark):
+    # re-ingest under shifted doc_ids: same text → same source rank
+    # order (hash ties broken by doc_id can't occur with distinct
+    # texts) → same fold sequence
+    texts = [f"alpha beta {i}" for i in range(10)]
+    a = PK.stratified_kfold(docs_df(spark, texts), k=5).collect()
+    b_rows = [(i + 100, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+    b_df = spark.createDataFrame(b_rows, schema=schemas.DOCUMENTS)
+    b = PK.stratified_kfold(b_df, k=5).collect()
+    fa = {r["doc_id"]: r["fold"] for r in a}
+    fb = {r["doc_id"] - 100: r["fold"] for r in b}
+    assert fa == fb
+
+
+# -- semantic_dedup ----------------------------------------------------
+
+def test_semantic_dedup_flags_near_copy(spark):
+    # 8 near-orthogonal centroids (identity-ish dims) + vec 8 almost
+    # equal to vec 0 → same cell, cosine ≈ 1 → flagged; vec 9 far from
+    # everything in its cell → kept
+    base = [[1.0 if j == i else 0.0 for j in range(8)] for i in range(8)]
+    near0 = [0.99, 0.01, 0, 0, 0, 0, 0, 0]
+    lone = [-1.0, -0.9, 0, 0, 0, 0, 0, 0]
+    out = {r["vec_id"]: r for r in SIM.semantic_dedup(
+        emb_df(spark, base + [near0, lone]), n_cells=8).collect()}
+    assert out[8]["cell"] == 0 and out[8]["is_dup"]
+    assert out[8]["max_earlier_cos"] > 0.99
+    assert not out[0]["is_dup"]          # earliest member always kept
+    assert not out[9]["is_dup"]
+
+
+def test_semantic_dedup_keep_lowest_id(spark):
+    # three copies of the same direction: 8 centroid defs then copies
+    base = [[1.0 if j == i else 0.0 for j in range(8)] for i in range(8)]
+    copy1 = [2.0, 0, 0, 0, 0, 0, 0, 0]   # same direction as vec 0
+    copy2 = [3.0, 0, 0, 0, 0, 0, 0, 0]
+    out = {r["vec_id"]: r["is_dup"] for r in SIM.semantic_dedup(
+        emb_df(spark, base + [copy1, copy2]), n_cells=8).collect()}
+    assert not out[0] and out[8] and out[9]
