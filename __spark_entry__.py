@@ -1092,6 +1092,86 @@ def _q_semantic_dedup(spark, sf_dir):
     return SIM.semantic_dedup(_emb(spark, sf_dir))
 
 
+def _q_mmr_topk(spark, sf_dir):
+    return SIM.mmr_topk(_emb(spark, sf_dir))
+
+
+def _mmr_sql(k: int = None, pool: int = None, qid: int = 0) -> str:
+    """Unrolled greedy-MMR DuckDB twin (the kmeans_train/bpe_train
+    rule: iteration count pinned, each step a CTE). Pool and pairwise
+    cosines use the decimal dot rule + round-6; each step picks
+    argmax 0.5·rel − 0.5·max-redundancy with (score DESC, vec_id)
+    order — identical to mmr_topk's strict-> tie rule. Scores stay
+    UNROUNDED (see similarity.mmr_topk docstring: a round-6 here sits
+    exactly on the half-even/half-away boundary by construction)."""
+    k = k or SIM.MMR_K
+    pool = pool or SIM.MMR_POOL
+    # rel/pc are AS MATERIALIZED: the step CTEs reference them (and
+    # each other) down a k-deep chain, and DuckDB's default CTE
+    # inlining re-evaluated the corpus-sized rel/pc once per REFERENCE
+    # — measured 554 s for k=5 at sf0.01 vs 0.4 s materialized
+    parts = [_PE_SQL.replace("pe AS (", "pe AS MATERIALIZED (") + f"""
+        , q AS (SELECT pos AS qpos, val AS qval FROM pe
+                WHERE vec_id = {qid}),
+        norms AS MATERIALIZED (
+            SELECT vec_id, SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10)))
+                                     AS DOUBLE)) AS nrm
+            FROM pe GROUP BY 1
+        ),
+        rel AS MATERIALIZED (
+            SELECT d.vec_id, ROUND(d.dot / (n.nrm * qn.qnrm), 6) AS rel
+            FROM (SELECT vec_id,
+                         CAST(SUM(CAST(val * qval AS DECIMAL(38,10)))
+                              AS DOUBLE) AS dot
+                  FROM pe JOIN q ON pe.pos = q.qpos
+                  WHERE vec_id <> {qid} GROUP BY 1) d
+            JOIN norms n USING (vec_id)
+            CROSS JOIN (SELECT nrm AS qnrm FROM norms
+                        WHERE vec_id = {qid}) qn
+            ORDER BY rel DESC, d.vec_id LIMIT {pool}
+        ),
+        pc AS MATERIALIZED (
+            SELECT ra.vec_id AS va, rb.vec_id AS vb,
+                   ROUND(CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,10)))
+                              AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cs
+            FROM rel ra JOIN rel rb ON ra.vec_id < rb.vec_id
+            JOIN pe a ON a.vec_id = ra.vec_id
+            JOIN pe b ON b.vec_id = rb.vec_id AND b.pos = a.pos
+            JOIN norms na ON na.vec_id = ra.vec_id
+            JOIN norms nb ON nb.vec_id = rb.vec_id
+            GROUP BY 1, 2, na.nrm, nb.nrm
+        ),
+        cand1 AS (SELECT vec_id, rel, 0.5 * rel AS score_raw FROM rel),
+        s1 AS MATERIALIZED (SELECT vec_id, rel, score_raw FROM cand1
+               ORDER BY score_raw DESC, vec_id LIMIT 1),
+        sels1 AS MATERIALIZED (SELECT vec_id FROM s1)"""]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(f"""
+        , cand{i} AS (
+            SELECT r.vec_id, r.rel,
+                   0.5 * r.rel - 0.5 * (
+                       SELECT MAX(cs) FROM pc
+                       WHERE (pc.va = r.vec_id AND pc.vb IN
+                                  (SELECT vec_id FROM sels{p}))
+                          OR (pc.vb = r.vec_id AND pc.va IN
+                                  (SELECT vec_id FROM sels{p}))
+                   ) AS score_raw
+            FROM rel r
+            WHERE r.vec_id NOT IN (SELECT vec_id FROM sels{p})
+        ),
+        s{i} AS MATERIALIZED (SELECT vec_id, rel, score_raw FROM cand{i}
+                 ORDER BY score_raw DESC, vec_id LIMIT 1),
+        sels{i} AS MATERIALIZED (SELECT vec_id FROM sels{p}
+                    UNION ALL SELECT vec_id FROM s{i})""")
+    finals = "\n            UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, vec_id, "
+        f"rel AS relevance, score_raw AS score FROM s{i}"
+        for i in range(1, k + 1))
+    parts.append(f"\n        SELECT * FROM ({finals}) ORDER BY rank")
+    return "".join(parts)
+
+
 def _bpe_sql(n_merges: int, final: str) -> str:
     """Unrolled chained-CTE DuckDB twin of bpe_train/bpe_segment (the
     kmeans_train rule: iteration count pinned, so both engines execute
@@ -1369,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "stratified_kfold": _q_stratified_kfold,
         "semantic_dedup": _q_semantic_dedup,
+        "mmr_topk": _q_mmr_topk,
         "approx_stats": _q_approx_stats,
         "audio_meta": _q_audio_meta,
         # -- 3. externally green in r1/r2/r3 (locally re-verified each round) -------------------------------
@@ -3337,6 +3418,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c LEFT JOIN mx m USING (vec_id)
             ORDER BY c.vec_id
         """,
+        "mmr_topk": _mmr_sql(),
         "kmeans_train": _kmeans_train_oracle_sql(),
         # mirrors similarity.label_outliers: centroid = decimal-sum
         # mean ROUNDed 6 (bit-identical across engines), then IEEE

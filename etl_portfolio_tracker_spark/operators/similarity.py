@@ -951,3 +951,78 @@ def semantic_dedup(emb: DataFrame, n_cells: int | None = None,
                     F.coalesce(F.col("_max_cos") >= threshold,
                                F.lit(False)).alias("is_dup"))
             .orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (Carbonell & Goldstein 1998): re-rank a
+# relevance-ordered candidate pool so each pick balances query
+# relevance against redundancy with what's already picked — the
+# retrieval-side twin of semantic_dedup (dedup prunes the corpus once;
+# MMR diversifies per query at serving time).
+
+MMR_K = 5
+MMR_POOL = 50
+MMR_LAMBDA = 0.5   # exactly representable: 1-λ is exact in BOTH engines
+
+
+def mmr_topk(emb: DataFrame, query_vec_id: int = 0, k: int = MMR_K,
+             pool: int = MMR_POOL, lam: float = MMR_LAMBDA) -> DataFrame:
+    """Maximal-Marginal-Relevance top-k: pool = exact cosine top-`pool`
+    (cosine_topk's rounded/tie-broken rule), then k greedy picks of
+    argmax  λ·rel(v) − (1−λ)·max_{s∈picked} cos(v,s), ties to the
+    lowest vec_id.
+
+    Scale shape: the DISTRIBUTED work is the corpus-wide relevance
+    scan (cosine_topk: broadcast query + TakeOrderedAndProject) and
+    the pool×pool cosine matrix (pool² = 2.5k dots — a broadcast
+    self-join over 50 rows). The greedy selection itself runs on
+    collected pool-sized state — O(pool·k) scalars, model-state by
+    construction (pool is a constant, like the k-means codebook), NOT
+    a corpus-sized collect. At 100 TB only the relevance scan grows.
+
+    Determinism: rel and pairwise cos are the module's exact-unit
+    doubles rounded to 6dp; λ = 0.5 so λ and 1−λ are exactly
+    representable and the score arithmetic (two multiplies, one
+    subtract, MAX) is bit-identical in Python, Spark, and DuckDB.
+    The score is emitted UNROUNDED: 0.5 × a 6dp value has a 7th
+    decimal digit of exactly 0 or 5, so any round-6 would sit on the
+    half-even (Python) vs half-away (engines) boundary by
+    construction — the one place the usual round-6 rule is unsafe.
+    """
+    rel_df = cosine_topk(emb, query_vec_id, k=pool)
+    pool_emb = (emb.join(F.broadcast(rel_df.select("vec_id")), "vec_id")
+                .select("vec_id", "embedding",
+                        F.expr(_norm_sql("embedding")).alias("_nrm")))
+    a = pool_emb.select(F.col("vec_id").alias("_va"),
+                        F.col("embedding").alias("_ea"),
+                        F.col("_nrm").alias("_na"))
+    b = pool_emb.select(F.col("vec_id").alias("_vb"),
+                        F.col("embedding").alias("_eb"),
+                        F.col("_nrm").alias("_nb"))
+    pc_df = (a.join(F.broadcast(b), F.col("_va") < F.col("_vb"))
+             .select("_va", "_vb",
+                     F.round(F.expr(_dot_sql("_ea", "_eb"))
+                             / (F.col("_na") * F.col("_nb")), 6)
+                      .alias("_cs")))
+    rel = {r["vec_id"]: r["cos_sim"] for r in rel_df.collect()}
+    pc = {(r["_va"], r["_vb"]): r["_cs"] for r in pc_df.collect()}
+    picked: list[tuple] = []
+    chosen: list[int] = []
+    for rank in range(1, min(k, len(rel)) + 1):
+        best = None
+        for v in sorted(rel):
+            if v in chosen:
+                continue
+            if chosen:
+                red = max(pc[(min(v, s), max(v, s))] for s in chosen)
+                score = lam * rel[v] - (1 - lam) * red
+            else:
+                score = lam * rel[v]
+            # strict > keeps the FIRST (lowest-id) argmax on ties
+            if best is None or score > best[0]:
+                best = (score, v)
+        score, v = best
+        chosen.append(v)
+        picked.append((rank, v, rel[v], score))
+    return emb.sparkSession.createDataFrame(
+        picked, "rank int, vec_id bigint, relevance double, score double")

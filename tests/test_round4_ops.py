@@ -161,3 +161,30 @@ def test_semantic_dedup_keep_lowest_id(spark):
     out = {r["vec_id"]: r["is_dup"] for r in SIM.semantic_dedup(
         emb_df(spark, base + [copy1, copy2]), n_cells=8).collect()}
     assert not out[0] and out[8] and out[9]
+
+
+# -- mmr_topk ----------------------------------------------------------
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    # q = vec 0. vecs 1,2 nearly identical and most relevant; vec 3
+    # less relevant but orthogonal to them. Plain top-2 = {1, 2};
+    # MMR's second pick trades redundancy for diversity → {1, 3}.
+    e = emb_df(spark, [[1.0, 0.0, 0.0],
+                       [0.98, 0.2, 0.0],
+                       [0.99, 0.19, 0.0],
+                       [0.5, 0.0, 0.9]])
+    out = SIM.mmr_topk(e, query_vec_id=0, k=2, pool=3)
+    picks = [r["vec_id"] for r in out.collect()]
+    assert picks[0] == 2          # highest relevance first
+    assert picks[1] == 3          # diverse beats redundant twin
+
+
+def test_mmr_rank_one_is_cosine_argmax(spark):
+    e = emb_df(spark, [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.7, 0.7]])
+    out = SIM.mmr_topk(e, query_vec_id=0, k=3, pool=3).collect()
+    top1 = SIM.cosine_topk(e, query_vec_id=0, k=1).collect()[0]
+    assert out[0]["vec_id"] == top1["vec_id"]
+    assert out[0]["relevance"] == top1["cos_sim"]
+    # ranks are 1..k and picks are distinct
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert len({r["vec_id"] for r in out}) == 3
