@@ -1096,6 +1096,12 @@ def _q_mmr_topk(spark, sf_dir):
     return SIM.mmr_topk(_emb(spark, sf_dir))
 
 
+def _q_minhash_estimate_error(spark, sf_dir):
+    return DD.minhash_estimate_error(
+        _docs(spark, sf_dir),
+        pairs=_curation(spark, sf_dir)["verified"])
+
+
 def _mmr_sql(k: int = None, pool: int = None, qid: int = 0) -> str:
     """Unrolled greedy-MMR DuckDB twin (the kmeans_train/bpe_train
     rule: iteration count pinned, each step a CTE). Pool and pairwise
@@ -1450,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_kfold": _q_stratified_kfold,
         "semantic_dedup": _q_semantic_dedup,
         "mmr_topk": _q_mmr_topk,
+        "minhash_estimate_error": _q_minhash_estimate_error,
         "approx_stats": _q_approx_stats,
         "audio_meta": _q_audio_meta,
         # -- 3. externally green in r1/r2/r3 (locally re-verified each round) -------------------------------
@@ -2630,6 +2637,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
                   >= {DD.JACCARD_THRESHOLD}
+        """,
+        # mirrors dedup.minhash_estimate_error: the verified chain
+        # (same algebra as minhash_verified via _MV_CHAIN_SQL) plus a
+        # per-seed minima agreement count from the SAME seeded CTE
+        "minhash_estimate_error": _SHINGLES_SQL.replace(
+            "SELECT DISTINCT", "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS)
+        + _MV_CHAIN_SQL + f"""
+            , ver AS (
+                SELECT doc_a, doc_b,
+                       CAST(n_common AS DOUBLE)
+                           / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(n_common AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - n_common)
+                      >= {DD.JACCARD_THRESHOLD}
+            ),
+            mm AS (
+                SELECT v.doc_a, v.doc_b,
+                       COUNT(*) FILTER (WHERE xa.minhash = xb.minhash)
+                           AS n_match
+                FROM ver v
+                JOIN seeded xa ON xa.doc_id = v.doc_a
+                JOIN seeded xb ON xb.doc_id = v.doc_b
+                              AND xb.seed = xa.seed
+                GROUP BY 1, 2
+            )
+            SELECT v.doc_a, v.doc_b, v.jaccard,
+                   CAST(n_match AS BIGINT) AS n_match,
+                   CAST(n_match AS DOUBLE) / {DD.MINHASH_SEEDS}
+                       AS est_jaccard,
+                   CAST(n_match AS DOUBLE) / {DD.MINHASH_SEEDS} - v.jaccard
+                       AS err
+            FROM ver v JOIN mm USING (doc_a, doc_b)
+            ORDER BY v.doc_a, v.doc_b
         """,
         # kept mirrors dedup.MINHASH_BUCKET_CAP: oversized band
         # buckets are dropped before pairing in both engines (the cap

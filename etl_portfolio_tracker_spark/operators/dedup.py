@@ -1340,3 +1340,42 @@ def doc_containment(docs: DataFrame,
                      F.least("_na", "_nb").alias("n_tokens_contained"),
                      F.greatest("_na", "_nb").alias("container_tokens"))
             .orderBy("contained_doc", "container_doc"))
+
+
+def minhash_estimate_error(docs: DataFrame,
+                           pairs: DataFrame | None = None,
+                           n_seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """Sketch-accuracy audit: per verified near-dup pair, the MinHash
+    SIGNATURE estimate of Jaccard (fraction of agreeing per-seed
+    minima — the unbiased estimator the LSH stage implicitly trusts)
+    against the EXACT shingle Jaccard minhash_verified computed. The
+    report every pipeline needs before tuning seeds/bands: if |err|
+    is wide at the operating threshold, the band recall math is off.
+
+    Scale shape: signatures are the per-row zero-shuffle map
+    (_signature_wide); the audit joins them to the (already bounded)
+    verified-pair list twice by doc id — |pairs| rows end-to-end, no
+    new corpus-sized stage. With `pairs` from the shared curation
+    state the whole audit is incremental to the pipeline run.
+
+    Determinism: minima are exact BIGINTs, n_match an exact count;
+    est = n_match/k and err = est − jaccard are single IEEE ops on
+    engine-identical doubles, emitted unrounded.
+    """
+    pairs = (minhash_verified(docs) if pairs is None else pairs) \
+        .select("doc_a", "doc_b", "jaccard")
+    wide = _signature_wide(docs, n_seeds)
+    a = wide.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"h{s}").alias(f"_a{s}") for s in range(n_seeds)])
+    b = wide.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"h{s}").alias(f"_b{s}") for s in range(n_seeds)])
+    n_match = sum(
+        F.when(F.col(f"_a{s}") == F.col(f"_b{s}"), 1).otherwise(0)
+        for s in range(n_seeds)).cast("long")
+    est = F.col("n_match").cast("double") / n_seeds
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", "jaccard", n_match.alias("n_match"))
+            .select("doc_a", "doc_b", "jaccard", "n_match",
+                    est.alias("est_jaccard"),
+                    (est - F.col("jaccard")).alias("err"))
+            .orderBy("doc_a", "doc_b"))

@@ -188,3 +188,19 @@ def test_mmr_rank_one_is_cosine_argmax(spark):
     # ranks are 1..k and picks are distinct
     assert [r["rank"] for r in out] == [1, 2, 3]
     assert len({r["vec_id"] for r in out}) == 3
+
+
+# -- minhash_estimate_error ---------------------------------------------
+
+def test_minhash_estimate_error_identical_docs(spark):
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    d = docs_df(spark, ["the quick brown fox jumps over the lazy dog",
+                        "the quick brown fox jumps over the lazy dog",
+                        "zzzz xxxx yyyy wwww vvvv uuuu tttt ssss"])
+    out = DD.minhash_estimate_error(d).collect()
+    # identical docs: every per-seed minimum agrees, exact jaccard 1.0
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(0, 1)]
+    r = out[0]
+    assert r["n_match"] == DD.MINHASH_SEEDS
+    assert r["est_jaccard"] == 1.0 and r["jaccard"] == 1.0
+    assert r["err"] == 0.0
