@@ -254,3 +254,52 @@ def test_quality_quantile_cut_no_per_source_serialization(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "_pid" in line or "_ptot" in line, line
+
+
+# -- round-4 operators: the physical shapes their docstrings claim ------
+
+def test_doc_chunks_zero_exchange(spark):
+    # pure 1→many map: chunking must fuse into the scan, no shuffle
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import packing as PK
+    q = PK.doc_chunks(read_table(spark, SF, "documents"))
+    assert exchanges(q) == []
+
+
+def test_word_entropy_single_count_shuffle(spark):
+    # one (doc,word)-keyed aggregation + one doc-keyed fold — the
+    # plan must not shuffle the raw token stream more than twice
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import text as TX
+    q = TX.word_entropy(read_table(spark, SF, "documents"))
+    assert len(exchanges(q)) <= 2
+
+
+def test_pmi_model_reduction_broadcasts_total(spark):
+    # the 1-row bigram total must broadcast, never shuffle-join
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import text as TX
+    q = TX.pmi_top_pairs(read_table(spark, SF, "documents"))
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    p = physical_plan(q)
+    assert "TakeOrderedAndProject" in p          # top-k, no global sort
+    assert broadcast_joins(q) >= 1               # the N total
+
+
+def test_ngram_dup_spans_gram_keys_are_hashes(spark):
+    # the corpus-wide gram shuffle must carry md5 keys, not raw
+    # 8-word strings: the projection feeding the exchange contains
+    # the md5, so no plan node ships a concat-of-8-tokens column
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = TX.ngram_dup_spans(read_table(spark, SF, "documents"))
+    assert "md5" in physical_plan(q)
+
+
+def test_semantic_dedup_centroid_filter_pushed(spark):
+    # the first-c centroid read must push vec_id < c to the scan
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+    q = SIM.semantic_dedup(read_table(spark, SF, "embeddings"))
+    assert any("vec_id" in f for f in pushed_filters(q))
