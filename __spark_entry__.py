@@ -1102,6 +1102,12 @@ def _q_minhash_estimate_error(spark, sf_dir):
         pairs=_curation(spark, sf_dir)["verified"])
 
 
+def _q_kfold_leakage_report(spark, sf_dir):
+    return DD.kfold_leakage_report(
+        _docs(spark, sf_dir),
+        clusters=_curation(spark, sf_dir)["clusters"])
+
+
 def _mmr_sql(k: int = None, pool: int = None, qid: int = 0) -> str:
     """Unrolled greedy-MMR DuckDB twin (the kmeans_train/bpe_train
     rule: iteration count pinned, each step a CTE). Pool and pairwise
@@ -1457,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "mmr_topk": _q_mmr_topk,
         "minhash_estimate_error": _q_minhash_estimate_error,
+        "kfold_leakage_report": _q_kfold_leakage_report,
         "approx_stats": _q_approx_stats,
         "audio_meta": _q_audio_meta,
         # -- 3. externally green in r1/r2/r3 (locally re-verified each round) -------------------------------
@@ -2888,6 +2895,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1
         """,
         "dedup_clusters": dedup_clusters_sql,
+        # mirrors dedup.kfold_leakage_report: the clusters oracle as a
+        # subquery (the corpus_prune embedding pattern) joined to the
+        # stratified_kfold fold rule
+        "kfold_leakage_report": f"""
+            WITH cl AS (SELECT * FROM ({dedup_clusters_sql})),
+            folds AS (
+                SELECT doc_id,
+                       CAST((row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(text), doc_id) - 1) % {PK.KFOLDS}
+                           AS INTEGER) AS fold
+                FROM documents
+            )
+            SELECT cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                   CAST(COUNT(DISTINCT fold) AS BIGINT) AS n_folds,
+                   COUNT(DISTINCT fold) > 1 AS leaky
+            FROM cl JOIN folds USING (doc_id)
+            GROUP BY cluster_id
+            HAVING COUNT(*) >= 2
+            ORDER BY cluster_id
+        """,
         # cluster-granular hash_split: the bucket hashes the CLUSTER
         # CANONICAL's text (min doc_id member), so a whole near-dup
         # component shares one split (mirrors dedup.leakage_safe_split)

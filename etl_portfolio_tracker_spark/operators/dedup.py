@@ -1379,3 +1379,36 @@ def minhash_estimate_error(docs: DataFrame,
                     est.alias("est_jaccard"),
                     (est - F.col("jaccard")).alias("err"))
             .orderBy("doc_a", "doc_b"))
+
+
+def kfold_leakage_report(docs: DataFrame,
+                         clusters: DataFrame | None = None,
+                         k: int | None = None) -> DataFrame:
+    """Cross-validation contamination audit: for every near-dup
+    CLUSTER (connected component of the LSH candidate graph), how many
+    distinct k-folds its members land in. stratified_kfold assigns by
+    content hash, so byte-identical docs stay together — but NEAR
+    duplicates hash apart and straddle folds, which silently inflates
+    CV scores. leakage_safe_split FIXES this for train/val/test; this
+    operator MEASURES it for k-fold, the audit you run before trusting
+    a fold-averaged metric.
+
+    Scale shape: both inputs are |docs|-row frames (clusters from the
+    shared curation state — the LSH stage is not re-run); the report
+    is one cluster-keyed aggregation. Returns one row per multi-member
+    cluster: (cluster_id, cluster_size, n_folds, leaky), exact
+    integers only.
+    """
+    from .packing import KFOLDS, stratified_kfold
+    clusters = dedup_clusters(docs) if clusters is None else clusters
+    folds = stratified_kfold(docs, k or KFOLDS)
+    return (clusters.join(folds.select("doc_id", "fold"), "doc_id")
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.count_distinct("fold").alias("n_folds"))
+            .filter(F.col("cluster_size") >= 2)
+            .select("cluster_id",
+                    F.col("cluster_size").cast("long").alias("cluster_size"),
+                    F.col("n_folds").cast("long").alias("n_folds"),
+                    (F.col("n_folds") > 1).alias("leaky"))
+            .orderBy("cluster_id"))

@@ -204,3 +204,20 @@ def test_minhash_estimate_error_identical_docs(spark):
     assert r["n_match"] == DD.MINHASH_SEEDS
     assert r["est_jaccard"] == 1.0 and r["jaccard"] == 1.0
     assert r["err"] == 0.0
+
+
+# -- kfold_leakage_report -----------------------------------------------
+
+def test_kfold_leakage_detects_straddling_cluster(spark):
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    # docs 0/1 near-identical → one cluster; distinct content hashes
+    # land them in different folds at k=5 → leaky
+    d = docs_df(spark, ["the quick brown fox jumps over the lazy dog",
+                        "the quick brown fox jumps over the lazy dogs",
+                        "zzzz xxxx yyyy wwww vvvv uuuu tttt ssss"])
+    out = DD.kfold_leakage_report(d, k=5).collect()
+    assert len(out) == 1
+    assert out[0]["cluster_size"] == 2 and out[0]["leaky"]
+    # k=1 degenerates to a single fold → same cluster, not leaky
+    out1 = DD.kfold_leakage_report(d, k=1).collect()
+    assert out1[0]["n_folds"] == 1 and not out1[0]["leaky"]
