@@ -1108,6 +1108,29 @@ def _q_kfold_leakage_report(spark, sf_dir):
         clusters=_curation(spark, sf_dir)["clusters"])
 
 
+def _q_streaming_semantic_dedup_replay(spark, sf_dir):
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_semantic_dedup_replay)
+    return streaming_semantic_dedup_replay(spark, sf_dir)
+
+
+def _semantic_cells_sql(count_sql: str) -> str:
+    """SQL twin of similarity.semantic_cells (smallest power of 2
+    with c² ≥ n, floor 8, capped) over an arbitrary COUNT source —
+    one definition for the batch and streaming semantic-dedup
+    oracles so the ladder can never drift."""
+    return f"""
+                SELECT CASE WHEN cnt <= 64 THEN 8
+                            WHEN cnt <= 256 THEN 16
+                            WHEN cnt <= 1024 THEN 32
+                            WHEN cnt <= 4096 THEN 64
+                            WHEN cnt <= 16384 THEN 128
+                            WHEN cnt <= 65536 THEN 256
+                            WHEN cnt <= 262144 THEN 512
+                            ELSE {SIM.SEMANTIC_CELL_CAP} END AS k
+                FROM ({count_sql})"""
+
+
 def _mmr_sql(k: int = None, pool: int = None, qid: int = 0) -> str:
     """Unrolled greedy-MMR DuckDB twin (the kmeans_train/bpe_train
     rule: iteration count pinned, each step a CTE). Pool and pairwise
@@ -1467,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": _q_mmr_topk,
         "minhash_estimate_error": _q_minhash_estimate_error,
         "kfold_leakage_report": _q_kfold_leakage_report,
+        "streaming_semantic_dedup_replay": _q_streaming_semantic_dedup_replay,
         "approx_stats": _q_approx_stats,
         "audio_meta": _q_audio_meta,
         # -- 3. externally green in r1/r2/r3 (locally re-verified each round) -------------------------------
@@ -3436,17 +3460,7 @@ def oracle_sql() -> dict[str, str]:
         # cells (same decimal dot rule + lowest-cid tie), intra-cell
         # pair cosines, is_dup on the UNROUNDED max vs τ
         "semantic_dedup": _PE_SQL + f"""
-            , nc AS (  -- SQL twin of similarity.semantic_cells:
-                       -- smallest power of 2 with c² ≥ n, floor 8
-                SELECT CASE WHEN cnt <= 64 THEN 8
-                            WHEN cnt <= 256 THEN 16
-                            WHEN cnt <= 1024 THEN 32
-                            WHEN cnt <= 4096 THEN 64
-                            WHEN cnt <= 16384 THEN 128
-                            WHEN cnt <= 65536 THEN 256
-                            WHEN cnt <= 262144 THEN 512
-                            ELSE {SIM.SEMANTIC_CELL_CAP} END AS k
-                FROM (SELECT COUNT(*) AS cnt FROM embeddings)),
+            , nc AS ({_semantic_cells_sql("SELECT COUNT(*) AS cnt FROM embeddings")}),
             cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval
                     FROM pe WHERE vec_id < (SELECT k FROM nc)),
             cdots AS (
@@ -3496,6 +3510,70 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c.vec_id
         """,
         "mmr_topk": _mmr_sql(),
+        # mirrors streaming.replay.streaming_semantic_dedup_replay:
+        # availableNow = one micro-batch = the batch formulation —
+        # corpus codebook (n_cells smallest corpus vec_ids, cid =
+        # rank), cells for every vec, delta-vs-corpus max cosine
+        # within the delta vec's cell
+        "streaming_semantic_dedup_replay": _PE_SQL + f"""
+            , corpus AS (SELECT vec_id FROM embeddings
+                         WHERE vec_id % 10 <> 9),
+            nc AS ({_semantic_cells_sql("SELECT COUNT(*) AS cnt FROM corpus")}),
+            cents AS (
+                SELECT vec_id AS cvid,
+                       row_number() OVER (ORDER BY vec_id) - 1 AS cid
+                FROM corpus
+                QUALIFY row_number() OVER (ORDER BY vec_id)
+                        <= (SELECT k FROM nc)
+            ),
+            cdots AS (
+                SELECT pe.vec_id, c.cid,
+                       CAST(SUM(CAST(pe.val * cp.val AS DECIMAL(38,10)))
+                            AS DOUBLE) AS dot
+                FROM pe
+                JOIN cents c ON TRUE
+                JOIN pe cp ON cp.vec_id = c.cvid AND cp.pos = pe.pos
+                GROUP BY 1, 2
+            ),
+            cells AS (
+                SELECT vec_id, cid AS cell
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id
+                          ORDER BY dot DESC, cid ASC) AS rn
+                      FROM cdots)
+                WHERE rn = 1
+            ),
+            norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10)))
+                                 AS DOUBLE)) AS nrm
+                FROM pe GROUP BY 1
+            ),
+            pdots AS (
+                SELECT a.vec_id AS dv, b.vec_id AS cv,
+                       CAST(SUM(CAST(pa.val * pb.val AS DECIMAL(38,10)))
+                            AS DOUBLE) AS dot
+                FROM cells a JOIN cells b ON a.cell = b.cell
+                JOIN pe pa ON pa.vec_id = a.vec_id
+                JOIN pe pb ON pb.vec_id = b.vec_id AND pb.pos = pa.pos
+                WHERE a.vec_id % 10 = 9 AND b.vec_id % 10 <> 9
+                GROUP BY 1, 2
+            ),
+            mx AS (
+                SELECT dv AS vec_id,
+                       MAX(dot / (na.nrm * nb.nrm)) AS max_cos
+                FROM pdots JOIN norms na ON na.vec_id = dv
+                           JOIN norms nb ON nb.vec_id = cv
+                GROUP BY 1
+            )
+            SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+                   ROUND(m.max_cos, 6) AS max_corpus_cos,
+                   COALESCE(m.max_cos >= {SIM.SEMANTIC_DEDUP_TAU}, FALSE)
+                       AS is_dup
+            FROM cells c LEFT JOIN mx m USING (vec_id)
+            WHERE c.vec_id % 10 = 9
+            ORDER BY c.vec_id
+        """,
         "kmeans_train": _kmeans_train_oracle_sql(),
         # mirrors similarity.label_outliers: centroid = decimal-sum
         # mean ROUNDed 6 (bit-identical across engines), then IEEE

@@ -351,3 +351,86 @@ def streaming_delta_dedup_replay(spark: SparkSession, sf_dir: str,
         out.writeStream.format("memory").queryName(name)
            .outputMode("append").trigger(availableNow=True), name, timeout_s)
     return spark.table(name)
+
+
+def streaming_semantic_dedup_replay(spark: SparkSession, sf_dir: str,
+                                    mod: int = 10, rem: int = 9,
+                                    timeout_s: int = 300) -> DataFrame:
+    """Stream-static SEMANTIC dedup replay — the streaming twin of
+    similarity.semantic_dedup for continuous ingest: newly arriving
+    vectors (the vec_id % mod == rem slice, replayed availableNow)
+    are assigned to the CORPUS codebook's cell and compared against
+    the corpus members of that cell only; a delta vector is a dup
+    when some already-ingested corpus vector in its cell clears the
+    cosine threshold. Delta-vs-corpus only (no intra-delta pairs) —
+    the same contract as delta_dedup/streaming_delta_dedup_replay at
+    exact-fingerprint granularity, now by meaning.
+
+    Streaming-legal construction (no window, no aggregation on the
+    stream): the codebook broadcasts as ONE array column and the
+    argmax is an in-row transform + array_position (FIRST maximal dot
+    = lowest-cid ties — the batch tie rule); the per-cell corpus
+    members broadcast as arrays keyed by cell, and the max-cosine is
+    an in-row fold over the member array. In-row MAX is exactly
+    order-independent, so collect_list's nondeterministic member
+    order cannot perturb the value. Member arrays are bounded by the
+    √N cell rule (semantic_cells of the CORPUS count); at real scale
+    the members frame is a static table the batch side maintains and
+    the stream side joins — zero streaming state, like every
+    stream-static twin here. (The nested-lambda dot kernel is the
+    form batch semantic_dedup rejected for throughput; on the
+    delta-sized stream it is the correct tool because windows are
+    unavailable on streams.)
+
+    availableNow over the single parquet file = one micro-batch, so
+    the output equals the batch formulation exactly — the oracle is
+    plain SQL. Returns (vec_id, cell, max_corpus_cos, is_dup).
+    """
+    from pyspark.sql import functions as F
+
+    from ..io import read_table
+    from ..operators.similarity import (
+        SEMANTIC_DEDUP_TAU, _dot_sql, _norm_sql, semantic_cells)
+
+    name = "stream_semantic_dedup_" + uuid.uuid4().hex[:8]
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % mod != rem)
+    n_cells = semantic_cells(corpus.count())
+    # codebook: the n_cells SMALLEST corpus vec_ids, as one ordered
+    # array column (cid = position, 0-based)
+    cents = (corpus.orderBy("vec_id").limit(n_cells)
+             .groupBy()
+             .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding")))
+                  .alias("_cs"))
+             .select(F.transform("_cs", lambda s: s["embedding"])
+                     .alias("_cents")))
+    dots = f"transform(_cents, c -> {_dot_sql('embedding', 'c')})"
+    assign = [
+        F.col("vec_id"), F.col("embedding"),
+        (F.array_position(F.expr(dots), F.array_max(F.expr(dots))) - 1)
+        .cast("int").alias("cell"),
+        F.expr(_norm_sql("embedding")).alias("_nrm")]
+    members = (corpus.crossJoin(F.broadcast(cents)).select(*assign)
+               .groupBy("cell")
+               .agg(F.collect_list(F.struct("embedding", "_nrm"))
+                    .alias("_members")))
+    delta = (spark.readStream.schema(schemas.EMBEDDINGS)
+             .option("pathGlobFilter", "embeddings.parquet")
+             .parquet(sf_dir)
+             .filter(F.col("vec_id") % mod == rem))
+    pair_cos = (f"({_dot_sql('embedding', 'm.embedding')})"
+                f" / (_nrm * m._nrm)")
+    max_cos = F.expr(
+        f"aggregate(_members, CAST(NULL AS DOUBLE), (acc, m) -> "
+        f"CASE WHEN acc IS NULL OR {pair_cos} > acc "
+        f"THEN {pair_cos} ELSE acc END)")
+    out = (delta.crossJoin(F.broadcast(cents)).select(*assign)
+           .join(members, "cell", "left")
+           .select("vec_id", "cell",
+                   F.round(max_cos, 6).alias("max_corpus_cos"),
+                   F.coalesce(max_cos >= SEMANTIC_DEDUP_TAU,
+                              F.lit(False)).alias("is_dup")))
+    _run_to_completion(
+        out.writeStream.format("memory").queryName(name)
+           .outputMode("append").trigger(availableNow=True), name, timeout_s)
+    return spark.table(name)

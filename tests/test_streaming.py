@@ -399,3 +399,58 @@ def test_docgen_streaming_source_matches_batch(spark, tmp_path):
             for r in (spark.read.format("docgen")
                       .option("rows", total).load().collect())}
     assert got == want and len(got) == total
+
+
+def test_streaming_semantic_dedup_matches_batch_form(spark, sf_dir):
+    # stream==batch: the availableNow replay must equal a plain batch
+    # computation of delta-vs-corpus max cell cosine (corpus codebook,
+    # same assignment + tie rule)
+    from pyspark.sql import functions as F
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators.similarity import (
+        SEMANTIC_DEDUP_TAU, _dot_sql, _norm_sql, semantic_cells)
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_semantic_dedup_replay)
+
+    from pyspark.sql import Window as W
+
+    got = {r["vec_id"]: r for r in
+           streaming_semantic_dedup_replay(spark, sf_dir).collect()}
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 9)
+    c = semantic_cells(corpus.count())
+    cents = (corpus.orderBy("vec_id").limit(c)
+             .select(F.row_number().over(W.orderBy("vec_id")).alias("_rn"),
+                     F.col("embedding").alias("_cvec"))
+             .select((F.col("_rn") - 1).cast("int").alias("_cid"), "_cvec"))
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select("vec_id", "embedding", "_cid",
+                      F.expr(_dot_sql("embedding", "_cvec")).alias("_dot")))
+    w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), F.asc("_cid"))
+    cells = (scored.withColumn("_rn", F.row_number().over(w))
+             .filter("_rn = 1")
+             .select("vec_id", "embedding", F.col("_cid").alias("cell"),
+                     F.expr(_norm_sql("embedding")).alias("_nrm")))
+    d = cells.filter(F.col("vec_id") % 10 == 9).select(
+        F.col("vec_id").alias("_dv"), F.col("cell").alias("_dc"),
+        F.col("embedding").alias("_de"), F.col("_nrm").alias("_dn"))
+    cv = cells.filter(F.col("vec_id") % 10 != 9).select(
+        F.col("vec_id").alias("_cv"), F.col("cell").alias("_cc"),
+        F.col("embedding").alias("_ce"), F.col("_nrm").alias("_cn"))
+    cos = F.expr(_dot_sql("_de", "_ce")) / (F.col("_dn") * F.col("_cn"))
+    want_mx = {r["_dv"]: r["mx"] for r in
+               (d.join(cv, F.col("_dc") == F.col("_cc"))
+                .groupBy("_dv").agg(F.max(cos.alias("c")).alias("mx"))
+                ).collect()}
+    want_cells = {r["vec_id"]: r["cell"] for r in
+                  cells.filter(F.col("vec_id") % 10 == 9).collect()}
+    assert set(got) == set(want_cells) and len(got) > 0
+    for vid, g in got.items():
+        assert g["cell"] == want_cells[vid]
+        mx = want_mx.get(vid)
+        if mx is None:
+            assert g["max_corpus_cos"] is None and not g["is_dup"]
+        else:
+            assert g["max_corpus_cos"] == round(mx, 6) or \
+                abs(g["max_corpus_cos"] - mx) < 1e-6
+            assert g["is_dup"] == (mx >= SEMANTIC_DEDUP_TAU)
