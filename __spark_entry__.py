@@ -1404,10 +1404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          32-bit fingerprint this round, so its r1 row is stale), and
          the warehouse-second-tranche / stats queries;
       2. never-checked overflow for round 5's window: six simple
-         warehouse queries plus the nine round-4-new operators
+         warehouse queries plus the eleven round-4-new operators
          (word_entropy, pmi_top_pairs, ngram_dup_spans, doc_chunks,
          stratified_kfold, semantic_dedup, mmr_topk,
-         minhash_estimate_error, kfold_leakage_report), then the
+         minhash_estimate_error, kfold_leakage_report,
+         streaming_semantic_dedup_replay), then the
          two rows-only-by-design queries (approx_stats — sketch
          values are engine-specific, error bounds pytest-verified;
          audio_meta — float reductions over raw bytes, WAV decode
