@@ -392,17 +392,40 @@ def streaming_semantic_dedup_replay(spark: SparkSession, sf_dir: str,
     from ..operators.similarity import (
         SEMANTIC_DEDUP_TAU, _dot_sql, _norm_sql, semantic_cells)
 
+    from pyspark.sql import Window as W
+
     name = "stream_semantic_dedup_" + uuid.uuid4().hex[:8]
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % mod != rem)
     n_cells = semantic_cells(corpus.count())
-    # codebook: the n_cells SMALLEST corpus vec_ids, as one ordered
-    # array column (cid = position, 0-based)
-    cents = (corpus.orderBy("vec_id").limit(n_cells)
-             .groupBy()
-             .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding")))
+    # codebook: the n_cells SMALLEST corpus vec_ids — as ROWS for the
+    # static side (join + row_number keeps the dot kernel in codegen;
+    # the corpus is the big side) and as one ordered array column for
+    # the STREAM side (windows are unavailable on streams; in-row
+    # argmax is the streaming-legal form and the delta is small)
+    cent_rows = (corpus.orderBy("vec_id").limit(n_cells)
+                 .select(F.row_number().over(W.orderBy("vec_id"))
+                         .alias("_rn"),
+                         F.col("embedding").alias("_cvec"))
+                 .select((F.col("_rn") - 1).cast("int").alias("_cid"),
+                         "_cvec"))
+    scored = (corpus.crossJoin(F.broadcast(cent_rows))
+              .select("vec_id", "embedding", "_cid",
+                      F.expr(_dot_sql("embedding", "_cvec")).alias("_dot")))
+    w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), F.asc("_cid"))
+    corpus_cells = (scored.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("vec_id", "embedding",
+                            F.col("_cid").alias("cell"),
+                            F.expr(_norm_sql("embedding")).alias("_nrm")))
+    members = (corpus_cells
+               .groupBy("cell")
+               .agg(F.collect_list(F.struct("embedding", "_nrm"))
+                    .alias("_members")))
+    cents = (cent_rows.groupBy()
+             .agg(F.sort_array(F.collect_list(F.struct("_cid", "_cvec")))
                   .alias("_cs"))
-             .select(F.transform("_cs", lambda s: s["embedding"])
+             .select(F.transform("_cs", lambda s: s["_cvec"])
                      .alias("_cents")))
     dots = f"transform(_cents, c -> {_dot_sql('embedding', 'c')})"
     assign = [
@@ -410,25 +433,22 @@ def streaming_semantic_dedup_replay(spark: SparkSession, sf_dir: str,
         (F.array_position(F.expr(dots), F.array_max(F.expr(dots))) - 1)
         .cast("int").alias("cell"),
         F.expr(_norm_sql("embedding")).alias("_nrm")]
-    members = (corpus.crossJoin(F.broadcast(cents)).select(*assign)
-               .groupBy("cell")
-               .agg(F.collect_list(F.struct("embedding", "_nrm"))
-                    .alias("_members")))
     delta = (spark.readStream.schema(schemas.EMBEDDINGS)
              .option("pathGlobFilter", "embeddings.parquet")
              .parquet(sf_dir)
              .filter(F.col("vec_id") % mod == rem))
     pair_cos = (f"({_dot_sql('embedding', 'm.embedding')})"
                 f" / (_nrm * m._nrm)")
+    # transform-then-array_max: each member's cosine is computed ONCE
+    # (the CASE-fold form evaluated the pair kernel 2-3× per member)
     max_cos = F.expr(
-        f"aggregate(_members, CAST(NULL AS DOUBLE), (acc, m) -> "
-        f"CASE WHEN acc IS NULL OR {pair_cos} > acc "
-        f"THEN {pair_cos} ELSE acc END)")
+        f"array_max(transform(_members, m -> {pair_cos}))")
     out = (delta.crossJoin(F.broadcast(cents)).select(*assign)
            .join(members, "cell", "left")
+           .withColumn("_mx", max_cos)
            .select("vec_id", "cell",
-                   F.round(max_cos, 6).alias("max_corpus_cos"),
-                   F.coalesce(max_cos >= SEMANTIC_DEDUP_TAU,
+                   F.round("_mx", 6).alias("max_corpus_cos"),
+                   F.coalesce(F.col("_mx") >= SEMANTIC_DEDUP_TAU,
                               F.lit(False)).alias("is_dup")))
     _run_to_completion(
         out.writeStream.format("memory").queryName(name)
