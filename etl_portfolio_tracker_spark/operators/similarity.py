@@ -1026,3 +1026,76 @@ def mmr_topk(emb: DataFrame, query_vec_id: int = 0, k: int = MMR_K,
         picked.append((rank, v, rel[v], score))
     return emb.sparkSession.createDataFrame(
         picked, "rank int, vec_id bigint, relevance double, score double")
+
+
+def semantic_dedup_fast(emb: DataFrame,
+                        n_cells: int | None = None,
+                        threshold: float = SEMANTIC_DEDUP_TAU) -> DataFrame:
+    """The PRODUCTION variant of semantic_dedup: identical algorithm
+    (first-c codebook, argmax-dot cells, intra-cell earlier-member
+    cosine prune) scored in float32 numpy inside Arrow batches
+    instead of the exact-decimal SQL kernel. SCALING.md documents the
+    decimal rule as the dominant constant of the exact form — this is
+    the variant that drops it where the oracle gate isn't the point:
+    a dedup THRESHOLD decision tolerates 1e-6-level score noise by
+    construction (SemDeDup's τ is a tuned hyperparameter, not a
+    boundary with meaning at the 7th decimal).
+
+    Plan shape (unchanged from the exact form, Python moved inside
+    Arrow batches): centroids collect once (O(model), the codebook
+    precedent) and broadcast inside the closure; assignment is
+    mapInPandas — one (batch×d)·(d×c) matmul per Arrow batch, zero
+    shuffle; the pair scan is applyInPandas per CELL — one m×m gram
+    matrix per group, m bounded by the √N cell rule, cell id the only
+    shuffle key. Same exchanges, ~vectorized-BLAS constants.
+
+    Not oracle-paired (float32 accumulation order is engine- and
+    library-specific); correctness is pinned by
+    tests/test_round4_ops.py: flags must agree with the exact
+    semantic_dedup for every vector whose max-cosine sits more than a
+    float32-honest margin away from τ.
+
+    Returns (vec_id, cell, max_earlier_cos float, is_dup).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_cells is None:
+        n_cells = semantic_cells(emb.count())
+    cent_rows = (emb.filter(F.col("vec_id") < n_cells)
+                 .select("vec_id", "embedding").orderBy("vec_id").collect())
+    cents = np.array([r["embedding"] for r in cent_rows],
+                     dtype=np.float32).T          # (d, c)
+
+    def _assign(batches):
+        for pdf in batches:
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float32)
+            dots = m @ cents                       # (batch, c)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "cell": dots.argmax(axis=1).astype("int32"),
+                "embedding": pdf["embedding"],
+            })
+
+    assigned = _spread(emb).select("vec_id", "embedding").mapInPandas(
+        _assign, schema="vec_id long, cell int, embedding array<float>")
+
+    def _prune(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float32)
+        nrm = np.linalg.norm(m, axis=1)
+        cos = (m @ m.T) / np.outer(nrm, nrm)
+        # earlier members only: strict lower triangle
+        mask = np.tril(np.ones(len(pdf), dtype=bool), k=-1)
+        best = np.where(mask, cos, -np.inf).max(axis=1)
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"],
+            "cell": pdf["cell"],
+            "max_earlier_cos": np.where(np.isfinite(best), best, np.nan),
+            "is_dup": np.isfinite(best) & (best >= threshold),
+        })
+
+    return (assigned.groupBy("cell").applyInPandas(
+        _prune,
+        schema="vec_id long, cell int, max_earlier_cos float, is_dup boolean")
+        .orderBy("vec_id"))

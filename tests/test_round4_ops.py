@@ -221,3 +221,29 @@ def test_kfold_leakage_detects_straddling_cluster(spark):
     # k=1 degenerates to a single fold → same cluster, not leaky
     out1 = DD.kfold_leakage_report(d, k=1).collect()
     assert out1[0]["n_folds"] == 1 and not out1[0]["leaky"]
+
+
+def test_semantic_dedup_fast_agrees_with_exact(spark):
+    # the float32 production variant must agree with the exact-decimal
+    # form on cells and on every flag whose max-cosine sits a
+    # float32-honest margin away from τ (threshold decisions tolerate
+    # score noise; boundary vectors are the only legitimate deviation)
+    from etl_portfolio_tracker_spark.io import read_table
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {r["vec_id"]: r for r in SIM.semantic_dedup(emb).collect()}
+    fast = {r["vec_id"]: r for r in SIM.semantic_dedup_fast(emb).collect()}
+    assert set(exact) == set(fast)
+    margin = 1e-4
+    checked = 0
+    for vid, e in exact.items():
+        f = fast[vid]
+        assert f["cell"] == e["cell"], vid
+        mx = e["max_earlier_cos"]
+        if mx is None:
+            assert not f["is_dup"]
+            continue
+        assert abs(f["max_earlier_cos"] - mx) < 1e-3
+        if abs(mx - SIM.SEMANTIC_DEDUP_TAU) > margin:
+            assert f["is_dup"] == e["is_dup"], vid
+            checked += 1
+    assert checked > 400   # the agreement check actually ran
