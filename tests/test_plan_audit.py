@@ -303,3 +303,17 @@ def test_semantic_dedup_centroid_filter_pushed(spark):
     from etl_portfolio_tracker_spark.operators import similarity as SIM
     q = SIM.semantic_dedup(read_table(spark, SF, "embeddings"))
     assert any("vec_id" in f for f in pushed_filters(q))
+
+
+def test_mmr_relevance_scan_is_topk(spark):
+    # mmr_topk's audited output frame is a k-row local relation; its
+    # corpus-sized stage is the cosine_topk relevance scan, which must
+    # stay a TakeOrderedAndProject (per-partition heaps), never a
+    # global sort
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    pool = SIM.cosine_topk(read_table(spark, SF, "embeddings"),
+                           query_vec_id=0, k=SIM.MMR_POOL)
+    p = physical_plan(pool)
+    assert "TakeOrderedAndProject" in p and "Sort " not in p
