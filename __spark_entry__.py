@@ -1114,6 +1114,10 @@ def _q_streaming_semantic_dedup_replay(spark, sf_dir):
     return streaming_semantic_dedup_replay(spark, sf_dir)
 
 
+def _q_lsh_recall_curve(spark, sf_dir):
+    return DD.lsh_recall_curve(spark)
+
+
 def _semantic_cells_sql(count_sql: str) -> str:
     """SQL twin of similarity.semantic_cells (smallest power of 2
     with c² ≥ n, floor 8, capped) over an arbitrary COUNT source —
@@ -1492,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_error": _q_minhash_estimate_error,
         "kfold_leakage_report": _q_kfold_leakage_report,
         "streaming_semantic_dedup_replay": _q_streaming_semantic_dedup_replay,
+        "lsh_recall_curve": _q_lsh_recall_curve,
         "approx_stats": _q_approx_stats,
         "audio_meta": _q_audio_meta,
         # -- 3. externally green in r1/r2/r3 (locally re-verified each round) -------------------------------
@@ -3511,6 +3516,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c.vec_id
         """,
         "mmr_topk": _mmr_sql(),
+        # mirrors dedup.lsh_recall_curve: the banding S-curve table,
+        # 1 - (1 - j^r)^b over the K=8 factorizations; round-6 (libm)
+        "lsh_recall_curve": """
+            WITH cfg AS (
+                SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4), (1, 8))
+                    AS t(n_bands, rows_per_band)
+            ), g AS (
+                SELECT n_bands, rows_per_band,
+                       UNNEST(generate_series(1, 9)) AS i
+                FROM cfg
+            )
+            SELECT CAST(n_bands AS INTEGER) AS n_bands,
+                   CAST(rows_per_band AS INTEGER) AS rows_per_band,
+                   ROUND(CAST(i AS DOUBLE) / 10, 1) AS j,
+                   ROUND(1 - POWER(1 - POWER(CAST(i AS DOUBLE) / 10,
+                                             rows_per_band),
+                                   n_bands), 6) AS recall
+            FROM g ORDER BY 1, 2, 3
+        """,
         # mirrors streaming.replay.streaming_semantic_dedup_replay:
         # availableNow = one micro-batch = the batch formulation —
         # corpus codebook (n_cells smallest corpus vec_ids, cid =

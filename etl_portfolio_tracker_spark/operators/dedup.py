@@ -1412,3 +1412,38 @@ def kfold_leakage_report(docs: DataFrame,
                     F.col("n_folds").cast("long").alias("n_folds"),
                     (F.col("n_folds") > 1).alias("leaky"))
             .orderBy("cluster_id"))
+
+
+def lsh_recall_curve(spark_or_docs, n_seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """LSH banding design table: candidate recall P(candidate | J=j)
+    = 1 − (1 − j^r)^b for every (b, r) factorization of the K=8
+    signature and a j grid — the S-curve every MinHash deployment is
+    tuned against (Leskovec/Rajaraman/Ullman, MMDS ch.3). The engine's
+    own operating point (b=4, r=2) sits in this table; the audit
+    companion is minhash_estimate_error (measured) vs this (designed).
+
+    Pure generated computation — a literal (config × j) grid built
+    with sequence/explode, no table scan, no shuffle; at any corpus
+    size this is O(1). pow() is libm (1-ulp variance), so recall is
+    round-6 — the exp/ln rule.
+
+    Accepts a SparkSession or any DataFrame (for queries() symmetry).
+    Returns (n_bands, rows_per_band, j, recall) ordered.
+    """
+    spark = getattr(spark_or_docs, "sparkSession", spark_or_docs)
+    rows = []
+    r = 1
+    while r <= n_seeds:
+        if n_seeds % r == 0:
+            rows.append((n_seeds // r, r))
+        r *= 2
+    grid = spark.createDataFrame(rows, "n_bands int, rows_per_band int")
+    j = F.col("_i").cast("double") / 10
+    recall = 1 - F.pow(1 - F.pow(j, F.col("rows_per_band")),
+                       F.col("n_bands"))
+    return (grid.select("*", F.explode(F.sequence(F.lit(1), F.lit(9)))
+                        .alias("_i"))
+            .select("n_bands", "rows_per_band",
+                    F.round(j, 1).alias("j"),
+                    F.round(recall, 6).alias("recall"))
+            .orderBy("n_bands", "rows_per_band", "j"))

@@ -247,3 +247,26 @@ def test_semantic_dedup_fast_agrees_with_exact(spark):
             assert f["is_dup"] == e["is_dup"], vid
             checked += 1
     assert checked > 400   # the agreement check actually ran
+
+
+def test_lsh_recall_curve_known_values_and_monotonicity(spark):
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    rows = DD.lsh_recall_curve(spark).collect()
+    assert len(rows) == 36          # 4 factorizations x 9 j points
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r["n_bands"], r["rows_per_band"]),
+                          []).append((r["j"], r["recall"]))
+    # r=1, b=8: recall = 1 - (1-j)^8 exactly
+    for j, rec in by_cfg[(8, 1)]:
+        assert abs(rec - (1 - (1 - j) ** 8)) < 1e-6
+    # the engine's own operating point (b=4, r=2) is present and its
+    # S-curve is monotone increasing in j
+    curve = sorted(by_cfg[(4, 2)])
+    assert all(b[1] > a[1] for a, b in zip(curve, curve[1:]))
+    # more rows per band -> stricter candidates: at fixed j=0.5,
+    # recall falls as r grows
+    at_half = [(cfg[1], dict(pts)[0.5]) for cfg, pts in
+               ((c, p) for c, p in by_cfg.items())]
+    at_half.sort()
+    assert all(b[1] < a[1] for a, b in zip(at_half, at_half[1:]))
