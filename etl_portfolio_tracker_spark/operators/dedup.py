@@ -1386,12 +1386,15 @@ def kfold_leakage_report(docs: DataFrame,
                          k: int | None = None) -> DataFrame:
     """Cross-validation contamination audit: for every near-dup
     CLUSTER (connected component of the LSH candidate graph), how many
-    distinct k-folds its members land in. stratified_kfold assigns by
-    content hash, so byte-identical docs stay together — but NEAR
-    duplicates hash apart and straddle folds, which silently inflates
-    CV scores. leakage_safe_split FIXES this for train/val/test; this
-    operator MEASURES it for k-fold, the audit you run before trusting
-    a fold-averaged metric.
+    distinct k-folds its members land in. stratified_kfold's
+    round-robin deal optimizes per-source BALANCE, not co-location —
+    byte-identical docs get adjacent per-source ranks and therefore
+    land in DIFFERENT folds by construction, and near-duplicates hash
+    apart just the same — so every duplicate family straddles folds
+    and silently inflates CV scores unless the corpus was deduped
+    first. leakage_safe_split FIXES this for train/val/test (cluster-
+    granular assignment); this operator MEASURES it for k-fold, the
+    audit you run before trusting a fold-averaged metric.
 
     Scale shape: both inputs are |docs|-row frames (clusters from the
     shared curation state — the LSH stage is not re-run); the report

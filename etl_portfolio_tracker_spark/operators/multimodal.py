@@ -279,6 +279,13 @@ def _decode_gif(b: bytes) -> list[np.ndarray]:
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         left, top, iw, ih = struct.unpack_from("<HHHH", b, pos + 1)
+        # per-descriptor bound: iw/ih are independent uint16s, so a
+        # 1×1 logical screen passing the header guard could still
+        # declare a 65535×65535 image block and drive _lzw_decode's
+        # output toward 4.3e9 entries before any canvas check fires;
+        # a descriptor must fit inside the declared screen
+        if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
+            raise ValueError("GIF image descriptor outside screen")
         ipacked = b[pos + 9]
         pos += 10
         if ipacked & 0x40:

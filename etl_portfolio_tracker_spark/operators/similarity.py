@@ -989,8 +989,17 @@ def mmr_topk(emb: DataFrame, query_vec_id: int = 0, k: int = MMR_K,
     half-even (Python) vs half-away (engines) boundary by
     construction — the one place the usual round-6 rule is unsafe.
     """
-    rel_df = cosine_topk(emb, query_vec_id, k=pool)
-    pool_emb = (emb.join(F.broadcast(rel_df.select("vec_id")), "vec_id")
+    # collect the pool FIRST: the corpus-wide relevance scan is the
+    # one stage that grows at 100 TB, and feeding rel_df lazily into
+    # the pairwise job re-executed it once per consumer (2-3 full
+    # scans per call); the pairwise job instead probes the corpus
+    # with a 50-id IN-filter that pushes to the parquet scan
+    rel = {r["vec_id"]: r["cos_sim"]
+           for r in cosine_topk(emb, query_vec_id, k=pool).collect()}
+    if not rel:
+        return emb.sparkSession.createDataFrame(
+            [], "rank int, vec_id bigint, relevance double, score double")
+    pool_emb = (emb.filter(F.col("vec_id").isin(*rel))
                 .select("vec_id", "embedding",
                         F.expr(_norm_sql("embedding")).alias("_nrm")))
     a = pool_emb.select(F.col("vec_id").alias("_va"),
@@ -1004,7 +1013,6 @@ def mmr_topk(emb: DataFrame, query_vec_id: int = 0, k: int = MMR_K,
                      F.round(F.expr(_dot_sql("_ea", "_eb"))
                              / (F.col("_na") * F.col("_nb")), 6)
                       .alias("_cs")))
-    rel = {r["vec_id"]: r["cos_sim"] for r in rel_df.collect()}
     pc = {(r["_va"], r["_vb"]): r["_cs"] for r in pc_df.collect()}
     picked: list[tuple] = []
     chosen: list[int] = []
@@ -1053,7 +1061,14 @@ def semantic_dedup_fast(emb: DataFrame,
     library-specific); correctness is pinned by
     tests/test_round4_ops.py: flags must agree with the exact
     semantic_dedup for every vector whose max-cosine sits more than a
-    float32-honest margin away from τ.
+    float32-honest margin away from τ. The same noise applies to the
+    argmax CELL assignment: a vector whose top-two centroid dots are
+    within float32 accumulation error may land in a different cell
+    than the exact form (and its flag may then differ beyond the τ
+    margin) — acceptable for SemDeDup, where near-tied assignments
+    mean the vector sits on a cell boundary and either neighborhood
+    is a valid comparison set; the agreement test tolerates a ≤1%
+    divergent-cell tail for exactly this reason.
 
     Returns (vec_id, cell, max_earlier_cos float, is_dup).
     """

@@ -52,16 +52,23 @@ def _parse_interval_seconds(s: str) -> int:
     own interval syntax does (summed over '<n> <unit>' terms); rejects
     anything else, and rejects a non-whole-second total (Spark
     watermark delays are whole-second)."""
+    from fractions import Fraction
+
     toks = s.strip().split()
     if not toks or len(toks) % 2:
         raise ValueError(f"unsupported interval string: {s!r}")
-    total = 0.0
+    # exact rational arithmetic: '8.2 minutes' is exactly 492 s, but
+    # float('8.2')*60 is 491.99999999999994 — a binary-float product
+    # would spuriously reject whole-second fractional terms (and
+    # 'inf hours' would escape as OverflowError at the int() below)
+    total = Fraction(0)
     try:
         for i in range(0, len(toks), 2):
-            total += float(toks[i]) * _INTERVAL_UNIT_S[toks[i + 1].lower()]
-    except (ValueError, KeyError):
+            total += (Fraction(toks[i])
+                      * _INTERVAL_UNIT_S[toks[i + 1].lower()])
+    except (ValueError, ZeroDivisionError, KeyError):
         raise ValueError(f"unsupported interval string: {s!r}") from None
-    if total != int(total):
+    if total.denominator != 1 or total < 0:
         raise ValueError(f"interval is not a whole second: {s!r}")
     return int(total)
 

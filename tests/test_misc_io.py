@@ -485,3 +485,27 @@ def test_png_zero_dims_and_bounded_inflate():
     # MemoryError is in DECODE_ERRORS as the backstop for anything
     # that slips past the header guards
     assert MemoryError in DECODE_ERRORS
+
+
+def test_gif_descriptor_outside_screen_rejected():
+    # a 1x1 logical screen passes the header guard, but an image
+    # DESCRIPTOR claiming 65535x65535 would drive the LZW output
+    # toward 4.3e9 entries before any canvas check — the descriptor
+    # must fit inside the declared screen
+    import struct as st
+    import pytest
+    from etl_portfolio_tracker_spark.operators.multimodal import (
+        DECODE_ERRORS, _decode_gif)
+    gif = bytearray(b"GIF87a")
+    gif += st.pack("<HH", 1, 1) + bytes([0x80, 0, 0]) + b"\x01\x02\x03" * 2
+    gif += b"\x2c" + st.pack("<HHHH", 0, 0, 65535, 65535) + b"\x00"
+    gif += bytes([2]) + bytes([2, 0xFF, 0xFF]) + b"\x00\x3b"
+    with pytest.raises(DECODE_ERRORS):
+        _decode_gif(bytes(gif))
+    # offset pushing an in-bounds-sized frame past the edge: rejected
+    gif2 = bytearray(b"GIF87a")
+    gif2 += st.pack("<HH", 4, 4) + bytes([0x80, 0, 0]) + b"\x01\x02\x03" * 2
+    gif2 += b"\x2c" + st.pack("<HHHH", 3, 3, 2, 2) + b"\x00"
+    gif2 += bytes([2]) + bytes([2, 0xFF, 0xFF]) + b"\x00\x3b"
+    with pytest.raises(DECODE_ERRORS):
+        _decode_gif(bytes(gif2))

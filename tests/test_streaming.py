@@ -342,6 +342,14 @@ def test_join_replay_tolerance_alias():
         _parse_interval_seconds("1 hour 30")          # dangling term
     with pytest.raises(ValueError):
         _parse_interval_seconds("0.5 seconds")        # sub-second
+    # exact-rational arithmetic: 8.2 minutes IS exactly 492 s even
+    # though float('8.2')*60 is 491.99999999999994
+    assert _parse_interval_seconds("8.2 minutes") == 492
+    assert _parse_interval_seconds("4.1 minutes") == 246
+    with pytest.raises(ValueError):
+        _parse_interval_seconds("inf hours")          # non-finite
+    with pytest.raises(ValueError):
+        _parse_interval_seconds("-1 hours")           # negative
 
 
 def test_streaming_delta_dedup_matches_batch_join(spark, sf_dir):
