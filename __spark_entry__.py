@@ -1118,6 +1118,10 @@ def _q_lsh_recall_curve(spark, sf_dir):
     return DD.lsh_recall_curve(spark)
 
 
+def _q_semantic_clusters(spark, sf_dir):
+    return SIM.semantic_clusters(_emb(spark, sf_dir))
+
+
 def _semantic_cells_sql(count_sql: str) -> str:
     """SQL twin of similarity.semantic_cells (smallest power of 2
     with c² ≥ n, floor 8, capped) over an arbitrary COUNT source —
@@ -1133,6 +1137,49 @@ def _semantic_cells_sql(count_sql: str) -> str:
                             WHEN cnt <= 262144 THEN 512
                             ELSE {SIM.SEMANTIC_CELL_CAP} END AS k
                 FROM ({count_sql})"""
+
+
+def _sem_chain_sql() -> str:
+    """The semantic-dedup cell/pair CTE chain (codebook size ladder →
+    centroid dots → argmax cells → norms → intra-cell pair dots) —
+    one definition shared by the semantic_dedup and semantic_clusters
+    oracles so the cell/pair algebra can never drift."""
+    return f"""
+            , nc AS ({_semantic_cells_sql("SELECT COUNT(*) AS cnt FROM embeddings")}),
+            cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval
+                    FROM pe WHERE vec_id < (SELECT k FROM nc)),
+            cdots AS (
+                SELECT pe.vec_id, cid,
+                       CAST(SUM(CAST(val * cval AS DECIMAL(38,10)))
+                            AS DOUBLE) AS dot
+                FROM pe JOIN cpe ON pe.pos = cpe.cpos
+                GROUP BY 1, 2
+            ),
+            cells AS (
+                SELECT vec_id, cid AS cell
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id
+                          ORDER BY dot DESC, cid ASC) AS rn
+                      FROM cdots)
+                WHERE rn = 1
+            ),
+            norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10)))
+                                 AS DOUBLE)) AS nrm
+                FROM pe GROUP BY 1
+            ),
+            pdots AS (
+                SELECT ca.vec_id AS va, cb.vec_id AS vb,
+                       CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,10)))
+                            AS DOUBLE) AS dot
+                FROM cells ca
+                JOIN cells cb ON ca.cell = cb.cell
+                             AND ca.vec_id < cb.vec_id
+                JOIN pe a ON a.vec_id = ca.vec_id
+                JOIN pe b ON b.vec_id = cb.vec_id AND b.pos = a.pos
+                GROUP BY 1, 2
+            )"""
 
 
 def _mmr_sql(k: int = None, pool: int = None, qid: int = 0) -> str:
@@ -1408,11 +1455,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          32-bit fingerprint this round, so its r1 row is stale), and
          the warehouse-second-tranche / stats queries;
       2. never-checked overflow for round 5's window: six simple
-         warehouse queries plus the eleven round-4-new operators
+         warehouse queries plus the thirteen round-4-new operators
          (word_entropy, pmi_top_pairs, ngram_dup_spans, doc_chunks,
          stratified_kfold, semantic_dedup, mmr_topk,
          minhash_estimate_error, kfold_leakage_report,
-         streaming_semantic_dedup_replay), then the
+         streaming_semantic_dedup_replay, lsh_recall_curve,
+         semantic_clusters), then the
          two rows-only-by-design queries (approx_stats — sketch
          values are engine-specific, error bounds pytest-verified;
          audio_meta — float reductions over raw bytes, WAV decode
@@ -1497,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_leakage_report": _q_kfold_leakage_report,
         "streaming_semantic_dedup_replay": _q_streaming_semantic_dedup_replay,
         "lsh_recall_curve": _q_lsh_recall_curve,
+        "semantic_clusters": _q_semantic_clusters,
         "approx_stats": _q_approx_stats,
         "audio_meta": _q_audio_meta,
         # -- 3. externally green in r1/r2/r3 (locally re-verified each round) -------------------------------
@@ -3465,43 +3514,8 @@ def oracle_sql() -> dict[str, str]:
         # mirrors similarity.semantic_dedup: ivf_assign's argmax-dot
         # cells (same decimal dot rule + lowest-cid tie), intra-cell
         # pair cosines, is_dup on the UNROUNDED max vs τ
-        "semantic_dedup": _PE_SQL + f"""
-            , nc AS ({_semantic_cells_sql("SELECT COUNT(*) AS cnt FROM embeddings")}),
-            cpe AS (SELECT vec_id AS cid, pos AS cpos, val AS cval
-                    FROM pe WHERE vec_id < (SELECT k FROM nc)),
-            cdots AS (
-                SELECT pe.vec_id, cid,
-                       CAST(SUM(CAST(val * cval AS DECIMAL(38,10)))
-                            AS DOUBLE) AS dot
-                FROM pe JOIN cpe ON pe.pos = cpe.cpos
-                GROUP BY 1, 2
-            ),
-            cells AS (
-                SELECT vec_id, cid AS cell
-                FROM (SELECT *, row_number() OVER (
-                          PARTITION BY vec_id
-                          ORDER BY dot DESC, cid ASC) AS rn
-                      FROM cdots)
-                WHERE rn = 1
-            ),
-            norms AS (
-                SELECT vec_id,
-                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10)))
-                                 AS DOUBLE)) AS nrm
-                FROM pe GROUP BY 1
-            ),
-            pdots AS (
-                SELECT ca.vec_id AS va, cb.vec_id AS vb,
-                       CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,10)))
-                            AS DOUBLE) AS dot
-                FROM cells ca
-                JOIN cells cb ON ca.cell = cb.cell
-                             AND ca.vec_id < cb.vec_id
-                JOIN pe a ON a.vec_id = ca.vec_id
-                JOIN pe b ON b.vec_id = cb.vec_id AND b.pos = a.pos
-                GROUP BY 1, 2
-            ),
-            mx AS (
+        "semantic_dedup": _PE_SQL + _sem_chain_sql() + f"""
+            , mx AS (
                 SELECT vb AS vec_id,
                        MAX(dot / (na.nrm * nb.nrm)) AS max_cos
                 FROM pdots JOIN norms na ON na.vec_id = va
@@ -3516,6 +3530,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c.vec_id
         """,
         "mmr_topk": _mmr_sql(),
+        # mirrors similarity.semantic_clusters: the shared cell/pair
+        # chain, τ-filtered to edges, recursive-CTE transitive
+        # closure with min-label cluster ids (the dedup_clusters twin)
+        "semantic_clusters": _PE_SQL.replace(
+            "WITH pe AS", "WITH RECURSIVE pe AS")
+        + _sem_chain_sql() + f"""
+            , prs AS (
+                SELECT va, vb
+                FROM pdots JOIN norms na ON na.vec_id = va
+                           JOIN norms nb ON nb.vec_id = vb
+                WHERE dot / (na.nrm * nb.nrm) >= {SIM.SEMANTIC_DEDUP_TAU}
+            ),
+            edges AS (
+                SELECT va AS src, vb AS dst FROM prs
+                UNION ALL
+                SELECT vb, va FROM prs
+            ),
+            reach(node, label) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.dst, r.label
+                FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS vec_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY 1 ORDER BY 1
+        """,
         # mirrors dedup.lsh_recall_curve: the banding S-curve table,
         # 1 - (1 - j^r)^b over the K=8 factorizations; round-6 (libm)
         "lsh_recall_curve": """

@@ -922,14 +922,36 @@ def semantic_dedup(emb: DataFrame, n_cells: int | None = None,
     cents = (emb.filter(F.col("vec_id") < n_cells)
              .select(F.col("vec_id").cast("int").alias("_cid"),
                      F.col("embedding").alias("_cvec")))
+    cells = _semantic_cells_frame(emb, cents)
+    earlier = (_semantic_cos_pairs(cells)
+               .select(F.col("_vb").alias("vec_id"), F.col("_cos"))
+               .groupBy("vec_id")
+               .agg(F.max("_cos").alias("_max_cos")))
+    return (cells.join(earlier, "vec_id", "left")
+            .select("vec_id", F.col("cell").cast("int").alias("cell"),
+                    F.round("_max_cos", 6).alias("max_earlier_cos"),
+                    F.coalesce(F.col("_max_cos") >= threshold,
+                               F.lit(False)).alias("is_dup"))
+            .orderBy("vec_id"))
+
+
+def _semantic_cells_frame(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell, _nrm): argmax-dot cell assignment
+    against a (_cid, _cvec) centroid frame — broadcast join +
+    row_number, the codegen-friendly form (see semantic_dedup)."""
     scored = (_spread(emb).crossJoin(F.broadcast(cents))
               .select("vec_id", "embedding", "_cid",
                       F.expr(_dot_sql("embedding", "_cvec")).alias("_dot")))
     w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), F.asc("_cid"))
-    cells = (scored.withColumn("_rn", F.row_number().over(w))
-             .filter(F.col("_rn") == 1)
-             .select("vec_id", "embedding", F.col("_cid").alias("cell"),
-                     F.expr(_norm_sql("embedding")).alias("_nrm")))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "embedding", F.col("_cid").alias("cell"),
+                    F.expr(_norm_sql("embedding")).alias("_nrm")))
+
+
+def _semantic_cos_pairs(cells: DataFrame) -> DataFrame:
+    """(_va, _vb, _cos) for every intra-cell pair with _va < _vb —
+    the exact-unit cosine over the assigned-cells frame."""
     a = cells.select(F.col("vec_id").alias("_va"),
                      F.col("cell").alias("_ca"),
                      F.col("embedding").alias("_ea"),
@@ -940,16 +962,51 @@ def semantic_dedup(emb: DataFrame, n_cells: int | None = None,
                      F.col("_nrm").alias("_nb"))
     cos = (F.expr(_dot_sql("_ea", "_eb"))
            / (F.col("_na") * F.col("_nb")))
-    earlier = (a.join(b, (F.col("_ca") == F.col("_cb"))
-                      & (F.col("_va") < F.col("_vb")))
-               .select(F.col("_vb").alias("vec_id"), cos.alias("_cos"))
-               .groupBy("vec_id")
-               .agg(F.max("_cos").alias("_max_cos")))
-    return (cells.join(earlier, "vec_id", "left")
-            .select("vec_id", F.col("cell").cast("int").alias("cell"),
-                    F.round("_max_cos", 6).alias("max_earlier_cos"),
-                    F.coalesce(F.col("_max_cos") >= threshold,
-                               F.lit(False)).alias("is_dup"))
+    return (a.join(b, (F.col("_ca") == F.col("_cb"))
+                   & (F.col("_va") < F.col("_vb")))
+            .select("_va", "_vb", cos.alias("_cos")))
+
+
+def semantic_clusters(emb: DataFrame, n_cells: int | None = None,
+                      threshold: float = SEMANTIC_DEDUP_TAU) -> DataFrame:
+    """Semantic-duplicate CLUSTERS: connected components of the
+    intra-cell cosine graph (pairs with cos ≥ τ from the same
+    codebook/cell machinery as semantic_dedup). Emits
+    (vec_id, cluster_id) for EVERY vector, cluster_id = the smallest
+    vec_id in the component — the keep-one canonical, completing the
+    SemDeDup family the way dedup_clusters completes MinHash: flags
+    (semantic_dedup) answer "is this a dup", clusters answer "of
+    WHAT", and transitive chains A~B~C collapse to one kept vector
+    even when cos(A,C) < τ.
+
+    Scale shape: pair generation is the cell-bounded scan (≈N^1.5
+    under the √N cell rule); components use the shared min-label
+    propagation kernel (dedup.min_label_components — per-round
+    shuffle join + min-agg, checkpointed lineage, O(1) driver state).
+    Within-cell edges make components cell-local UNLESS τ-pairs chain
+    across cells — which they can't here (pairs are intra-cell by
+    construction), so diameter is tiny and rounds ≈ 2-3.
+
+    Oracle: recursive-CTE transitive closure over the same pair
+    predicate — the dedup_clusters twin on the embedding side.
+    """
+    from .dedup import min_label_components
+    if n_cells is None:
+        n_cells = semantic_cells(emb.count())
+    cents = (emb.filter(F.col("vec_id") < n_cells)
+             .select(F.col("vec_id").cast("int").alias("_cid"),
+                     F.col("embedding").alias("_cvec")))
+    pairs = (_semantic_cos_pairs(_semantic_cells_frame(emb, cents))
+             .filter(F.col("_cos") >= threshold)
+             .select(F.col("_va").alias("doc_a"),
+                     F.col("_vb").alias("doc_b")))
+    sym = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    labels0 = emb.select(F.col("vec_id").alias("doc_id"),
+                         F.col("vec_id").alias("cluster_id"))
+    return (min_label_components(labels0, sym)
+            .select(F.col("doc_id").alias("vec_id"), "cluster_id")
             .orderBy("vec_id"))
 
 

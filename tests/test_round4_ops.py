@@ -276,3 +276,23 @@ def test_lsh_recall_curve_known_values_and_monotonicity(spark):
                ((c, p) for c, p in by_cfg.items())]
     at_half.sort()
     assert all(b[1] < a[1] for a, b in zip(at_half, at_half[1:]))
+
+
+def test_semantic_clusters_transitive_chain(spark):
+    # A~B and B~C above tau, but cos(A,C) below tau: all three must
+    # share one cluster (the transitivity flags alone can't express)
+    base = [[1.0 if j == i else 0.0 for j in range(8)] for i in range(8)]
+    a = [1.0, 0.00, 0, 0, 0, 0, 0, 0]      # = centroid 0 direction
+    bv = [1.0, 0.55, 0, 0, 0, 0, 0, 0]     # cos(a,b) ≈ 0.876
+    cv = [1.0, 0.80, 0, 0, 0, 0, 0, 0]     # cos(b,c) ≈ 0.985, cos(a,c) ≈ 0.781
+    e = emb_df(spark, base + [a, bv, cv])
+    out = {r["vec_id"]: r["cluster_id"]
+           for r in SIM.semantic_clusters(e, n_cells=8,
+                                          threshold=0.85).collect()}
+    # 8,9,10 are the chain (vec 0 is centroid-only direction but also
+    # a member: cos(0, 8) = 1.0 ≥ τ links it in too)
+    assert out[8] == out[9] == out[10] == out[0]
+    # unrelated axis vector stays a singleton
+    assert out[3] == 3
+    # every vector appears exactly once
+    assert len(out) == 11
