@@ -922,6 +922,17 @@ def semantic_dedup(emb: DataFrame, n_cells: int | None = None,
     cents = (emb.filter(F.col("vec_id") < n_cells)
              .select(F.col("vec_id").cast("int").alias("_cid"),
                      F.col("embedding").alias("_cvec")))
+    # the vec_id < n_cells codebook rule assumes dense 0-based ids; on
+    # a sparse-id corpus it would silently yield a short codebook and
+    # the assignment inner-join would DROP vectors — fail loudly
+    # instead (the count is an O(model) job over a pushed-down range
+    # scan, not a corpus pass)
+    n_cents = cents.count()
+    if n_cents != n_cells:
+        raise ValueError(
+            f"semantic_dedup codebook expects dense 0-based vec_ids: "
+            f"wanted {n_cells} centroids from vec_id < {n_cells}, "
+            f"found {n_cents}")
     cells = _semantic_cells_frame(emb, cents)
     earlier = (_semantic_cos_pairs(cells)
                .select(F.col("_vb").alias("vec_id"), F.col("_cos"))

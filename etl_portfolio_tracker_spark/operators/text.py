@@ -700,10 +700,13 @@ def pmi_top_pairs(docs: DataFrame, k: int = PMI_TOP_K,
     corpus→model reduction bpe.py documents. Top-k is a
     TakeOrderedAndProject, no global sort.
 
-    Determinism: ordering uses the exact-integer ratio
-    (c12·N)/(c1·c2) in ONE IEEE divide (products < 2^53 at any tested
-    SF) rather than the ln(), so rank order is engine-exact; ties
-    break on (w1, w2). The reported pmi is round-6 ln(ratio).
+    Determinism: ordering uses the ratio computed as
+    (c12/c1)·(N/c2) — two IEEE divides and one multiply over doubles,
+    the SAME op sequence in the DuckDB oracle, so the value (and the
+    rank order) is bit-identical across engines WITHOUT forming the
+    integer products c12·N / c1·c2, which can exceed 2^63 (silent
+    int64 wraparound in non-ANSI Spark) on a genuinely large corpus.
+    Ties break on (w1, w2). The reported pmi is round-6 ln(ratio).
     """
     bg = (docs.select("doc_id", tokens_col().alias("_toks"))
           .select(F.explode(_bigrams_col("_toks")).alias("bg"))
@@ -712,8 +715,8 @@ def pmi_top_pairs(docs: DataFrame, k: int = PMI_TOP_K,
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
     tot = c12.agg(F.sum("c12").alias("_N"))
-    ratio = ((F.col("c12") * F.col("_N")).cast("double")
-             / (F.col("c1") * F.col("c2")).cast("double"))
+    ratio = ((F.col("c12").cast("double") / F.col("c1").cast("double"))
+             * (F.col("_N").cast("double") / F.col("c2").cast("double")))
     return (c12.filter(F.col("c12") >= min_count)
             .join(c1, "w1").join(c2, "w2")
             .crossJoin(F.broadcast(tot))
@@ -778,3 +781,259 @@ def ngram_dup_spans(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
         "*",
         F.round(F.col("covered_words").cast("double")
                 / F.col("n_words").cast("double"), 6).alias("covered_frac"))
+
+
+# --- round-5 operators ------------------------------------------------
+
+WINNOW_K = 3          # words per k-gram
+WINNOW_W = 4          # grams per winnowing window
+_WINNOW_POS_BASE = 1_000_000_000   # rightmost-tie encoding base
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K,
+                           w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS local-fingerprint algorithm): hash every
+    k-word gram, slide a w-gram window, and select each window's
+    MINIMUM hash (rightmost on ties); the distinct selected (pos,
+    hash) set is the fingerprint. Guarantees any shared run of
+    w+k-1 words between two documents shares at least one selected
+    fingerprint — the recall property plain 1/p MinHash sampling
+    lacks.
+
+    Scale shape: the ENTIRE selection is row-local (one transform
+    builds gram keys, a second takes windowed minima, array_distinct
+    dedupes) — a single fused map stage over the corpus, zero
+    shuffle, the ideal 100 TB form. Downstream consumers groupBy the
+    fingerprint hash to find cross-doc matches (that join is
+    candidate-bounded exactly like minhash_lsh).
+
+    Rightmost-min tie-break without a struct comparator (so the same
+    expression runs on both engines): each gram's sort key is
+    md5hex || lpad(BASE − pos), i.e. ordering by (hash asc, pos
+    desc); string MIN over the window implements the paper's rule,
+    and pos decodes back out of the key. Short docs (< k words)
+    produce no fingerprint; docs with < w grams produce the global
+    minimum (the paper's degenerate-window case).
+    """
+    d = docs.select("doc_id", tokens_col().alias("_t"))
+    ng = F.size("_t") - (k - 1)
+    # Spark sequence(1, 0) yields DESCENDING [1, 0] — guard explicitly
+    keys = F.when(ng >= 1, F.transform(
+        F.sequence(F.lit(1), ng),
+        lambda i: F.concat(
+            F.md5(F.concat_ws(" ", F.slice("_t", i, k))),
+            F.lpad((F.lit(_WINNOW_POS_BASE) - i).cast("string"),
+                   10, "0")))
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", keys.alias("_k"))
+    nwin = F.greatest(F.lit(1), F.size("_k") - (w - 1))
+    sel = F.when(F.size("_k") >= 1, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.array_min(F.slice("_k", i, w))))
+    ).otherwise(F.array().cast("array<string>"))
+    return (g.select("doc_id", F.explode(sel).alias("_sel"))
+            .select("doc_id",
+                    (F.lit(_WINNOW_POS_BASE)
+                     - F.substring("_sel", 33, 10).cast("int"))
+                    .cast("int").alias("pos"),
+                    F.substring("_sel", 1, 32).alias("fp")))
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution —
+    the cheapest garble detector (binary junk decoded as text scores
+    near log2 |alphabet|; repeated-char spam scores near 0); standard
+    alongside word_entropy in quality gates because it needs no
+    tokenizer and catches non-linguistic bytes word-level stats miss.
+
+    Same plan as word_entropy with characters as the unit: explode →
+    count per (doc, char) [shuffle carries ≤ |alphabet| rows per doc
+    after map-side combine — effectively free] → per-doc fold over
+    CHAR-SORTED counts so both engines add identical IEEE doubles in
+    identical order.
+    """
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.substring(F.col("text"), i, F.lit(1)))
+    cc = (docs.filter(F.length("text") > 0)
+          .select("doc_id", F.explode(chars).alias("ch"))
+          .groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt")))
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.sort_array(F.collect_list(F.struct("ch", "cnt"))).alias("_ps"))
+    n = F.col("n_chars").cast("double")
+    ent = -F.aggregate(
+        F.transform("_ps", lambda p: p["cnt"].cast("double")),
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log(c / n))
+    return agg.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size("_ps").cast("long").alias("n_distinct_chars"),
+        F.round(ent, 6).alias("char_entropy"))
+
+
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document, with
+    the standard regex syllable proxy (count [aeiouy]+ vowel-group
+    runs per word, minimum 1) — the classic curation feature for
+    audience-level bucketing of a corpus (e.g. building grade-school
+    vs technical mixes). Deterministic: integer counts, two integer
+    ratios, one fixed linear form — bit-identical on any engine that
+    evaluates the same expression.
+
+    Row-local only (per-doc regex counts + an in-row fold over the
+    token array): a single map stage at any scale.
+    """
+    toks = tokens_col()
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)))
+    syl = F.aggregate(
+        F.transform(toks, lambda t: F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0)))),
+        F.lit(0), lambda acc, x: acc + x)
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = syl.cast("double") / n_words.cast("double")
+    return (docs.filter(F.size(tokens_col()) > 0)
+            .select("doc_id",
+                    n_words.cast("long").alias("n_words"),
+                    n_sent.cast("long").alias("n_sentences"),
+                    syl.cast("long").alias("n_syllables"),
+                    F.round(F.lit(206.835) - F.lit(1.015) * wps
+                            - F.lit(84.6) * spw, 6).alias("flesch"),
+                    F.round(F.lit(0.39) * wps + F.lit(11.8) * spw
+                            - F.lit(15.59), 6).alias("fk_grade")))
+
+
+def unigram_perplexity(docs: DataFrame) -> DataFrame:
+    """Per-document perplexity under the corpus's own add-one-smoothed
+    unigram LM — the CCNet/fastText-style LM filter in its simplest
+    deterministic form: documents whose word mix diverges from the
+    corpus (junk, foreign-language, templated) score high; the score
+    feeds a quantile cut exactly like quality_quantile_cut.
+
+    Plan shape: one corpus→model reduction (vocab counts — the bpe.py
+    rule), broadcast of the two model scalars (N, V), one join of the
+    per-doc distinct-word counts against the vocab model (model-sized
+    build side), one per-doc fold. The join is the only corpus-sized
+    shuffle and it carries (doc, distinct-word) rows.
+
+    Determinism: per-(doc,word) nll terms are each computed by the
+    identical IEEE expression; the per-doc sum folds over WORD-SORTED
+    terms (the word_entropy rule), so accumulation order is fixed.
+    """
+    wc = (docs.select("doc_id", F.explode(tokens_col()).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("dc")))
+    vocab = wc.groupBy("w").agg(F.sum("dc").alias("cw"))
+    tot = vocab.agg(F.sum("cw").alias("_N"),
+                    F.count(F.lit(1)).alias("_V"))
+    per = (wc.join(vocab, "w")
+           .crossJoin(F.broadcast(tot))
+           .select("doc_id", "dc",
+                   F.struct(
+                       "w",
+                       (F.col("dc").cast("double")
+                        * F.log((F.col("cw") + 1).cast("double")
+                                / (F.col("_N") + F.col("_V")).cast("double"))
+                        ).alias("t")).alias("_wt")))
+    ag = per.groupBy("doc_id").agg(
+        F.sum("dc").alias("n_tokens"),
+        F.sort_array(F.collect_list("_wt")).alias("_ts"))
+    ll = F.aggregate(F.transform("_ts", lambda p: p["t"]),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return ag.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(-ll / F.col("n_tokens").cast("double"), 6).alias("avg_nll"),
+        F.round(F.exp(-ll / F.col("n_tokens").cast("double")), 6)
+         .alias("perplexity"))
+
+
+def normalized_dedup(docs: DataFrame) -> DataFrame:
+    """Punctuation/case/whitespace-insensitive exact dedup — the C4
+    step between raw exact dedup and MinHash: documents are grouped
+    by md5 of the canonical form lower → non-alphanumeric runs → one
+    space → trim, so 'Hello, World!' and 'hello world' collide. One
+    hash shuffle on the 16-byte canonical fingerprint (same scale
+    shape as exact_dedup); keep-lowest-id is the module's canonical
+    survivorship rule.
+
+    Returns every doc with its canonical hash, its group size, and
+    whether it is the group's keeper.
+    """
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                    "[^a-z0-9]+", " "))
+    keyed = docs.select("doc_id", F.md5(canon).alias("canon_hash"))
+    groups = keyed.groupBy("canon_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("_keeper"))
+    return (keyed.join(groups, "canon_hash")
+            .select("doc_id", "canon_hash",
+                    F.col("group_size").cast("long").alias("group_size"),
+                    (F.col("doc_id") == F.col("_keeper")).alias("keep")))
+
+
+def hapax_ratio(docs: DataFrame) -> DataFrame:
+    """Lexical-diversity profile per source: vocabulary size, hapax
+    legomena (words occurring exactly once in the source), type-token
+    ratio and hapax share — the corpus-linguistics axis curation uses
+    to spot template farms (low TTR, few hapaxes) vs scraped noise
+    (absurdly high hapax share = tokenizer-hostile junk).
+
+    Corpus→model reduction per source: one (source, word) count
+    shuffle (map-side combined), then a source-sized rollup. All
+    ratios are int/int single divides.
+    """
+    wc = (docs.select("source", F.explode(tokens_col()).alias("w"))
+          .groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt")))
+    return (wc.groupBy("source").agg(
+                F.sum("cnt").alias("n_tokens"),
+                F.count(F.lit(1)).alias("vocab"),
+                F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+                 .alias("n_hapax"))
+            .select("source",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("vocab").cast("long").alias("vocab"),
+                    F.col("n_hapax").cast("long").alias("n_hapax"),
+                    F.round(F.col("vocab").cast("double")
+                            / F.col("n_tokens").cast("double"), 6)
+                     .alias("ttr"),
+                    F.round(F.col("n_hapax").cast("double")
+                            / F.col("vocab").cast("double"), 6)
+                     .alias("hapax_share"))
+            .orderBy("source"))
+
+
+def balanced_downsample(docs: DataFrame) -> DataFrame:
+    """Class-balanced downsampling to the minority stratum: every
+    (source, lang) stratum is cut to the size of the SMALLEST
+    stratum, membership chosen by deterministic hash rank (md5 over a
+    salted doc_id) — the standard class-balancing step before
+    training-mix assembly, reproducible across runs and engines by
+    construction (cf. stratified_sample's hash-rank rule).
+
+    Plan: one stratum-count aggregation (model-sized), broadcast of
+    the single min-count scalar, one rank window per stratum, one
+    filter. The window is keyed by (source, lang) — hash-distributed,
+    no global sort; at 100 TB the rank can instead use the
+    distributed top-m-per-key form (TakeOrdered per stratum), same
+    semantics.
+    """
+    m = (docs.groupBy("source", "lang")
+         .agg(F.count(F.lit(1)).alias("_n"))
+         .agg(F.min("_n").alias("_m")))
+    from pyspark.sql.window import Window as _W
+    w = (_W.partitionBy("source", "lang")
+         .orderBy(F.md5(F.concat(F.lit("bal#"),
+                                 F.col("doc_id").cast("string"))),
+                  "doc_id"))
+    return (docs.select("doc_id", "source", "lang")
+            .withColumn("rank", F.row_number().over(w))
+            .crossJoin(F.broadcast(m))
+            .filter(F.col("rank") <= F.col("_m"))
+            .select("doc_id", "source", "lang",
+                    F.col("rank").cast("long").alias("rank")))

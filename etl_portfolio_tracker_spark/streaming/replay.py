@@ -54,16 +54,23 @@ def _parse_interval_seconds(s: str) -> int:
     watermark delays are whole-second)."""
     from fractions import Fraction
 
+    import re
+
     toks = s.strip().split()
     if not toks or len(toks) % 2:
         raise ValueError(f"unsupported interval string: {s!r}")
     # exact rational arithmetic: '8.2 minutes' is exactly 492 s, but
     # float('8.2')*60 is 491.99999999999994 — a binary-float product
     # would spuriously reject whole-second fractional terms (and
-    # 'inf hours' would escape as OverflowError at the int() below)
+    # 'inf hours' would escape as OverflowError at the int() below).
+    # Each numeric token must be a plain non-negative decimal —
+    # Fraction() alone also accepts '1/2', '5e1', and negative terms,
+    # which are NOT part of the watermark-delay grammar this mirrors.
     total = Fraction(0)
     try:
         for i in range(0, len(toks), 2):
+            if not re.fullmatch(r"\d+(\.\d+)?", toks[i]):
+                raise ValueError
             total += (Fraction(toks[i])
                       * _INTERVAL_UNIT_S[toks[i + 1].lower()])
     except (ValueError, ZeroDivisionError, KeyError):
