@@ -1118,6 +1118,53 @@ def _q_balanced_downsample(spark, sf_dir):
     return TX.balanced_downsample(_docs(spark, sf_dir))
 
 
+def _q_equi_depth_histogram(spark, sf_dir):
+    return WH.equi_depth_histogram(spark, sf_dir)
+
+
+def _q_benford_first_digit(spark, sf_dir):
+    return WH.benford_first_digit(spark, sf_dir)
+
+
+def _q_weighted_median_price(spark, sf_dir):
+    return WH.weighted_median_price(spark, sf_dir)
+
+
+def _q_fk_orphans(spark, sf_dir):
+    return WH.fk_orphans(spark, sf_dir)
+
+
+def _q_top_event_paths(spark, sf_dir):
+    return SE.top_event_paths(read_table(spark, sf_dir, "events"))
+
+
+def _q_interval_event_join(spark, sf_dir):
+    return SE.interval_event_join(read_table(spark, sf_dir, "events"))
+
+
+def _q_sharpe_rolling(spark, sf_dir):
+    return FIN.sharpe_rolling(derive.tick_prices(spark, sf_dir), n=20)
+
+
+def _q_hard_negative_mining(spark, sf_dir):
+    return SIM.hard_negative_mining(_emb(spark, sf_dir))
+
+
+def _q_embedding_quantize_int8(spark, sf_dir):
+    return SIM.embedding_quantize_int8(_emb(spark, sf_dir))
+
+
+def _q_pca_power_iter(spark, sf_dir):
+    return SIM.pca_power_iteration(_emb(spark, sf_dir), n_iter=3)
+
+
+def _q_streaming_quality_filter_replay(spark, sf_dir):
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_quality_filter_replay,
+    )
+    return streaming_quality_filter_replay(spark, sf_dir)
+
+
 def _q_doc_chunks(spark, sf_dir):
     return PK.doc_chunks(_docs(spark, sf_dir))
 
@@ -1549,6 +1596,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": _q_normalized_dedup,
         "hapax_ratio": _q_hapax_ratio,
         "balanced_downsample": _q_balanced_downsample,
+        "equi_depth_histogram": _q_equi_depth_histogram,
+        "benford_first_digit": _q_benford_first_digit,
+        "weighted_median_price": _q_weighted_median_price,
+        "fk_orphans": _q_fk_orphans,
+        "top_event_paths": _q_top_event_paths,
+        "interval_event_join": _q_interval_event_join,
+        "sharpe_rolling": _q_sharpe_rolling,
+        "hard_negative_mining": _q_hard_negative_mining,
+        "embedding_quantize_int8": _q_embedding_quantize_int8,
+        "pca_power_iter": _q_pca_power_iter,
+        "streaming_quality_filter_replay": _q_streaming_quality_filter_replay,
         # -- 1f. padding re-checks (r4-green; pushed out as 1e grows, window cap = 50) ---------------------
         "kmeans_train": _q_kmeans_train,
         "delta_dedup": _q_delta_dedup,
@@ -2035,6 +2093,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    {rp_cols}
             FROM embeddings ORDER BY vec_id
+        """
+
+    # reusable: the Gopher composite-filter oracle is also the check
+    # for its streaming twin (streaming_quality_filter_replay — a
+    # stateless append stream, so stream == batch by construction)
+    gopher_sql = f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(toks) AS n_tok,
+                       len(list_filter(toks,
+                           x -> list_contains({_STOPWORDS_SQL}, x))) AS n_stop,
+                       LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       [toks[i] || ' ' || toks[i+1]
+                        FOR i IN generate_series(1, len(toks)-1)] AS bigrams
+                FROM t
+            ), m2 AS (
+                SELECT doc_id, n_tok, n_stop, n_alpha,
+                       len(bigrams) AS nb,
+                       len(list_distinct(bigrams)) AS ndist
+                FROM m
+            ), fl AS (
+                SELECT doc_id,
+                       (n_tok >= {TX.GOPHER_MIN_TOKENS}
+                        AND n_tok <= {TX.GOPHER_MAX_TOKENS}) AS ok_len,
+                       COALESCE(CASE WHEN n_tok > 0 THEN
+                           CAST(n_stop AS DOUBLE) / n_tok >= {TX.GOPHER_MIN_STOP_RATIO}
+                       END, FALSE) AS ok_stop,
+                       COALESCE(CASE WHEN n_tok > 0 THEN
+                           CAST(n_alpha AS DOUBLE) / n_tok >= {TX.GOPHER_MIN_MEAN_WL}
+                           AND CAST(n_alpha AS DOUBLE) / n_tok <= {TX.GOPHER_MAX_MEAN_WL}
+                       END, FALSE) AS ok_word_len,
+                       (CASE WHEN nb > 0
+                             THEN 1.0 - CAST(ndist AS DOUBLE) / nb
+                             ELSE 0.0 END) <= {TX.GOPHER_MAX_DUP_FRAC} AS ok_repetition
+                FROM m2
+            )
+            SELECT doc_id, ok_len, ok_stop, ok_word_len, ok_repetition,
+                   (ok_len AND ok_stop AND ok_word_len AND ok_repetition) AS keep
+            FROM fl
         """
 
     return {
@@ -2683,6 +2784,259 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang, CAST(rank AS BIGINT) AS rank
             FROM r CROSS JOIN m WHERE rank <= m.m
         """,
+        # mirrors similarity.hard_negative_mining: exact N² cosine,
+        # per-vector argmax with partner-id tie-break
+        "hard_negative_mining": _PE_SQL + """
+            , norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10))) AS DOUBLE)) AS nrm
+                FROM pe GROUP BY 1
+            ), dots AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb,
+                       CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,10))) AS DOUBLE) AS dot
+                FROM pe a JOIN pe b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+                GROUP BY 1, 2
+            ), cs AS (
+                SELECT va, vb, d.dot / (na.nrm * nb.nrm) AS c,
+                       la.label AS lla, lb.label AS llb
+                FROM dots d
+                JOIN norms na ON na.vec_id = d.va
+                JOIN norms nb ON nb.vec_id = d.vb
+                JOIN embeddings la ON la.vec_id = d.va
+                JOIN embeddings lb ON lb.vec_id = d.vb
+            ), neg AS (
+                SELECT va, vb, c,
+                       row_number() OVER (PARTITION BY va ORDER BY c DESC, vb) AS rn
+                FROM cs WHERE lla <> llb
+            ), pos AS (
+                SELECT va, vb, c,
+                       row_number() OVER (PARTITION BY va ORDER BY c ASC, vb) AS rn
+                FROM cs WHERE lla = llb
+            )
+            SELECT e.vec_id, e.label,
+                   n.vb AS hn_id, ROUND(n.c, 6) AS hn_cos,
+                   p.vb AS hp_id, ROUND(p.c, 6) AS hp_cos
+            FROM embeddings e
+            LEFT JOIN neg n ON n.va = e.vec_id AND n.rn = 1
+            LEFT JOIN pos p ON p.va = e.vec_id AND p.rn = 1
+            ORDER BY e.vec_id
+        """,
+        # mirrors similarity.embedding_quantize_int8: per-dim [min,max]
+        # SQ8 codes, pos-ordered error folds
+        "embedding_quantize_int8": _PE_SQL + """
+            , st AS (
+                SELECT pos, MIN(val) AS mn, MAX(val) AS mx
+                FROM pe GROUP BY 1
+            ), er AS (
+                SELECT vec_id, pe.pos,
+                       CASE WHEN (mx - mn) / 255.0 > 0 THEN
+                            val - (mn + least(255.0, greatest(0.0,
+                                      round((val - mn) / ((mx - mn) / 255.0))))
+                                   * ((mx - mn) / 255.0))
+                       ELSE val - mn END AS e
+                FROM pe JOIN st USING (pos)
+            ), ag AS (
+                SELECT vec_id,
+                       list(e * e ORDER BY pos) AS sq,
+                       MAX(abs(e)) AS mxe,
+                       COUNT(*) AS d
+                FROM er GROUP BY 1
+            )
+            SELECT vec_id,
+                   ROUND(SQRT(list_reduce(list_prepend(0.0, sq), (a, b) -> a + b)
+                              / CAST(d AS DOUBLE)), 6) AS rmse,
+                   ROUND(mxe, 6) AS max_abs_err
+            FROM ag ORDER BY vec_id
+        """,
+        # mirrors similarity.pca_power_iteration: the kmeans_train
+        # rule — fixed iterations unrolled as CTEs, round-6 model
+        # values fed forward, decimal-stable cross-row sums, pos-
+        # ordered in-row folds
+        "pca_power_iter": _PE_SQL + """
+            , mu AS (
+                SELECT pos,
+                       ROUND(CAST(SUM(CAST(val AS DECIMAL(38,10))) AS DOUBLE)
+                             / CAST(COUNT(*) AS DOUBLE), 6) AS mu
+                FROM pe GROUP BY 1
+            ),
+            v0 AS (SELECT pos, CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END AS v FROM mu),
+            s1 AS (
+                SELECT vec_id,
+                       list_reduce(list_prepend(0.0,
+                           list((val - mu) * v ORDER BY pos)), (a, b) -> a + b) AS s
+                FROM pe JOIN mu USING (pos) JOIN v0 USING (pos)
+                GROUP BY vec_id
+            ),
+            w1 AS (
+                SELECT pos,
+                       CAST(SUM(CAST((val - mu) * s AS DECIMAL(38,10))) AS DOUBLE) AS w
+                FROM pe JOIN mu USING (pos) JOIN s1 USING (vec_id)
+                GROUP BY pos
+            ),
+            n1 AS (SELECT SQRT(list_reduce(list_prepend(0.0,
+                       list(w * w ORDER BY pos)), (a, b) -> a + b)) AS nrm FROM w1),
+            v1 AS (SELECT pos, ROUND(w / nrm, 6) AS v FROM w1 CROSS JOIN n1),
+            s2 AS (
+                SELECT vec_id,
+                       list_reduce(list_prepend(0.0,
+                           list((val - mu) * v ORDER BY pos)), (a, b) -> a + b) AS s
+                FROM pe JOIN mu USING (pos) JOIN v1 USING (pos)
+                GROUP BY vec_id
+            ),
+            w2 AS (
+                SELECT pos,
+                       CAST(SUM(CAST((val - mu) * s AS DECIMAL(38,10))) AS DOUBLE) AS w
+                FROM pe JOIN mu USING (pos) JOIN s2 USING (vec_id)
+                GROUP BY pos
+            ),
+            n2 AS (SELECT SQRT(list_reduce(list_prepend(0.0,
+                       list(w * w ORDER BY pos)), (a, b) -> a + b)) AS nrm FROM w2),
+            v2 AS (SELECT pos, ROUND(w / nrm, 6) AS v FROM w2 CROSS JOIN n2),
+            s3 AS (
+                SELECT vec_id,
+                       list_reduce(list_prepend(0.0,
+                           list((val - mu) * v ORDER BY pos)), (a, b) -> a + b) AS s
+                FROM pe JOIN mu USING (pos) JOIN v2 USING (pos)
+                GROUP BY vec_id
+            ),
+            w3 AS (
+                SELECT pos,
+                       CAST(SUM(CAST((val - mu) * s AS DECIMAL(38,10))) AS DOUBLE) AS w
+                FROM pe JOIN mu USING (pos) JOIN s3 USING (vec_id)
+                GROUP BY pos
+            ),
+            n3 AS (SELECT SQRT(list_reduce(list_prepend(0.0,
+                       list(w * w ORDER BY pos)), (a, b) -> a + b)) AS nrm FROM w3),
+            v3 AS (SELECT pos, ROUND(w / nrm, 6) AS v FROM w3 CROSS JOIN n3)
+            SELECT CAST(mu.pos AS INT) AS pos, mu.mu AS mu,
+                   v3.v AS loading, ROUND(n3.nrm, 6) AS eigval
+            FROM mu JOIN v3 USING (pos) CROSS JOIN n3
+            ORDER BY pos
+        """,
+        # mirrors warehouse.equi_depth_histogram: ntile over the
+        # unique (price, orderkey) total order
+        "equi_depth_histogram": f"""
+            SELECT CAST(bucket AS INT) AS bucket,
+                   COUNT(*) AS n_orders,
+                   MIN(o_totalprice) AS lo,
+                   MAX(o_totalprice) AS hi,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                        AS DOUBLE) AS bucket_value
+            FROM (SELECT o_totalprice,
+                         ntile({WH.EQUI_DEPTH_BUCKETS})
+                             OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+                  FROM orders)
+            GROUP BY bucket ORDER BY bucket
+        """,
+        # mirrors warehouse.benford_first_digit
+        "benford_first_digit": """
+            WITH o AS (SELECT o_totalprice FROM orders
+                       WHERE o_totalprice >= 1.0),
+            tot AS (SELECT COUNT(*) AS t FROM o),
+            d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                          AS VARCHAR), 1, 1) AS INT) AS digit
+                  FROM o)
+            SELECT digit, COUNT(*) AS n,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS observed,
+                   ROUND(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS benford,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t AS DOUBLE)
+                         - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+                       AS deviation
+            FROM d CROSS JOIN tot
+            GROUP BY digit, t ORDER BY digit
+        """,
+        # mirrors warehouse.weighted_median_price: exact decimal
+        # cumulative-weight rule
+        "weighted_median_price": """
+            WITH cum AS (
+                SELECT l_returnflag, l_extendedprice,
+                       SUM(CAST(l_quantity AS DECIMAL(38,10)))
+                           OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+                FROM lineitem
+            ), tots AS (
+                SELECT l_returnflag,
+                       SUM(CAST(l_quantity AS DECIMAL(38,10))) AS t
+                FROM lineitem GROUP BY 1
+            )
+            SELECT c.l_returnflag,
+                   MIN(l_extendedprice) AS weighted_median,
+                   CAST(ROUND(MIN(t), 2) AS DOUBLE) AS total_qty
+            FROM cum c JOIN tots USING (l_returnflag)
+            WHERE c.c * 2 >= t
+            GROUP BY c.l_returnflag ORDER BY 1
+        """,
+        # mirrors warehouse.fk_orphans: NOT EXISTS per foreign key
+        "fk_orphans": """
+            SELECT * FROM (
+                SELECT 'lineitem' AS relation, 'l_orderkey' AS fk,
+                       (SELECT COUNT(*) FROM lineitem l
+                        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+                       (SELECT COUNT(*) FROM lineitem) AS n_rows
+                UNION ALL
+                SELECT 'lineitem', 'l_partkey',
+                       (SELECT COUNT(*) FROM lineitem l
+                        WHERE NOT EXISTS (SELECT 1 FROM part p
+                                          WHERE p.p_partkey = l.l_partkey)),
+                       (SELECT COUNT(*) FROM lineitem)
+                UNION ALL
+                SELECT 'lineitem', 'l_suppkey',
+                       (SELECT COUNT(*) FROM lineitem l
+                        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                          WHERE s.s_suppkey = l.l_suppkey)),
+                       (SELECT COUNT(*) FROM lineitem)
+                UNION ALL
+                SELECT 'orders', 'o_custkey',
+                       (SELECT COUNT(*) FROM orders o
+                        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                          WHERE c.c_custkey = o.o_custkey)),
+                       (SELECT COUNT(*) FROM orders)
+            ) ORDER BY relation, fk
+        """,
+        # mirrors sessions.top_event_paths: first-3 event types per
+        # (user, day), ordered join, top-k by count
+        "top_event_paths": f"""
+            WITH r AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                       row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), p AS (
+                SELECT user_id, day,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= {SE.PATH_LEN} GROUP BY 1, 2
+            )
+            SELECT path, COUNT(*) AS n_user_days
+            FROM p GROUP BY 1
+            ORDER BY n_user_days DESC, path
+            LIMIT {SE.PATH_TOP_K}
+        """,
+        # mirrors sessions.interval_event_join: day-bucketed
+        # point-in-interval join
+        "interval_event_join": """
+            WITH iv AS (
+                SELECT user_id, CAST(ts AS DATE) AS day,
+                       MIN(ts) AS iv_start, MAX(ts) AS iv_end,
+                       COUNT(*) AS n_own
+                FROM events GROUP BY 1, 2
+            ), pts AS (
+                SELECT CAST(ts AS DATE) AS day, ts AS pt
+                FROM events WHERE event_type = 'error'
+            ), hits AS (
+                SELECT user_id, iv.day AS day, COUNT(*) AS n
+                FROM iv JOIN pts ON pts.day = iv.day
+                WHERE pt >= iv_start AND pt <= iv_end
+                GROUP BY 1, 2
+            )
+            SELECT i.user_id, i.day, i.iv_start, i.iv_end,
+                   CAST(i.n_own AS BIGINT) AS n_own,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_target_during
+            FROM iv i LEFT JOIN hits h
+              ON h.user_id = i.user_id AND h.day = i.day
+            ORDER BY 1, 2
+        """,
         # mirrors text.pmi_top_pairs: rank on the overflow-safe double
         # ratio (c12/c1)·(N/c2) — same IEEE op sequence as the Spark
         # side (not the ln), ties (w1, w2); pmi round-6
@@ -2806,45 +3160,8 @@ def oracle_sql() -> dict[str, str]:
                        '{TX.PII_PATTERNS[2][1]}', '<PHONE>', 'g')) AS scrubbed_md5
             FROM documents
         """,
-        "gopher_filter": f"""
-            WITH t AS (
-                SELECT doc_id, text,
-                       string_split({_NORM_SQL}, ' ') AS toks
-                FROM documents
-            ), m AS (
-                SELECT doc_id,
-                       len(toks) AS n_tok,
-                       len(list_filter(toks,
-                           x -> list_contains({_STOPWORDS_SQL}, x))) AS n_stop,
-                       LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-                       [toks[i] || ' ' || toks[i+1]
-                        FOR i IN generate_series(1, len(toks)-1)] AS bigrams
-                FROM t
-            ), m2 AS (
-                SELECT doc_id, n_tok, n_stop, n_alpha,
-                       len(bigrams) AS nb,
-                       len(list_distinct(bigrams)) AS ndist
-                FROM m
-            ), fl AS (
-                SELECT doc_id,
-                       (n_tok >= {TX.GOPHER_MIN_TOKENS}
-                        AND n_tok <= {TX.GOPHER_MAX_TOKENS}) AS ok_len,
-                       COALESCE(CASE WHEN n_tok > 0 THEN
-                           CAST(n_stop AS DOUBLE) / n_tok >= {TX.GOPHER_MIN_STOP_RATIO}
-                       END, FALSE) AS ok_stop,
-                       COALESCE(CASE WHEN n_tok > 0 THEN
-                           CAST(n_alpha AS DOUBLE) / n_tok >= {TX.GOPHER_MIN_MEAN_WL}
-                           AND CAST(n_alpha AS DOUBLE) / n_tok <= {TX.GOPHER_MAX_MEAN_WL}
-                       END, FALSE) AS ok_word_len,
-                       (CASE WHEN nb > 0
-                             THEN 1.0 - CAST(ndist AS DOUBLE) / nb
-                             ELSE 0.0 END) <= {TX.GOPHER_MAX_DUP_FRAC} AS ok_repetition
-                FROM m2
-            )
-            SELECT doc_id, ok_len, ok_stop, ok_word_len, ok_repetition,
-                   (ok_len AND ok_stop AND ok_word_len AND ok_repetition) AS keep
-            FROM fl
-        """,
+        "gopher_filter": gopher_sql,
+        "streaming_quality_filter_replay": gopher_sql,
         # 5-gram overlap vs the doc_id%50==0 probe set (mirrors
         # text.contamination_check defaults).
         "contamination_check": f"""
@@ -4223,6 +4540,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM ({_RETS_SQL})
                 WINDOW w AS (PARTITION BY ticker ORDER BY ts
                              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            )
+        """, TICK_PRICES_CTE),
+        # mirrors finance.sharpe_rolling: same decimal window sums as
+        # rolling_vol; ((sr/cnt)/sd)*sqrt(252) in one IEEE sequence
+        "sharpe_rolling": with_domain(f"""
+            SELECT ticker, ts, ret,
+                   CASE WHEN cnt >= 2 AND sd > 0 THEN
+                        ROUND(sr / cnt / sd * SQRT(252.0), 6)
+                   END AS sharpe
+            FROM (
+                SELECT ticker, ts, ret, sr, cnt,
+                       SQRT(GREATEST((sr2 - sr*sr/cnt)/(cnt-1), 0.0)) AS sd
+                FROM (
+                    SELECT ticker, ts, ret,
+                           CAST(SUM(CAST(ret AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sr,
+                           CAST(SUM(CAST(ret*ret AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sr2,
+                           CAST(COUNT(ret) OVER w AS DOUBLE) AS cnt
+                    FROM ({_RETS_SQL})
+                    WINDOW w AS (PARTITION BY ticker ORDER BY ts
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                )
             )
         """, TICK_PRICES_CTE),
         "drawdown": with_domain("""

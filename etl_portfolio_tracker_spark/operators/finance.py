@@ -272,3 +272,29 @@ def hist_var(tick_prices: DataFrame,
                  F.round(F.sum(F.col("ret").cast(DEC)).cast("double")
                          / F.count(F.lit(1)), 6).alias("es_tail"))
             .orderBy("ticker"))
+
+
+def sharpe_rolling(tick_prices: DataFrame, n: int = 20) -> DataFrame:
+    """Trailing-n annualized Sharpe ratio per ticker (zero risk-free
+    rate): mean/stddev of daily returns over the same window kernel as
+    rolling_volatility, scaled by √252 — the rolling risk-adjusted-
+    return series every portfolio dashboard charts next to vol.
+
+    Determinism follows rolling_volatility exactly: window mean and
+    sample variance are evaluated in DOUBLE from exact DECIMAL window
+    sums, so both engines compute the identical IEEE expression;
+    sqrt(252.0) is correctly rounded, hence bit-identical.
+    """
+    r = _returns(tick_prices)
+    w = (W.partitionBy("ticker").orderBy("ts")
+         .rowsBetween(-(n - 1), W.currentRow))
+    sr = F.sum(F.col("ret").cast(DEC)).over(w).cast("double")
+    sr2 = F.sum((F.col("ret") * F.col("ret")).cast(DEC)).over(w).cast("double")
+    cnt = F.count("ret").over(w).cast("double")
+    mean = sr / cnt
+    sd = F.sqrt(F.greatest((sr2 - sr * sr / cnt) / (cnt - 1), F.lit(0.0)))
+    return r.select(
+        "ticker", "ts", "ret",
+        F.when((cnt >= 2) & (sd > 0),
+               F.round(mean / sd * F.sqrt(F.lit(252.0)), 6))
+         .alias("sharpe"))

@@ -1182,3 +1182,187 @@ def semantic_dedup_fast(emb: DataFrame,
         _prune,
         schema="vec_id long, cell int, max_earlier_cos float, is_dup boolean")
         .orderBy("vec_id"))
+
+
+# --- round-5 operators ------------------------------------------------
+
+def hard_negative_mining(emb: DataFrame) -> DataFrame:
+    """Contrastive-pair mining over (embedding, label): for every
+    vector, its hardest NEGATIVE (highest-cosine vector with a
+    different label) and hardest POSITIVE (lowest-cosine vector with
+    the same label) — the pairs a contrastive/metric-learning stage
+    trains on (triplet mining à la FaceNet, applied corpus-wide).
+
+    This is the EXACT brute-force baseline (the cosine_topk
+    precedent): an N² pair scan with the module's exact-unit decimal
+    cosine, per-vector argmax via a vec_id-keyed rank window
+    (hash-distributed TakeOrdered — no global sort). The 100 TB path
+    swaps the cross join for the cell-bounded pair scan
+    (semantic_dedup's √N cells) or the sign-LSH candidate state
+    (embedding_near_dup): same downstream argmax over a
+    candidate-bounded pair set. Ties break on the partner id, so the
+    selected pair — not just its score — is engine-exact.
+    """
+    base = _spread(emb).select(
+        "vec_id", "label", "embedding",
+        F.expr(_norm_sql("embedding")).alias("_n"))
+    a = base.select(F.col("vec_id").alias("_va"),
+                    F.col("label").alias("_la"),
+                    F.col("embedding").alias("_ea"),
+                    F.col("_n").alias("_na"))
+    b = base.select(F.col("vec_id").alias("_vb"),
+                    F.col("label").alias("_lb"),
+                    F.col("embedding").alias("_eb"),
+                    F.col("_n").alias("_nb"))
+    pairs = (a.join(b, F.col("_va") != F.col("_vb"))
+             .select("_va", "_la", "_vb", "_lb",
+                     (F.expr(_dot_sql("_ea", "_eb"))
+                      / (F.col("_na") * F.col("_nb"))).alias("_cos")))
+    wn = W.partitionBy("_va").orderBy(F.desc("_cos"), F.asc("_vb"))
+    wp = W.partitionBy("_va").orderBy(F.asc("_cos"), F.asc("_vb"))
+    neg = (pairs.filter(F.col("_la") != F.col("_lb"))
+           .withColumn("_rn", F.row_number().over(wn))
+           .filter(F.col("_rn") == 1)
+           .select(F.col("_va").alias("vec_id"),
+                   F.col("_vb").alias("hn_id"),
+                   F.round("_cos", 6).alias("hn_cos")))
+    pos = (pairs.filter(F.col("_la") == F.col("_lb"))
+           .withColumn("_rn", F.row_number().over(wp))
+           .filter(F.col("_rn") == 1)
+           .select(F.col("_va").alias("vec_id"),
+                   F.col("_vb").alias("hp_id"),
+                   F.round("_cos", 6).alias("hp_cos")))
+    return (base.select("vec_id", "label")
+            .join(neg, "vec_id", "left")
+            .join(pos, "vec_id", "left")
+            .orderBy("vec_id"))
+
+
+def embedding_quantize_int8(emb: DataFrame) -> DataFrame:
+    """Scalar int8 quantization audit: per-dimension [min, max] range
+    codes (the vector-DB SQ8 compression rule), per-vector
+    reconstruction RMSE and max absolute error — the quantization-
+    loss report run before committing an index to 4×-compressed
+    storage.
+
+    Two passes, both cheap: pass 1 reduces the corpus to the
+    per-dimension range MODEL (d rows — posexplode + min/max, exact
+    on doubles); pass 2 broadcasts the d-row model as ONE sorted
+    array and computes codes + errors row-locally (zip over the
+    embedding array, fold in dimension order), so the corpus-sized
+    stage is a pure map with zero shuffle. Determinism: min/max are
+    exact; code/dequant/error are the identical IEEE sequence on
+    both engines; per-vector folds run in dimension order.
+    """
+    base = _spread(emb)
+    pe = (base.select("vec_id", F.posexplode("embedding")
+                      .alias("pos0", "valf"))
+          .select("vec_id", (F.col("pos0") + 1).alias("pos"),
+                  F.col("valf").cast("double").alias("val")))
+    stats = pe.groupBy("pos").agg(F.min("val").alias("mn"),
+                                  F.max("val").alias("mx"))
+    model = stats.agg(F.sort_array(
+        F.collect_list(F.struct("pos", "mn", "mx"))).alias("_st"))
+    x = F.col("embedding")
+    dim = F.size("embedding")
+
+    def _err(i):
+        xv = F.element_at(x, i).cast("double")
+        st = F.element_at(F.col("_st"), i)
+        scale = (st["mx"] - st["mn"]) / F.lit(255.0)
+        code = F.least(F.lit(255.0), F.greatest(
+            F.lit(0.0), F.round((xv - st["mn"]) / scale)))
+        return F.when(scale > 0,
+                      xv - (st["mn"] + code * scale)
+                      ).otherwise(xv - st["mn"])
+
+    errs = F.transform(F.sequence(F.lit(1), dim), _err)
+    sse = F.aggregate(F.transform(errs, lambda e: e * e),
+                      F.lit(0.0), lambda acc, t: acc + t)
+    return (base.crossJoin(F.broadcast(model))
+            .select("vec_id",
+                    F.round(F.sqrt(sse / dim.cast("double")), 6)
+                     .alias("rmse"),
+                    F.round(F.array_max(F.transform(errs, F.abs)), 6)
+                     .alias("max_abs_err"))
+            .orderBy("vec_id"))
+
+
+def pca_power_iteration(emb: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Top principal component of the embedding corpus via power
+    iteration on the centered covariance — the first step of PCA
+    whitening / dim-reduction an embedding pipeline runs before
+    indexing. Fixed n_iter iterations from the deterministic e₁ seed
+    (the kmeans_train rule: fixed iterations + round-6 model values
+    fed forward make the whole training loop oracle-checkable as
+    unrolled CTEs, not just one step).
+
+    Distributed shape per iteration — the classic two-matvec form:
+    (1) score sᵢ = (xᵢ−μ)·v, a row-local fold against the BROADCAST
+    d-vector (zero shuffle); (2) w = Σᵢ sᵢ(xᵢ−μ), one d-group
+    aggregate with per-term DECIMAL casts so parallel accumulation
+    order cannot move a bit; (3) normalize on the driver — O(d)
+    MODEL state, never data (the kmeans_train collect rule).
+
+    Returns (pos, mu, loading, eigval): the round-6 per-dimension
+    mean, the round-6 unit loading after n_iter iterations, and the
+    ‖w‖ eigenvalue estimate of the final iteration.
+    """
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from ..derive import DEC
+
+    def _r6(x: float) -> float:
+        # engine ROUND semantics: decimal HALF_UP (away from zero)
+        # applied to the exact binary double
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
+
+    spark = emb.sparkSession
+    base = _spread(emb)
+    pe = (base.select("vec_id", F.posexplode("embedding")
+                      .alias("pos0", "valf"))
+          .select((F.col("pos0") + 1).alias("pos"),
+                  F.col("valf").cast("double").alias("val")))
+    mu_rows = (pe.groupBy("pos")
+               .agg(F.round(F.sum(F.col("val").cast(DEC)).cast("double")
+                            / F.count(F.lit(1)).cast("double"), 6)
+                    .alias("mu"))
+               .orderBy("pos").collect())
+    mu = [r["mu"] for r in mu_rows]
+    d = len(mu)
+    v = [1.0] + [0.0] * (d - 1)
+    eig = 0.0
+    for _ in range(n_iter):
+        mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+        v_arr = F.array(*[F.lit(float(x)) for x in v])
+        s = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(d)),
+                lambda i: (F.element_at(F.col("embedding"), i)
+                           .cast("double") - F.element_at(mu_arr, i))
+                          * F.element_at(v_arr, i)),
+            F.lit(0.0), lambda acc, t: acc + t)
+        scored = base.select(
+            F.posexplode("embedding").alias("pos0", "valf"),
+            s.alias("_s"))
+        terms = scored.select(
+            (F.col("pos0") + 1).alias("pos"),
+            ((F.col("valf").cast("double")
+              - F.element_at(mu_arr, F.col("pos0") + 1)) * F.col("_s"))
+            .alias("t"))
+        w_rows = (terms.groupBy("pos")
+                  .agg(F.sum(F.col("t").cast(DEC)).cast("double")
+                       .alias("w"))
+                  .orderBy("pos").collect())
+        w = [r["w"] for r in w_rows]
+        acc = 0.0
+        for wi in w:           # pos-order fold, mirrors the SQL twin
+            acc += wi * wi
+        nrm = math.sqrt(acc)
+        v = [_r6(wi / nrm) for wi in w]
+        eig = _r6(nrm)
+    return spark.createDataFrame(
+        [(i + 1, mu[i], v[i], eig) for i in range(d)],
+        schema="pos int, mu double, loading double, eigval double")

@@ -815,3 +815,142 @@ def order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("open_orders",
                         F.sum("net_change").over(w).cast("long"))
             .orderBy("week"))
+
+
+# --- round-5 operators ------------------------------------------------
+
+EQUI_DEPTH_BUCKETS = 8
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str,
+                         n_buckets: int = EQUI_DEPTH_BUCKETS) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order values — the
+    optimizer-statistics primitive (selectivity estimation buckets
+    with equal row counts, per Piatetsky-Shapiro/Connell 1984):
+    ntile over the TOTAL order (o_totalprice, o_orderkey — the key
+    makes ties impossible, so the cut is engine-exact), then
+    per-bucket count/min/max/sum.
+
+    Scale note: ntile needs a total order — Spark plans one global
+    sort (range-partitioned exchange, spilling sort, no single-node
+    collect). That is the honest cost of an EXACT equi-depth
+    histogram; the approximate path at 100 TB is approx_percentile
+    sketches (see approx_stats), which trades exactness for one pass.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (orders
+            .withColumn("bucket", F.ntile(n_buckets).over(w))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi"),
+                 F.round(dsum(F.col("o_totalprice")), 2).cast("double")
+                  .alias("bucket_value"))
+            .orderBy("bucket"))
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order values: the observed first-
+    significant-digit distribution vs the Benford expectation
+    log10(1 + 1/d) — the classic fraud/synthetic-data screen a data-
+    quality stage runs over any monetary fact column. One map + one
+    9-group aggregate; the deviation column is the per-digit gap.
+
+    Determinism: digit extraction is integer/string-exact; observed
+    fractions are int/int single divides; the expectation is the
+    identical ln-based expression on both engines (round-6 absorbs
+    libm's 1-ulp).
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1.0)
+    d = F.substring(F.floor("o_totalprice").cast("long").cast("string"),
+                    1, 1).cast("int")
+    tot = orders.agg(F.count(F.lit(1)).alias("_tot"))
+    dd = F.col("digit").cast("double")
+    expected = F.log(F.lit(1.0) + F.lit(1.0) / dd) / F.log(F.lit(10.0))
+    return (orders.select(d.alias("digit"))
+            .groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(tot))
+            .select("digit",
+                    F.col("n").cast("long").alias("n"),
+                    F.round(F.col("n").cast("double")
+                            / F.col("_tot").cast("double"), 6)
+                     .alias("observed"),
+                    F.round(expected, 6).alias("benford"),
+                    F.round(F.col("n").cast("double")
+                            / F.col("_tot").cast("double") - expected, 6)
+                     .alias("deviation"))
+            .orderBy("digit"))
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median of extended price per return flag —
+    the weighted-quantile operator (plain median ignores that a
+    100-unit line should count 100× a 1-unit line). Classic
+    cumulative-weight construction: order rows by (price, orderkey,
+    linenumber) within each flag, running decimal weight sum, median
+    = first row whose doubled cumulative weight reaches the group
+    total. All compares are exact decimals, so the selected row —
+    hence the answer — is engine-exact.
+
+    One shuffle on the flag (window sort), one broadcast of the
+    3-row group totals.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    w = (W.partitionBy("l_returnflag")
+         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+    cum = F.sum(F.col("l_quantity").cast(DEC)).over(w)
+    tots = (li.groupBy("l_returnflag")
+            .agg(dsum(F.col("l_quantity")).alias("_tot")))
+    return (li.select("l_returnflag", "l_extendedprice",
+                      "l_orderkey", "l_linenumber", "l_quantity")
+            .withColumn("_cum", cum)
+            .drop("l_quantity")
+            .join(F.broadcast(tots), "l_returnflag")
+            .filter(F.col("_cum") * 2 >= F.col("_tot"))
+            .groupBy("l_returnflag")
+            .agg(F.min("l_extendedprice").alias("weighted_median"),
+                 F.round(F.min("_tot"), 2).cast("double")
+                  .alias("total_qty"))
+            .orderBy("l_returnflag"))
+
+
+def fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts for every fact→dimension foreign key (lineitem→orders,
+    lineitem→part, lineitem→supplier, orders→customer) — the
+    standard post-load data-quality gate. Each check is one LEFT
+    ANTI join probing a broadcast of the dimension's distinct keys;
+    a healthy load reports zeros, and the query exists precisely so
+    a broken load CAN'T report zeros.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    checks = [
+        ("lineitem", "l_orderkey",
+         li, read_table(spark, sf_dir, "orders").select(
+             F.col("o_orderkey").alias("_k"))),
+        ("lineitem", "l_partkey",
+         li, read_table(spark, sf_dir, "part").select(
+             F.col("p_partkey").alias("_k"))),
+        ("lineitem", "l_suppkey",
+         li, read_table(spark, sf_dir, "supplier").select(
+             F.col("s_suppkey").alias("_k"))),
+        ("orders", "o_custkey",
+         read_table(spark, sf_dir, "orders"),
+         read_table(spark, sf_dir, "customer").select(
+             F.col("c_custkey").alias("_k"))),
+    ]
+    out = None
+    for rel, fk, fact, dim in checks:
+        orphans = (fact.join(F.broadcast(dim.distinct()),
+                             fact[fk] == F.col("_k"), "left_anti")
+                   .agg(F.count(F.lit(1)).alias("n_orphans")))
+        rows = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        one = (orphans.crossJoin(rows)
+               .select(F.lit(rel).alias("relation"),
+                       F.lit(fk).alias("fk"),
+                       F.col("n_orphans").cast("long").alias("n_orphans"),
+                       F.col("n_rows").cast("long").alias("n_rows")))
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("relation", "fk")

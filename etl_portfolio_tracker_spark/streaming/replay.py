@@ -468,3 +468,32 @@ def streaming_semantic_dedup_replay(spark: SparkSession, sf_dir: str,
         out.writeStream.format("memory").queryName(name)
            .outputMode("append").trigger(availableNow=True), name, timeout_s)
     return spark.table(name)
+
+
+def streaming_quality_filter_replay(spark: SparkSession, sf_dir: str,
+                                    timeout_s: int = 300) -> DataFrame:
+    """Continuous-ingest quality gate: the Gopher-style composite
+    filter (operators/text.gopher_filter) applied to DOCUMENTS AS A
+    STREAM — the shape a live crawl pipeline runs, where every
+    arriving document is flag-scored before it ever lands in the
+    corpus.
+
+    This is the cheapest legal streaming query — a pure stateless
+    projection (no watermark, no state store, append mode), so each
+    micro-batch is a fused map stage exactly like the batch plan;
+    stream == batch BY CONSTRUCTION, which is what lets the batch
+    gopher_filter oracle check the streamed output bit-exactly.
+    availableNow over the single parquet file replays the corpus as
+    one micro-batch.
+    """
+    from ..operators.text import gopher_filter
+
+    name = "stream_quality_" + uuid.uuid4().hex[:8]
+    docs = (spark.readStream.schema(schemas.DOCUMENTS)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+    out = gopher_filter(docs)
+    _run_to_completion(
+        out.writeStream.format("memory").queryName(name)
+           .outputMode("append").trigger(availableNow=True), name, timeout_s)
+    return spark.table(name)
