@@ -1147,7 +1147,13 @@ def _q_sharpe_rolling(spark, sf_dir):
 
 
 def _q_hard_negative_mining(spark, sf_dir):
-    return SIM.hard_negative_mining(_emb(spark, sf_dir))
+    # bounded to the first HNM_MAX_VECS vectors (tfidf's max_doc_id
+    # precedent): the registered query is the EXACT N² baseline, and
+    # N² on the full sf0.1 corpus is the thing the docstring says not
+    # to do (the production path is the cell-/LSH-bounded pair set).
+    # The bound is mirrored in the oracle, so the check stays exact.
+    return SIM.hard_negative_mining(
+        _emb(spark, sf_dir).filter(F.col("vec_id") < SIM.HNM_MAX_VECS))
 
 
 def _q_embedding_quantize_int8(spark, sf_dir):
@@ -2785,8 +2791,17 @@ def oracle_sql() -> dict[str, str]:
             FROM r CROSS JOIN m WHERE rank <= m.m
         """,
         # mirrors similarity.hard_negative_mining: exact N² cosine,
-        # per-vector argmax with partner-id tie-break
-        "hard_negative_mining": _PE_SQL + """
+        # per-vector argmax with partner-id tie-break, query-bounded
+        # to the first HNM_MAX_VECS vectors on BOTH engines
+        "hard_negative_mining": f"""
+            WITH eb AS (SELECT * FROM embeddings
+                        WHERE vec_id < {SIM.HNM_MAX_VECS}),
+            pe AS (
+                SELECT vec_id,
+                       UNNEST(generate_series(1, LEN(embedding))) AS pos,
+                       CAST(UNNEST(embedding) AS DOUBLE) AS val
+                FROM eb
+            )""" + """
             , norms AS (
                 SELECT vec_id,
                        SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10))) AS DOUBLE)) AS nrm
@@ -2802,8 +2817,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM dots d
                 JOIN norms na ON na.vec_id = d.va
                 JOIN norms nb ON nb.vec_id = d.vb
-                JOIN embeddings la ON la.vec_id = d.va
-                JOIN embeddings lb ON lb.vec_id = d.vb
+                JOIN eb la ON la.vec_id = d.va
+                JOIN eb lb ON lb.vec_id = d.vb
             ), neg AS (
                 SELECT va, vb, c,
                        row_number() OVER (PARTITION BY va ORDER BY c DESC, vb) AS rn
@@ -2816,7 +2831,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.label,
                    n.vb AS hn_id, ROUND(n.c, 6) AS hn_cos,
                    p.vb AS hp_id, ROUND(p.c, 6) AS hp_cos
-            FROM embeddings e
+            FROM eb e
             LEFT JOIN neg n ON n.va = e.vec_id AND n.rn = 1
             LEFT JOIN pos p ON p.va = e.vec_id AND p.rn = 1
             ORDER BY e.vec_id

@@ -1186,6 +1186,14 @@ def semantic_dedup_fast(emb: DataFrame,
 
 # --- round-5 operators ------------------------------------------------
 
+# registered-query bound for the exact-N² baseline: 300 vectors
+# (~45k unordered pairs through the exact decimal kernel — measured
+# ~3.5 s at sf0.1 vs 81 s unbounded at 2000 vectors) keeps the demo
+# exact AND bounded; the production path is candidate-bounded (see
+# hard_negative_mining docstring)
+HNM_MAX_VECS = 300
+
+
 def hard_negative_mining(emb: DataFrame) -> DataFrame:
     """Contrastive-pair mining over (embedding, label): for every
     vector, its hardest NEGATIVE (highest-cosine vector with a
@@ -1214,10 +1222,23 @@ def hard_negative_mining(emb: DataFrame) -> DataFrame:
                     F.col("label").alias("_lb"),
                     F.col("embedding").alias("_eb"),
                     F.col("_n").alias("_nb"))
-    pairs = (a.join(b, F.col("_va") != F.col("_vb"))
-             .select("_va", "_la", "_vb", "_lb",
-                     (F.expr(_dot_sql("_ea", "_eb"))
-                      / (F.col("_na") * F.col("_nb"))).alias("_cos")))
+    # cosine evaluated ONCE per unordered pair (va < vb), then
+    # mirrored ROW-LOCALLY via a 2-element explode (a union of the
+    # half-join would re-evaluate the decimal kernel per branch —
+    # Spark does not share subplans across union legs). cos(a,b) is
+    # symmetric by construction: the unit dot is an order-fixed fold
+    # of exact products and na·nb == nb·na in IEEE.
+    half = (a.join(b, F.col("_va") < F.col("_vb"))
+            .select("_va", "_la", "_vb", "_lb",
+                    (F.expr(_dot_sql("_ea", "_eb"))
+                     / (F.col("_na") * F.col("_nb"))).alias("_cos")))
+    pairs = (half.select(F.explode(F.array(
+        F.struct(F.col("_va"), F.col("_la"),
+                 F.col("_vb"), F.col("_lb"), F.col("_cos")),
+        F.struct(F.col("_vb").alias("_va"), F.col("_lb").alias("_la"),
+                 F.col("_va").alias("_vb"), F.col("_la").alias("_lb"),
+                 F.col("_cos")))).alias("_s"))
+        .select("_s.*"))
     wn = W.partitionBy("_va").orderBy(F.desc("_cos"), F.asc("_vb"))
     wp = W.partitionBy("_va").orderBy(F.asc("_cos"), F.asc("_vb"))
     neg = (pairs.filter(F.col("_la") != F.col("_lb"))
