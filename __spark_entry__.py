@@ -1171,6 +1171,10 @@ def _q_streaming_quality_filter_replay(spark, sf_dir):
     return streaming_quality_filter_replay(spark, sf_dir)
 
 
+def _q_lang_id_confusion(spark, sf_dir):
+    return TX.lang_id_confusion(_docs(spark, sf_dir))
+
+
 def _q_doc_chunks(spark, sf_dir):
     return PK.doc_chunks(_docs(spark, sf_dir))
 
@@ -1613,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": _q_embedding_quantize_int8,
         "pca_power_iter": _q_pca_power_iter,
         "streaming_quality_filter_replay": _q_streaming_quality_filter_replay,
+        "lang_id_confusion": _q_lang_id_confusion,
         # -- 1f. padding re-checks (r4-green; pushed out as 1e grows, window cap = 50) ---------------------
         "kmeans_train": _q_kmeans_train,
         "delta_dedup": _q_delta_dedup,
@@ -3221,6 +3226,36 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 )
             )
+        """,
+        # mirrors text.lang_id_confusion: the language_id prediction
+        # (same _LANG_SCORES_SQL scores + tie rule) aggregated into a
+        # per-(label, prediction) confusion matrix
+        "lang_id_confusion": f"""
+            WITH li AS (
+                SELECT doc_id, lang,
+                       CASE WHEN best > 0 AND score_de = best THEN 'de'
+                            WHEN best > 0 AND score_en = best THEN 'en'
+                            WHEN best > 0 AND score_es = best THEN 'es'
+                            WHEN best > 0 AND score_fr = best THEN 'fr'
+                            ELSE 'und' END AS lang_pred
+                FROM (
+                    SELECT *, GREATEST(score_de, score_en, score_es, score_fr) AS best
+                    FROM (
+                        SELECT doc_id, lang,
+                               {_LANG_SCORES_SQL}
+                        FROM documents
+                    )
+                )
+            ), c AS (
+                SELECT lang, lang_pred, COUNT(*) AS n FROM li GROUP BY 1, 2
+            ), t AS (
+                SELECT lang, SUM(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT c.lang, c.lang_pred, CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+                   c.lang = c.lang_pred AS is_correct
+            FROM c JOIN t USING (lang)
+            ORDER BY 1, 2
         """,
         "fingerprint": f"""
             SELECT doc_id,

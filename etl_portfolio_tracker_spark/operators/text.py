@@ -1037,3 +1037,26 @@ def balanced_downsample(docs: DataFrame) -> DataFrame:
             .filter(F.col("rank") <= F.col("_m"))
             .select("doc_id", "source", "lang",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def lang_id_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the
+    table's labeled `lang` column — the evaluation loop every
+    classifier-driven curation stage needs (per-label row counts and
+    shares, plus the correct/incorrect flag). At 100 TB this is the
+    language_id map stage plus one (lang, pred)-keyed aggregate over
+    |langs|² cells — the matrix itself is model-sized.
+    """
+    pred = language_id(docs)
+    c = (pred.groupBy("lang", "lang_pred")
+         .agg(F.count(F.lit(1)).alias("n")))
+    t = c.groupBy("lang").agg(F.sum("n").alias("_tot"))
+    return (c.join(F.broadcast(t), "lang")
+            .select("lang", "lang_pred",
+                    F.col("n").cast("long").alias("n"),
+                    F.round(F.col("n").cast("double")
+                            / F.col("_tot").cast("double"), 6)
+                     .alias("share"),
+                    (F.col("lang") == F.col("lang_pred"))
+                    .alias("is_correct"))
+            .orderBy("lang", "lang_pred"))

@@ -377,3 +377,17 @@ def test_streaming_quality_filter_matches_batch(spark, sf_dir):
             TX.gopher_filter(read_table(spark, sf_dir, "documents"))
             .collect()))
     assert streamed == batch
+
+
+# -- lang_id_confusion -------------------------------------------------
+
+def test_lang_id_confusion_counts_and_shares(spark):
+    docs = docs_df(spark, ["the cat and the dog", "der hund ist gut",
+                           "qqq www"],
+                   langs=["en", "de", "en"])
+    out = {(r["lang"], r["lang_pred"]): r
+           for r in TX.lang_id_confusion(docs).collect()}
+    assert out[("en", "en")]["n"] == 1 and out[("en", "en")]["is_correct"]
+    assert out[("en", "und")]["n"] == 1 and not out[("en", "und")]["is_correct"]
+    assert out[("de", "de")]["n"] == 1
+    assert out[("en", "en")]["share"] == 0.5
