@@ -317,3 +317,95 @@ def test_mmr_relevance_scan_is_topk(spark):
                            query_vec_id=0, k=SIM.MMR_POOL)
     p = physical_plan(pool)
     assert "TakeOrderedAndProject" in p and "Sort " not in p
+
+
+# -- round-5 operators -------------------------------------------------
+
+def test_winnowing_zero_exchange(spark):
+    # the whole selection is row-local: no shuffle anywhere
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.io import read_table
+    q = TX.winnowing_fingerprints(read_table(spark, SF, "documents"))
+    assert exchanges(q) == []
+
+
+def test_winnowing_scan_prunes_to_two_columns(spark):
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.io import read_table
+    q = TX.winnowing_fingerprints(read_table(spark, SF, "documents"))
+    assert all(set(c) <= {"doc_id", "text"} for c in scan_columns(q))
+
+
+def test_normalized_dedup_one_hash_shuffle(spark):
+    # groupBy(canon_hash) + join back: the shuffle key is the 16-byte
+    # hash, and there must be no second corpus-wide exchange key
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.io import read_table
+    q = TX.normalized_dedup(read_table(spark, SF, "documents"))
+    keys = {e for e in exchanges(q)}
+    assert all("canon_hash" in e for e in keys if "hashpartitioning" in e)
+
+
+def test_unigram_perplexity_model_broadcast(spark):
+    # the (N, V) totals must arrive as a broadcast, never a shuffle
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.io import read_table
+    q = TX.unigram_perplexity(read_table(spark, SF, "documents"))
+    assert broadcast_joins(q) >= 1
+
+
+def test_benford_single_aggregate_and_pushdown(spark):
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = WH.benford_first_digit(spark, SF)
+    # o_totalprice >= 1.0 must reach the parquet scan
+    assert any("o_totalprice" in f for f in pushed_filters(q))
+    # the 1-row total joins as a broadcast nested loop (a 1-row build
+    # side plans as BNLJ, not BroadcastHashJoin), never a shuffle
+    assert "BroadcastNestedLoopJoin" in physical_plan(q)
+
+
+def test_interval_event_join_day_bucketed(spark):
+    # the range join must be keyed by the day bucket — a hash join,
+    # NOT a nested-loop cross product
+    from etl_portfolio_tracker_spark.operators import sessions as SE
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = SE.interval_event_join(read_table(spark, SF, "events"))
+    assert "NestedLoop" not in physical_plan(q)
+
+
+def test_hnm_windows_not_global(spark):
+    # both argmax windows partition by the subject vector — no
+    # single-partition global window anywhere
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = SIM.hard_negative_mining(read_table(spark, SF, "embeddings"))
+    plan = physical_plan(q)
+    assert "SinglePartition" not in plan or "hashpartitioning(_va" in plan
+
+
+def test_quantize_model_broadcast_zero_corpus_shuffle(spark):
+    # pass 2 must broadcast the 1-row collected model (BNLJ); the
+    # only REQUIRED hash shuffle is the d-group stats aggregate on
+    # pos — any vec_id exchange is the explicit _spread repartition
+    # (REPARTITION_BY_NUM) or the display sort, never a join/agg
+    # requirement
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = SIM.embedding_quantize_int8(read_table(spark, SF, "embeddings"))
+    assert "BroadcastNestedLoopJoin" in physical_plan(q)
+    required = [e for e in exchanges(q)
+                if "ENSURE_REQUIREMENTS" in e and "hashpartitioning" in e]
+    assert all("pos" in e for e in required)
+
+
+def test_equi_depth_single_global_sort(spark):
+    # exact ntile needs ONE total-order exchange and nothing else
+    # corpus-wide beyond the final bucket aggregate
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    q = WH.equi_depth_histogram(spark, SF)
+    assert len([e for e in exchanges(q) if "SinglePartition" in e
+                or "rangepartitioning" in e]) <= 1
