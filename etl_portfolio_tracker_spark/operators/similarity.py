@@ -1387,3 +1387,66 @@ def pca_power_iteration(emb: DataFrame, n_iter: int = 3) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, mu[i], v[i], eig) for i in range(d)],
         schema="pos int, mu double, loading double, eigval double")
+
+
+KNN_K = 5            # neighbors per query vector
+KNN_QUERY_MOD = 40   # query set = vec_id % mod == 0 (bounded, like HNM)
+
+
+def knn_classify(emb: DataFrame, k: int = KNN_K,
+                 query_mod: int = KNN_QUERY_MOD) -> DataFrame:
+    """k-NN label prediction over the embedding table — the
+    label-propagation / auto-labeling pass a curation pipeline runs
+    to QA human labels or extend them to unlabeled data (Fix & Hodges
+    k-NN; the evaluation twin of hard_negative_mining). For each
+    query vector (the bounded `vec_id % query_mod == 0` set — the
+    HNM_MAX_VECS precedent: exact brute force is the oracle-gated
+    BASELINE, the production path is the IVF/LSH-bounded candidate
+    scan), rank the rest of the corpus by exact decimal cosine, take
+    the top `k`, and vote: majority label, ties broken toward the
+    smaller label id so the prediction — not just its score — is
+    engine-exact.
+
+    Scale: |Q|·N cosine rows where |Q| is the bounded query set; the
+    rank window is per-query TakeOrdered (no global sort), votes are
+    a k-row-per-query aggregate, and the corpus side is never joined
+    to itself. Swap the cross join for ivf_topk's cell probe to make
+    Q the full corpus at 100 TB.
+
+    Returns (vec_id, label, pred_label, n_votes, top1_id, top1_cos,
+    is_correct) ordered by vec_id."""
+    base = _spread(emb).select(
+        "vec_id", "label", "embedding",
+        F.expr(_norm_sql("embedding")).alias("_n"))
+    q = (base.filter(F.col("vec_id") % query_mod == 0)
+         .select(F.col("vec_id").alias("_qv"),
+                 F.col("label").alias("_ql"),
+                 F.col("embedding").alias("_qe"),
+                 F.col("_n").alias("_qn")))
+    c = base.select(F.col("vec_id").alias("_cv"),
+                    F.col("label").alias("_cl"),
+                    F.col("embedding").alias("_ce"),
+                    F.col("_n").alias("_cn"))
+    pairs = (q.join(c, F.col("_qv") != F.col("_cv"))
+             .select("_qv", "_ql", "_cv", "_cl",
+                     (F.expr(_dot_sql("_qe", "_ce"))
+                      / (F.col("_qn") * F.col("_cn"))).alias("_cos")))
+    wk = W.partitionBy("_qv").orderBy(F.desc("_cos"), F.asc("_cv"))
+    top = (pairs.withColumn("_rn", F.row_number().over(wk))
+           .filter(F.col("_rn") <= k))
+    votes = top.groupBy("_qv", "_ql", "_cl").agg(
+        F.count(F.lit(1)).cast("long").alias("_nv"))
+    wv = W.partitionBy("_qv").orderBy(F.desc("_nv"), F.asc("_cl"))
+    pred = (votes.withColumn("_vr", F.row_number().over(wv))
+            .filter(F.col("_vr") == 1))
+    t1 = (top.filter(F.col("_rn") == 1)
+          .select("_qv", F.col("_cv").alias("top1_id"),
+                  F.round("_cos", 6).alias("top1_cos")))
+    return (pred.join(t1, "_qv")
+            .select(F.col("_qv").alias("vec_id"),
+                    F.col("_ql").alias("label"),
+                    F.col("_cl").alias("pred_label"),
+                    F.col("_nv").alias("n_votes"),
+                    "top1_id", "top1_cos",
+                    (F.col("_ql") == F.col("_cl")).alias("is_correct"))
+            .orderBy("vec_id"))

@@ -1060,3 +1060,51 @@ def lang_id_confusion(docs: DataFrame) -> DataFrame:
                     (F.col("lang") == F.col("lang_pred"))
                     .alias("is_correct"))
             .orderBy("lang", "lang_pred"))
+
+
+NOVELTY_N = 5  # word n-gram length for the novelty metric
+
+
+def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+    """Per-document n-gram novelty — the fraction of a doc's DISTINCT
+    word n-grams whose first corpus occurrence (minimum doc_id, the
+    corpus-order tiebreak) is this document. The metric RefinedWeb /
+    C4-style curation reports per shard: a low-novelty doc is mostly
+    assembled from text already seen earlier in the corpus even when
+    no single pair crosses a near-dup threshold (the complement of
+    ngram_dup_spans, which localizes WHERE the duplication sits).
+
+    Scale shape: one map explodes each doc into md5(n-gram) keys
+    (distinct within doc), one hash shuffle groups by gram for the
+    MIN(doc_id) first-occurrence model, and the join back is on the
+    SAME gram key so AQE reuses the exchange; the final per-doc
+    aggregate is the only second shuffle. Nothing is pairwise — the
+    gram->first_doc model is the whole cross-doc state, exactly the
+    count-then-join factorization the dedup composites use.
+
+    Docs with fewer than `n` tokens emit no row (they have no n-gram
+    to score — mirrored in the oracle). Returns (doc_id, n_grams,
+    novel_grams, novelty) ordered by doc_id."""
+    from ..functions.partitioning import spread
+    grams = F.expr(
+        f"CASE WHEN size(_t) >= {n} THEN"
+        f" transform(sequence(1, size(_t) - {n - 1}),"
+        f"           i -> md5(concat_ws(' ', slice(_t, i, {n}))))"
+        f" ELSE array() END")
+    g = (spread(docs, "doc_id")
+         .select("doc_id", tokens_col().alias("_t"))
+         .select("doc_id", F.explode(grams).alias("gh"))
+         .distinct())
+    first = g.groupBy("gh").agg(F.min("doc_id").alias("_first"))
+    return (g.join(first, "gh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum((F.col("_first") == F.col("doc_id")).cast("long"))
+                  .alias("novel_grams"))
+            .select("doc_id",
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    F.col("novel_grams").cast("long").alias("novel_grams"),
+                    F.round(F.col("novel_grams").cast("double")
+                            / F.col("n_grams").cast("double"), 6)
+                     .alias("novelty"))
+            .orderBy("doc_id"))

@@ -954,3 +954,33 @@ def fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_rows").cast("long").alias("n_rows")))
         out = one if out is None else out.unionByName(one)
     return out.orderBy("relation", "fk")
+
+
+def sales_cube_gid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus, ship year) — the
+    grouping-sets surface (TPC-H Q1's dimensions, all 2³ rollup
+    combinations at once; the 3-dim + GROUPING_ID big sibling of the
+    2-dim `sales_cube`). Spark expands the cube into grouping sets
+    inside ONE aggregate: each input row is replicated to its 8
+    grouping-set keys map-side and the whole lattice shares a single
+    shuffle — at 100 TB that beats 8 separate groupBys by 8× on scan
+    cost alone, which is exactly why the operator exists.
+
+    `grouping_id()` (bit i set = column i rolled up — SQL-standard
+    encoding, identical in DuckDB's GROUPING()) disambiguates the
+    NULL produced by rollup from a NULL in the data. Revenue goes
+    through DECIMAL(38,10) so the 8-way partial-agg order can't move
+    a hash bit (the module-wide dsum rule)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag", "l_linestatus",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        _rev().alias("_r"), "l_quantity")
+    return (base
+            .cube("l_returnflag", "l_linestatus", "ship_year")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.round(dsum(F.col("_r")), 2).cast("double")
+                  .alias("revenue"),
+                 dsum(F.col("l_quantity")).cast("double").alias("sum_qty"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .orderBy("gid", "l_returnflag", "l_linestatus", "ship_year"))

@@ -391,3 +391,168 @@ def test_lang_id_confusion_counts_and_shares(spark):
     assert out[("en", "und")]["n"] == 1 and not out[("en", "und")]["is_correct"]
     assert out[("de", "de")]["n"] == 1
     assert out[("en", "en")]["share"] == 0.5
+
+
+# -- ngram_novelty ----------------------------------------------------
+
+def test_ngram_novelty_duplicate_doc_zero(spark):
+    docs = docs_df(spark, ["a b c d e f", "a b c d e f", "p q r s t u"])
+    out = {r["doc_id"]: r for r in TX.ngram_novelty(docs).collect()}
+    # doc0 and doc1 share ALL grams; min doc_id wins novelty
+    assert out[0]["novelty"] == 1.0 and out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+    assert out[0]["n_grams"] == 2  # 6 words, n=5 -> 2 grams
+
+
+def test_ngram_novelty_short_doc_no_row(spark):
+    docs = docs_df(spark, ["a b", "a b c d e"])
+    out = TX.ngram_novelty(docs).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["n_grams"] == 1 and out[0]["novel_grams"] == 1
+
+
+# -- rouge_overlap_pairs ----------------------------------------------
+
+def test_rouge_overlap_set_scores(spark):
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    docs = docs_df(spark, ["a b c", "a b d"])
+    pairs = spark.createDataFrame([(0, 1, 0.9)],
+                                  "doc_a long, doc_b long, jaccard double")
+    r = DD.rouge_overlap_pairs(docs, pairs=pairs).collect()[0]
+    assert r["n_common_tokens"] == 2
+    assert r["rouge1_p"] == round(2 / 3, 6)
+    assert r["rouge1_r"] == round(2 / 3, 6)
+    assert r["rouge1_f1"] == round(4 / 6, 6)
+
+
+def test_rouge_overlap_distinct_token_semantics(spark):
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    # repeated tokens count once (set semantics, the documented unit)
+    docs = docs_df(spark, ["a a a b", "a c"])
+    pairs = spark.createDataFrame([(0, 1, 0.9)],
+                                  "doc_a long, doc_b long, jaccard double")
+    r = DD.rouge_overlap_pairs(docs, pairs=pairs).collect()[0]
+    assert r["n_common_tokens"] == 1
+    assert r["rouge1_r"] == 0.5     # |{a}| / |{a,b}|
+
+
+# -- sales_cube_gid ---------------------------------------------------
+
+def test_sales_cube_gid_lattice_invariants(spark, sf_dir):
+    out = WH.sales_cube_gid(spark, sf_dir).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert sorted(by_gid) == list(range(8))   # full 2^3 lattice
+    total = by_gid[7][0]
+    n_all = sum(r["n_rows"] for r in by_gid[0])
+    assert total["n_rows"] == n_all           # leaves sum to the total
+    assert abs(sum(r["revenue"] for r in by_gid[0])
+               - total["revenue"]) < 0.05     # 2dp-rounded leaf sums
+    # rolled-up columns are NULL exactly per the gid bit pattern
+    for r in out:
+        assert (r["ship_year"] is None) == bool(r["gid"] & 1)
+        assert (r["l_linestatus"] is None) == bool(r["gid"] & 2)
+        assert (r["l_returnflag"] is None) == bool(r["gid"] & 4)
+
+
+# -- ohlc_bars --------------------------------------------------------
+
+def test_ohlc_bars_tie_breaks_on_event_id(spark):
+    t = dt.datetime(2024, 1, 3, 12, 0, 0)
+    ev = events_df(spark, [
+        (0, t, 1, "buy", 5.0),
+        (1, t, 1, "buy", 7.0),          # same ts: event_id decides
+        (2, t + dt.timedelta(hours=1), 1, "buy", 6.0),
+    ])
+    r = SE.ohlc_bars(ev).collect()[0]
+    assert r["open"] == 5.0 and r["close"] == 6.0
+    assert r["high"] == 7.0 and r["low"] == 5.0 and r["n_events"] == 3
+
+
+def test_ohlc_bars_week_boundary_split(spark):
+    # Sunday vs Monday land in different ISO weeks
+    ev = events_df(spark, [
+        (0, dt.datetime(2024, 1, 7, 23, 0), 1, "buy", 1.0),   # Sun
+        (1, dt.datetime(2024, 1, 8, 1, 0), 1, "buy", 2.0),    # Mon
+    ])
+    assert SE.ohlc_bars(ev).count() == 2
+
+
+# -- knn_classify -----------------------------------------------------
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    vecs = [[1.0, 0.0],        # query (vec_id 0)
+            [1.0, 0.01],       # label 1, closest
+            [1.0, -0.01],      # label 2
+            [0.9, 0.0],        # label 2
+            [-1.0, 0.0]]       # label 1, far side
+    emb = emb_df(spark, vecs, labels=[9, 1, 2, 2, 1])
+    out = {r["vec_id"]: r
+           for r in SIM.knn_classify(emb, k=3, query_mod=len(vecs))
+           .collect()}
+    r = out[0]
+    assert r["pred_label"] == 2 and r["n_votes"] == 2
+    # [0.9, 0] is PARALLEL to the query -> cosine exactly 1.0
+    assert r["top1_id"] == 3 and r["top1_cos"] == 1.0
+    assert r["is_correct"] is False
+
+
+def test_knn_classify_vote_tie_prefers_smaller_label(spark):
+    vecs = [[1.0, 0.0], [1.0, 0.1], [1.0, -0.1]]
+    emb = emb_df(spark, vecs, labels=[5, 7, 3])
+    r = SIM.knn_classify(emb, k=2, query_mod=len(vecs)).collect()[0]
+    # one vote each for labels 3 and 7 -> smaller label wins
+    assert r["pred_label"] == 3
+
+
+# -- image phash ------------------------------------------------------
+
+def test_phash_ppm_roundtrip_identity(spark):
+    """The PPM encode->decode roundtrip is the identity on the
+    synthesized gray rasters (the fact the oracle's math-only mirror
+    relies on)."""
+    import numpy as np
+    from etl_portfolio_tracker_spark.operators import multimodal as MM
+    docs = docs_df(spark, ["some steady text for the raster pipeline"])
+    media = MM.text_to_images(docs).collect()[0]
+    px = MM._decode_pixels(bytes(media["media"]))
+    assert px.shape == (MM.PHASH_SIDE, MM.PHASH_SIDE, 3)
+    assert (px[:, :, 0] == px[:, :, 1]).all()  # gray
+    t = "some steady text for the raster pipeline"
+    n, m = len(t), MM.PHASH_SIDE ** 2
+    expect = [ord(t[(i * n) // m]) for i in range(m)]
+    assert px[:, :, 0].ravel().tolist() == expect
+
+
+def test_phash_substitution_near_dup_found(spark):
+    from etl_portfolio_tracker_spark.operators import multimodal as MM
+    base = ("hello world this is a document about sparks and rivers "
+            "and more words to fill space")
+    docs = docs_df(spark, [base,
+                           base.replace("sparks", "sporks"),
+                           "a completely different text with other "
+                           "content entirely unlike the first pair"])
+    pairs = MM.image_phash_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["hamming"] <= MM.PHASH_MAX_HAMMING
+
+
+def test_phash_empty_text_zero_hash(spark):
+    from etl_portfolio_tracker_spark.operators import multimodal as MM
+    out = MM.image_phash(MM.text_to_images(
+        docs_df(spark, ["", "abc"]))).collect()
+    by_id = {r["media_id"]: r for r in out}
+    # uniform pad raster -> no cell exceeds the mean (strict >)
+    assert by_id[0]["phash_hex"] == "0000000000000000"
+
+
+def test_phash_band_packing_is_hex_of_bands(spark):
+    from etl_portfolio_tracker_spark.operators import multimodal as MM
+    r = MM.image_phash(MM.text_to_images(
+        docs_df(spark, ["the quick brown fox jumps over the lazy dog "
+                        "and keeps running far away"]))).collect()[0]
+    assert r["phash_hex"] == "".join(
+        format(r[f"band{b}"], "04X") for b in range(4))
+    for b in range(4):
+        assert 0 <= r[f"band{b}"] < 2 ** 16
