@@ -1051,7 +1051,15 @@ def _q_normalize_embeddings(spark, sf_dir):
     # the unit vector to (vec_id, norm, pos, val) rows. Zero change
     # to the operator itself (tests cover the array form); the
     # explode is row-local, so the scale shape is unchanged.
-    out = SIM.normalize_embeddings(_emb(spark, sf_dir))
+    # checkpoint BEFORE the explode: CollapseProject otherwise folds
+    # the decimal-norm `unit` transform INTO the Generate, re-running
+    # the 64-element exact fold once per exploded row (d× per vector
+    # — measured 14 s vs 0.2 s at sf0.1). The checkpoint materializes
+    # each unit vector exactly once; the explode then ships scalars.
+    from etl_portfolio_tracker_spark.functions.checkpoints import (
+        iter_checkpoint)
+    out = iter_checkpoint(SIM.normalize_embeddings(_emb(spark, sf_dir)),
+                          eager=False)
     return out.select("vec_id", "norm",
                       F.posexplode("unit").alias("pos", "val"))
 

@@ -409,3 +409,56 @@ def test_equi_depth_single_global_sort(spark):
     q = WH.equi_depth_histogram(spark, SF)
     assert len([e for e in exchanges(q) if "SinglePartition" in e
                 or "rangepartitioning" in e]) <= 1
+
+
+# -- round-5 batch 2 (novelty / rouge / cube / ohlc / knn / phash) ----
+
+def test_ngram_novelty_exchanges_are_gram_or_doc_keyed(spark):
+    # one gram-keyed shuffle (model + join reuse the key) + the final
+    # doc aggregate; nothing exchanges on raw text
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.io import read_table
+    q = TX.ngram_novelty(read_table(spark, SF, "documents"))
+    for e in exchanges(q):
+        if "hashpartitioning" in e:
+            assert ("gh" in e) or ("doc_id" in e)
+
+
+def test_sales_cube_single_expand_aggregate(spark):
+    # CUBE must be one expand + one aggregate exchange, not 8 scans
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = WH.sales_cube_gid(spark, SF)
+    plan = physical_plan(q)
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_ohlc_bars_single_bar_key_shuffle(spark):
+    # both row_number windows and the aggregate share the bar key —
+    # exactly one corpus exchange
+    from etl_portfolio_tracker_spark.operators import sessions as SE
+    from etl_portfolio_tracker_spark.io import read_table
+    q = SE.ohlc_bars(read_table(spark, SF, "events"))
+    hash_ex = [e for e in exchanges(q) if "hashpartitioning" in e]
+    assert all("event_type" in e for e in hash_ex)
+
+
+def test_knn_classify_rank_window_is_per_query(spark):
+    # the top-k window partitions by query vec — never a global sort
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = SIM.knn_classify(read_table(spark, SF, "embeddings"))
+    plan = physical_plan(q)
+    assert "rangepartitioning(_cos" not in plan.lower()
+
+
+def test_image_phash_pairs_verify_is_band_keyed(spark):
+    # candidate generation exchanges on (band, key); the Hamming
+    # verify joins on doc ids — no text/luma column ever shuffles
+    from etl_portfolio_tracker_spark.operators import multimodal as MM
+    from etl_portfolio_tracker_spark.io import read_table
+    q = MM.image_phash_pairs(read_table(spark, SF, "documents"))
+    for e in exchanges(q):
+        assert "luma" not in e and "media#" not in e
