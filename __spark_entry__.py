@@ -1259,6 +1259,18 @@ def _q_image_phash(spark, sf_dir):
     return MM.image_phash(MM.text_to_images(_docs(spark, sf_dir)))
 
 
+def _q_sequence_match(spark, sf_dir):
+    return SE.sequence_match(read_table(spark, sf_dir, "events"))
+
+
+def _q_attribution_last_touch(spark, sf_dir):
+    return SE.attribution_last_touch(read_table(spark, sf_dir, "events"))
+
+
+def _q_embedding_drift_report(spark, sf_dir):
+    return SIM.embedding_drift_report(_emb(spark, sf_dir))
+
+
 def _q_image_phash_pairs(spark, sf_dir):
     return MM.image_phash_pairs(_docs(spark, sf_dir))
 
@@ -1713,6 +1725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": _q_knn_classify,
         "image_phash": _q_image_phash,
         "image_phash_pairs": _q_image_phash_pairs,
+        "sequence_match": _q_sequence_match,
+        "attribution_last_touch": _q_attribution_last_touch,
+        "embedding_drift_report": _q_embedding_drift_report,
         # -- 1f. padding re-checks (r4-green; pushed out as 1e grows, window cap = 50) ---------------------
         "kmeans_train": _q_kmeans_train,
         "delta_dedup": _q_delta_dedup,
@@ -3520,6 +3535,112 @@ def oracle_sql() -> dict[str, str]:
                    p.ql = p.cl AS is_correct
             FROM pred p JOIN t1 USING (va)
             ORDER BY 1
+        """,
+        # mirrors sessions.sequence_match: per-user initial-letter
+        # sequence in (ts, event_id) order, one regex per pattern
+        "sequence_match": f"""
+            WITH pu AS (
+                SELECT user_id,
+                       string_agg(CASE event_type
+                                  WHEN 'view' THEN 'v'
+                                  WHEN 'click' THEN 'c'
+                                  WHEN 'purchase' THEN 'p'
+                                  WHEN 'signup' THEN 's'
+                                  WHEN 'error' THEN 'e'
+                                  ELSE event_type END,
+                                  '' ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY 1
+            ), a AS (
+                SELECT COUNT(*) AS n,
+                       {", ".join(
+                           f"SUM(CASE WHEN regexp_matches(seq, '{rx}')"
+                           f" THEN 1 ELSE 0 END) AS m{i}"
+                           for i, (_, rx) in enumerate(SE.SEQ_PATTERNS))}
+                FROM pu
+            )
+            SELECT * FROM (
+                {" UNION ALL ".join(
+                    f"SELECT '{name}' AS pattern,"
+                    f" CAST(m{i} AS BIGINT) AS n_users_matched,"
+                    f" ROUND(m{i} / CAST(n AS DOUBLE), 6) AS user_share"
+                    f" FROM a"
+                    for i, (name, _) in enumerate(SE.SEQ_PATTERNS))}
+            ) ORDER BY pattern
+        """,
+        # mirrors sessions.attribution_last_touch: prior-click window
+        # with the (ts, event_id) tiebreak, recency-bucket rollup
+        "attribution_last_touch": f"""
+            WITH e AS (
+                SELECT *,
+                       LAST_VALUE(CASE WHEN event_type = 'click'
+                                       THEN ts END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS click_ts
+                FROM events
+            ), p AS (
+                SELECT value,
+                       CASE WHEN click_ts IS NULL THEN 'never_clicked'
+                            {" ".join(
+                                "WHEN date_diff('second', click_ts, ts)"
+                                f" / 60.0 <= {mins} THEN '{name}'"
+                                for mins, name in SE.ATTR_BUCKETS)}
+                            ELSE 'stale' END AS attr_bucket
+                FROM e WHERE event_type = 'purchase'
+            )
+            SELECT attr_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2)
+                        AS DOUBLE) AS attributed_value
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        # mirrors similarity.embedding_drift_report: even/odd halves,
+        # decimal per-dim means, exact centroid stats (pos re-based to
+        # Spark's 0-based posexplode index in the output)
+        "embedding_drift_report": _PE_SQL + """
+            , pd AS (
+                SELECT pos,
+                       CAST(SUM(CASE WHEN vec_id % 2 = 0
+                                THEN CAST(val AS DECIMAL(38,10)) END)
+                            AS DOUBLE)
+                       / SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                           AS mr,
+                       CAST(SUM(CASE WHEN vec_id % 2 = 1
+                                THEN CAST(val AS DECIMAL(38,10)) END)
+                            AS DOUBLE)
+                       / SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                           AS mc,
+                       SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                           AS nr,
+                       SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                           AS nc
+                FROM pe GROUP BY 1
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           ORDER BY ABS(mc - mr) DESC, pos) AS rk
+                FROM pd
+            )
+            SELECT CAST(MAX(nr) AS BIGINT) AS n_ref,
+                   CAST(MAX(nc) AS BIGINT) AS n_cand,
+                   ROUND(CAST(SUM(CAST(mr * mc AS DECIMAL(38,10)))
+                              AS DOUBLE)
+                         / (SQRT(CAST(SUM(CAST(mr * mr
+                                        AS DECIMAL(38,10))) AS DOUBLE))
+                          * SQRT(CAST(SUM(CAST(mc * mc
+                                        AS DECIMAL(38,10))) AS DOUBLE))),
+                         6) AS centroid_cos,
+                   ROUND(SQRT(CAST(SUM(CAST((mc - mr) * (mc - mr)
+                                       AS DECIMAL(38,10))) AS DOUBLE)),
+                         6) AS centroid_l2,
+                   ROUND(CAST(SUM(CAST(ABS(mc - mr) AS DECIMAL(38,10)))
+                              AS DOUBLE) / COUNT(*), 6)
+                       AS mean_abs_shift,
+                   CAST(MAX(CASE WHEN rk = 1 THEN pos - 1 END)
+                        AS BIGINT) AS max_shift_dim,
+                   ROUND(MAX(CASE WHEN rk = 1 THEN ABS(mc - mr) END), 6)
+                       AS max_abs_shift
+            FROM ranked
         """,
         # mirrors multimodal.image_phash over text_to_images
         "image_phash": _phash_sql() + """

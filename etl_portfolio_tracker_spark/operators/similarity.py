@@ -1457,3 +1457,66 @@ def knn_classify(emb: DataFrame, k: int = KNN_K,
                     "top1_id", "top1_cos",
                     (F.col("_ql") == F.col("_cl")).alias("is_correct"))
             .orderBy("vec_id"))
+
+
+def embedding_drift_report(emb: DataFrame) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots — the
+    check an embedding pipeline runs when a new model version or data
+    batch lands: split the table into reference (even vec_id) and
+    candidate (odd vec_id) halves, compute each half's per-dimension
+    mean through the module's exact decimal sums, and report the
+    centroid cosine, centroid L2 gap, per-dim mean absolute shift,
+    and the dimension that moved most. Decimal accumulation makes
+    every number independent of partial-agg order, so an engine can't
+    move a hash bit (the dsum rule applied to model state).
+
+    Scale: two corpus-wide (dim-keyed) aggregates over the posexploded
+    view — O(N·d) map-side-combined rows into a d-row model; every
+    downstream step is on the d-row frame. At 100 TB the halves would
+    be two table versions; the shape is unchanged.
+
+    Returns ONE row: (n_ref, n_cand, centroid_cos, centroid_l2,
+    mean_abs_shift, max_shift_dim, max_abs_shift)."""
+    pe = (_spread(emb)
+          .select("vec_id",
+                  F.posexplode("embedding").alias("pos", "val"))
+          .select("vec_id", "pos", F.col("val").cast("double").alias("val"),
+                  (F.col("vec_id") % 2 == 0).alias("_ref")))
+    per_dim = (pe.groupBy("pos")
+               .agg(F.sum(F.when(F.col("_ref"), F.col("val"))
+                          .cast("decimal(38,10)")).alias("_sr"),
+                    F.sum(F.when(F.col("_ref"), 1).otherwise(0))
+                     .alias("_nr"),
+                    F.sum(F.when(~F.col("_ref"), F.col("val"))
+                          .cast("decimal(38,10)")).alias("_sc"),
+                    F.sum(F.when(~F.col("_ref"), 1).otherwise(0))
+                     .alias("_nc"))
+               .select("pos",
+                       (F.col("_sr").cast("double") / F.col("_nr"))
+                       .alias("mr"),
+                       (F.col("_sc").cast("double") / F.col("_nc"))
+                       .alias("mc"), "_nr", "_nc"))
+    w_dim = W.orderBy(F.desc(F.abs(F.col("mc") - F.col("mr"))),
+                      F.asc("pos"))
+    ranked = per_dim.withColumn("_rk", F.row_number().over(w_dim))
+    return (ranked.agg(
+        F.max("_nr").cast("long").alias("n_ref"),
+        F.max("_nc").cast("long").alias("n_cand"),
+        F.round(F.sum((F.col("mr") * F.col("mc")).cast("decimal(38,10)"))
+                .cast("double")
+                / (F.sqrt(F.sum((F.col("mr") * F.col("mr")).cast("decimal(38,10)"))
+                          .cast("double"))
+                   * F.sqrt(F.sum((F.col("mc") * F.col("mc"))
+                                  .cast("decimal(38,10)")).cast("double"))), 6)
+         .alias("centroid_cos"),
+        F.round(F.sqrt(F.sum(((F.col("mc") - F.col("mr"))
+                              * (F.col("mc") - F.col("mr"))).cast("decimal(38,10)"))
+                       .cast("double")), 6).alias("centroid_l2"),
+        F.round(F.sum(F.abs(F.col("mc") - F.col("mr")).cast("decimal(38,10)"))
+                .cast("double") / F.count(F.lit(1)), 6)
+         .alias("mean_abs_shift"),
+        F.max(F.when(F.col("_rk") == 1, F.col("pos"))).cast("long")
+         .alias("max_shift_dim"),
+        F.round(F.max(F.when(F.col("_rk") == 1,
+                             F.abs(F.col("mc") - F.col("mr")))), 6)
+         .alias("max_abs_shift")))

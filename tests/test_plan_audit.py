@@ -462,3 +462,34 @@ def test_image_phash_pairs_verify_is_band_keyed(spark):
     q = MM.image_phash_pairs(read_table(spark, SF, "documents"))
     for e in exchanges(q):
         assert "luma" not in e and "media#" not in e
+
+
+def test_sequence_match_single_user_shuffle(spark):
+    # all patterns evaluate in ONE aggregate over ONE user grouping
+    from etl_portfolio_tracker_spark.operators import sessions as SE
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = SE.sequence_match(read_table(spark, SF, "events"))
+    plan = physical_plan(q)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_attribution_no_self_join(spark):
+    # the prior-click lookup is a window, never a join of two scans
+    from etl_portfolio_tracker_spark.operators import sessions as SE
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = SE.attribution_last_touch(read_table(spark, SF, "events"))
+    plan = physical_plan(q)
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_drift_model_sized_tail(spark):
+    # after the dim-keyed aggregate everything is d-row work: the only
+    # corpus-wide exchange key is pos
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+    from etl_portfolio_tracker_spark.io import read_table
+    q = SIM.embedding_drift_report(read_table(spark, SF, "embeddings"))
+    hash_ex = [e for e in exchanges(q) if "hashpartitioning" in e]
+    assert all("pos" in e or "vec_id" in e for e in hash_ex)

@@ -556,3 +556,87 @@ def test_phash_band_packing_is_hex_of_bands(spark):
         format(r[f"band{b}"], "04X") for b in range(4))
     for b in range(4):
         assert 0 <= r[f"band{b}"] < 2 ** 16
+
+
+# -- sequence_match ----------------------------------------------------
+
+def test_sequence_match_order_and_share(spark):
+    ev = events_df(spark, [
+        (0, _t(9), 1, "view", 1.0), (1, _t(10), 1, "click", 1.0),
+        (2, _t(11), 1, "purchase", 1.0),
+        (3, _t(9), 2, "purchase", 1.0), (4, _t(10), 2, "view", 1.0)])
+    out = {r["pattern"]: r for r in SE.sequence_match(ev).collect()}
+    # user1 v->c->p matches; user2 bought BEFORE viewing -> no match
+    assert out["view_click_buy"]["n_users_matched"] == 1
+    assert out["view_click_buy"]["user_share"] == 0.5
+
+
+def test_sequence_match_error_free_anchor(spark):
+    ev = events_df(spark, [
+        (0, _t(9), 1, "error", 1.0), (1, _t(10), 1, "purchase", 1.0),
+        (2, _t(9), 2, "purchase", 1.0)])
+    out = {r["pattern"]: r for r in SE.sequence_match(ev).collect()}
+    # '^[^e]*p': user1 errored before buying, user2 did not
+    assert out["error_free_buy"]["n_users_matched"] == 1
+
+
+def test_sequence_match_same_ts_event_id_order(spark):
+    ev = events_df(spark, [
+        (0, _t(9), 1, "view", 1.0), (1, _t(9), 1, "click", 1.0),
+        (2, _t(9), 1, "purchase", 1.0)])
+    out = {r["pattern"]: r for r in SE.sequence_match(ev).collect()}
+    assert out["view_click_buy"]["n_users_matched"] == 1
+
+
+# -- attribution_last_touch --------------------------------------------
+
+def test_attribution_buckets_and_never_clicked(spark):
+    ev = events_df(spark, [
+        (0, _t(9), 1, "click", 0.0),
+        (1, _t(9, 30), 1, "purchase", 10.0),    # 30 min -> 0-1h
+        (2, _t(12), 2, "click", 0.0),
+        (3, dt.datetime(2024, 1, 2, 11), 2, "purchase", 20.0),  # 23h
+        (4, _t(8), 3, "purchase", 40.0)])       # never clicked
+    out = {r["attr_bucket"]: r
+           for r in SE.attribution_last_touch(ev).collect()}
+    assert out["0-1h"]["attributed_value"] == 10.0
+    assert out["1h-24h"]["attributed_value"] == 20.0
+    assert out["never_clicked"]["n_purchases"] == 1
+
+
+def test_attribution_same_ts_click_not_prior(spark):
+    # click at the SAME ts with larger event_id is NOT prior
+    ev = events_df(spark, [
+        (0, _t(9), 1, "purchase", 5.0), (1, _t(9), 1, "click", 0.0)])
+    out = SE.attribution_last_touch(ev).collect()
+    assert out[0]["attr_bucket"] == "never_clicked"
+
+
+def test_attribution_last_click_wins(spark):
+    ev = events_df(spark, [
+        (0, _t(1), 1, "click", 0.0),            # stale click
+        (1, _t(9, 59), 1, "click", 0.0),        # last touch
+        (2, _t(10), 1, "purchase", 7.0)])
+    out = SE.attribution_last_touch(ev).collect()
+    assert out[0]["attr_bucket"] == "0-1h"
+
+
+# -- embedding_drift_report --------------------------------------------
+
+def test_embedding_drift_identical_halves(spark):
+    # even and odd vectors identical -> zero drift, cosine 1
+    emb = emb_df(spark, [[1.0, 2.0], [1.0, 2.0], [3.0, 1.0], [3.0, 1.0]])
+    r = SIM.embedding_drift_report(emb).collect()[0]
+    assert r["n_ref"] == 2 and r["n_cand"] == 2
+    assert r["centroid_cos"] == 1.0
+    assert r["centroid_l2"] == 0.0 and r["mean_abs_shift"] == 0.0
+
+
+def test_embedding_drift_known_shift(spark):
+    # ref mean = [1, 0]; cand mean = [0, 1] -> orthogonal centroids
+    emb = emb_df(spark, [[1.0, 0.0], [0.0, 1.0]])
+    r = SIM.embedding_drift_report(emb).collect()[0]
+    assert r["centroid_cos"] == 0.0
+    assert r["centroid_l2"] == round(math.sqrt(2), 6)
+    assert r["max_shift_dim"] in (0, 1) and r["max_abs_shift"] == 1.0
+    assert r["max_shift_dim"] == 0   # tie -> smaller dim
