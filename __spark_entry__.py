@@ -1666,12 +1666,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          pytest-verified; audio_meta — float reductions over raw
          bytes, WAV decode pytest-verified on constructed RIFF
          payloads) so they finally get their weaker external row;
-         (e) the round-5-new operators (each oracle-paired);
-         (f) padding re-checks of r4-green queries up to 50.
-      2. everything already externally green in r1–r4 (re-verified
-         locally every round via tools/check.py, committed log).
+         (e) the TWENTY-NINE round-5-new operators (each
+         oracle-paired): winnowing_fingerprints, char_entropy,
+         readability_scores, unigram_perplexity, normalized_dedup,
+         hapax_ratio, balanced_downsample, equi_depth_histogram,
+         benford_first_digit, weighted_median_price, fk_orphans,
+         top_event_paths, interval_event_join, sharpe_rolling,
+         hard_negative_mining, embedding_quantize_int8,
+         pca_power_iter, streaming_quality_filter_replay,
+         lang_id_confusion, ngram_novelty, rouge_overlap_pairs,
+         sales_cube_gid, ohlc_bars, knn_classify, image_phash,
+         image_phash_pairs, sequence_match, attribution_last_touch,
+         embedding_drift_report.
+         Sections (a)-(e) total EXACTLY 50 — the whole window.
+      2. the 1f padding re-checks (r4-green) now sit past the window,
+         followed by everything already externally green in r1–r4
+         (all re-verified locally every round via tools/check.py,
+         committed log).
 
-    After r5 the whole registry should carry an external row.
+    ROUND-6 TODO: after r5's window lands, every query registered
+    through r5 carries an external row; queries added in round 6+
+    go to the FRONT of 1e-equivalent sections so each round's window
+    is spent on never-checked names first.
     """
     return {
         # -- 1a. never externally checked (hash-checkable), highest priority -------------------------------
