@@ -1271,6 +1271,16 @@ def _q_embedding_drift_report(spark, sf_dir):
     return SIM.embedding_drift_report(_emb(spark, sf_dir))
 
 
+def _q_streaming_attribution_replay(spark, sf_dir):
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_attribution_replay)
+    return streaming_attribution_replay(spark, sf_dir)
+
+
+def _q_cdc_merge_apply(spark, sf_dir):
+    return WH.cdc_merge_apply(spark, sf_dir)
+
+
 def _q_image_phash_pairs(spark, sf_dir):
     return MM.image_phash_pairs(_docs(spark, sf_dir))
 
@@ -1677,17 +1687,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          lang_id_confusion, ngram_novelty, rouge_overlap_pairs,
          sales_cube_gid, ohlc_bars, knn_classify, image_phash,
          image_phash_pairs, sequence_match, attribution_last_touch,
-         embedding_drift_report.
-         Sections (a)-(e) total EXACTLY 50 — the whole window.
+         embedding_drift_report, streaming_attribution_replay,
+         cdc_merge_apply — THIRTY-ONE round-5-new operators total.
+         Sections (a)-(e) total 52; the window takes the first 50,
+         so the LAST TWO 1e entries (streaming_attribution_replay,
+         cdc_merge_apply — both locally bit-exact, see
+         CHECK_LOCAL_r05.txt) wait for the round-6 window.
       2. the 1f padding re-checks (r4-green) now sit past the window,
          followed by everything already externally green in r1–r4
          (all re-verified locally every round via tools/check.py,
          committed log).
 
-    ROUND-6 TODO: after r5's window lands, every query registered
-    through r5 carries an external row; queries added in round 6+
-    go to the FRONT of 1e-equivalent sections so each round's window
-    is spent on never-checked names first.
+    ROUND-6 TODO: move streaming_attribution_replay and
+    cdc_merge_apply (the two 1e entries past this round's window) to
+    the FRONT of the dict, then any round-6-new operators; after
+    that the whole registry carries an external row again.
     """
     return {
         # -- 1a. never externally checked (hash-checkable), highest priority -------------------------------
@@ -1744,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_match": _q_sequence_match,
         "attribution_last_touch": _q_attribution_last_touch,
         "embedding_drift_report": _q_embedding_drift_report,
+        "streaming_attribution_replay": _q_streaming_attribution_replay,
+        "cdc_merge_apply": _q_cdc_merge_apply,
         # -- 1f. padding re-checks (r4-green; pushed out as 1e grows, window cap = 50) ---------------------
         "kmeans_train": _q_kmeans_train,
         "delta_dedup": _q_delta_dedup,
@@ -2114,6 +2130,10 @@ def _pagerank_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    return _oracle_aliases(_oracle_sql_base())
+
+
+def _oracle_sql_base() -> dict[str, str]:
     # reusable: the near-dup clustering oracle (recursive-CTE
     # transitive closure) is also embedded as a subquery by the
     # canonical_docs / corpus_prune composites below.
@@ -3583,8 +3603,10 @@ def oracle_sql() -> dict[str, str]:
                     for i, (name, _) in enumerate(SE.SEQ_PATTERNS))}
             ) ORDER BY pattern
         """,
-        # mirrors sessions.attribution_last_touch: prior-click window
-        # with the (ts, event_id) tiebreak, recency-bucket rollup
+        # mirrors sessions.attribution_last_touch AND its streaming
+        # twin (streaming_attribution_replay emits the identical
+        # rollup, so both gate against this one SQL): prior-click
+        # window with the (ts, event_id) tiebreak, recency buckets
         "attribution_last_touch": f"""
             WITH e AS (
                 SELECT *,
@@ -6287,4 +6309,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents d ON d.doc_id = c.doc_id
         """.replace("{dedup}", dedup_clusters_sql),
         "corpus_prune": corpus_prune_sql,
+        # mirrors warehouse.cdc_merge_apply: one outer join applies
+        # updates+deletes, inserts arrive by union; per-status audit
+        "cdc_merge_apply": """
+            WITH base AS (
+                SELECT * FROM orders WHERE o_orderkey % 2 = 0
+            ), changes AS (
+                SELECT CASE WHEN o_orderkey % 10 IN (1, 3)
+                            THEN o_orderkey
+                            ELSE o_orderkey - 1 END AS key,
+                       CASE WHEN o_orderkey % 10 IN (1, 3) THEN 'insert'
+                            WHEN o_orderkey % 10 IN (5, 7) THEN 'update'
+                            ELSE 'delete' END AS op,
+                       o_orderstatus AS c_status,
+                       o_totalprice AS c_price
+                FROM orders WHERE o_orderkey % 2 = 1
+            ), merged AS (
+                SELECT b.o_orderstatus,
+                       CASE WHEN c.op = 'update' THEN c.c_price
+                            ELSE b.o_totalprice END AS o_totalprice,
+                       CASE WHEN c.op = 'update' THEN 1 ELSE 0 END
+                           AS upd,
+                       0 AS ins
+                FROM base b
+                LEFT JOIN (SELECT * FROM changes WHERE op <> 'insert') c
+                       ON b.o_orderkey = c.key
+                WHERE c.op IS NULL OR c.op = 'update'
+            ), insrt AS (
+                SELECT c_status AS o_orderstatus,
+                       c_price AS o_totalprice, 0 AS upd, 1 AS ins
+                FROM changes WHERE op = 'insert'
+            ), allr AS (
+                SELECT * FROM merged UNION ALL SELECT * FROM insrt
+            )
+            SELECT o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))),
+                              2) AS DOUBLE) AS total_value,
+                   CAST(SUM(upd) AS BIGINT) AS n_updated,
+                   CAST(SUM(ins) AS BIGINT) AS n_inserted
+            FROM allr GROUP BY 1 ORDER BY 1
+        """,
     }
+
+
+def _oracle_aliases(sql: dict[str, str]) -> dict[str, str]:
+    """Streaming twins that emit the IDENTICAL frame as their batch
+    operator gate against the batch oracle verbatim (one definition,
+    zero drift) — the streaming_delta_dedup precedent generalized."""
+    sql["streaming_attribution_replay"] = sql["attribution_last_touch"]
+    return sql

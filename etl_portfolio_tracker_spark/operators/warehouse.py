@@ -984,3 +984,63 @@ def sales_cube_gid(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum(F.col("l_quantity")).cast("double").alias("sum_qty"),
                  F.count(F.lit(1)).cast("long").alias("n_rows"))
             .orderBy("gid", "l_returnflag", "l_linestatus", "ship_year"))
+
+
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC changelog apply) re-expressed as one outer
+    join + union: a snapshot (even orderkeys) absorbs a deterministic
+    changelog derived from the odd orderkeys — keys ≡1,3 (mod 10)
+    INSERT as new rows, ≡5,7 UPDATE the even neighbor's totalprice to
+    the change row's value, ≡9 DELETE the even neighbor. Each target
+    key receives at most one change (the mod classes map to disjoint
+    targets), so no sequencing pass is needed; a real changelog would
+    first keep only the max-sequence change per key (one window).
+
+    Scale shape: ONE orderkey hash join applies updates+deletes, the
+    insert branch is a union (no join at all), and the verification
+    rollup per status is the only other exchange — exactly how
+    Delta/Iceberg execute MERGE under the hood (join on the merge
+    key, rewrite matched rows). Emits the post-merge per-status
+    audit: row count, decimal-rounded totalprice sum, applied-change
+    counters."""
+    od = read_table(spark, sf_dir, "orders")
+    base = od.filter(F.col("o_orderkey") % 2 == 0)
+    odd = od.filter(F.col("o_orderkey") % 2 == 1)
+    m = F.col("o_orderkey") % 10
+    changes = odd.select(
+        F.when(m.isin(1, 3), F.col("o_orderkey"))
+         .otherwise(F.col("o_orderkey") - 1).alias("key"),
+        F.when(m.isin(1, 3), F.lit("insert"))
+         .when(m.isin(5, 7), F.lit("update"))
+         .otherwise(F.lit("delete")).alias("op"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderstatus").alias("c_status"),
+        F.col("o_totalprice").alias("c_price"),
+        F.col("o_orderdate").alias("c_date"),
+        F.col("o_orderpriority").alias("c_priority"))
+    upd_del = changes.filter(F.col("op") != "insert")
+    merged = (base.join(upd_del,
+                        base["o_orderkey"] == upd_del["key"], "left")
+              .filter((F.col("op").isNull()) | (F.col("op") == "update"))
+              .select("o_orderkey", "o_custkey",
+                      "o_orderstatus",
+                      F.when(F.col("op") == "update", F.col("c_price"))
+                       .otherwise(F.col("o_totalprice"))
+                       .alias("o_totalprice"),
+                      F.when(F.col("op") == "update", 1).otherwise(0)
+                       .alias("_upd"),
+                      F.lit(0).alias("_ins")))
+    inserted = changes.filter(F.col("op") == "insert").select(
+        F.col("key").alias("o_orderkey"),
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_status").alias("o_orderstatus"),
+        F.col("c_price").alias("o_totalprice"),
+        F.lit(0).alias("_upd"), F.lit(1).alias("_ins"))
+    return (merged.unionByName(inserted)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.round(dsum(F.col("o_totalprice")), 2).cast("double")
+                  .alias("total_value"),
+                 F.sum("_upd").cast("long").alias("n_updated"),
+                 F.sum("_ins").cast("long").alias("n_inserted"))
+            .orderBy("o_orderstatus"))

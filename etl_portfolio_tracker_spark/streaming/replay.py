@@ -497,3 +497,88 @@ def streaming_quality_filter_replay(spark: SparkSession, sf_dir: str,
         out.writeStream.format("memory").queryName(name)
            .outputMode("append").trigger(availableNow=True), name, timeout_s)
     return spark.table(name)
+
+
+def streaming_attribution_replay(spark: SparkSession, sf_dir: str,
+                                 timeout_s: int = 300) -> DataFrame:
+    """Last-touch attribution executed on the STREAMING engine: an
+    applyInPandasWithState fold carries each user's most recent click
+    timestamp across micro-batches and emits one attributed row per
+    purchase; the memory-sink rows then roll up to the identical
+    (attr_bucket, n_purchases, attributed_value) frame as the batch
+    `sessions.attribution_last_touch` — so the stateful streaming
+    path is gated by the SAME oracle row (the streaming_fold_replay
+    precedent applied to marketing state).
+
+    Within a batch the fold processes (ts, event_id)-sorted rows, so
+    a click at the same timestamp counts as prior exactly when its
+    event_id is smaller — the batch window's tiebreak, reproduced.
+    State per user is ONE timestamp; at 100 TB this is the canonical
+    keyed-state shape (RocksDB-backed, watermark-evictable)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout)
+    from ..derive import dsum
+    from ..operators.sessions import ATTR_BUCKETS
+
+    out_schema = T.StructType([
+        T.StructField("attr_bucket", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("click_us", T.LongType()),
+    ])
+    buckets = tuple(ATTR_BUCKETS)
+
+    def _fold(key, pdfs, state: GroupState):
+        # -1 is the stored "no click yet" sentinel (state columns
+        # cannot be None-typed cleanly across restores)
+        click_us = None
+        if state.exists and state.get[0] >= 0:
+            click_us = state.get[0]
+        rows_b, rows_v = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for et, ts, val in zip(pdf["event_type"].values,
+                                   pdf["ts"].values,
+                                   pdf["value"].values):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if et == "click":
+                    click_us = ts_us
+                elif et == "purchase":
+                    if click_us is None:
+                        b = "never_clicked"
+                    else:
+                        gap_min = (ts_us - click_us) / 60e6
+                        for mins, name in buckets:
+                            if gap_min <= mins:
+                                b = name
+                                break
+                        else:
+                            b = "stale"
+                    rows_b.append(b)
+                    rows_v.append(float(val))
+        state.update((click_us if click_us is not None else -1,))
+        yield pd.DataFrame({"attr_bucket": rows_b, "value": rows_v})
+
+    name = "stream_attr_replay_" + uuid.uuid4().hex[:8]
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value")
+    per_purchase = (ev.groupBy("user_id")
+                    .applyInPandasWithState(
+                        _fold,
+                        outputStructType=out_schema,
+                        stateStructType=state_schema,
+                        outputMode="append",
+                        timeoutConf=GroupStateTimeout.NoTimeout))
+    _run_to_completion(
+        per_purchase.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True), name, timeout_s)
+    from pyspark.sql import functions as F
+    return (spark.table(name)
+            .groupBy("attr_bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                 F.round(dsum(F.col("value")), 2).cast("double")
+                  .alias("attributed_value"))
+            .orderBy("attr_bucket"))

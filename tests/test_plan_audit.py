@@ -493,3 +493,14 @@ def test_embedding_drift_model_sized_tail(spark):
     q = SIM.embedding_drift_report(read_table(spark, SF, "embeddings"))
     hash_ex = [e for e in exchanges(q) if "hashpartitioning" in e]
     assert all("pos" in e or "vec_id" in e for e in hash_ex)
+
+
+def test_cdc_merge_single_key_join(spark):
+    # MERGE = one join on the merge key + a union; never two joins
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = WH.cdc_merge_apply(spark, SF)
+    plan = physical_plan(q)
+    assert (plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+            + plan.count("ShuffledHashJoin")) <= 2  # join + AQE replan
+    assert "Union" in plan

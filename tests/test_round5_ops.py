@@ -640,3 +640,39 @@ def test_embedding_drift_known_shift(spark):
     assert r["centroid_l2"] == round(math.sqrt(2), 6)
     assert r["max_shift_dim"] in (0, 1) and r["max_abs_shift"] == 1.0
     assert r["max_shift_dim"] == 0   # tie -> smaller dim
+
+
+# -- cdc_merge_apply / streaming_attribution_replay --------------------
+
+def test_cdc_merge_row_accounting(spark, sf_dir):
+    from etl_portfolio_tracker_spark.io import read_table
+    od = read_table(spark, sf_dir, "orders")
+    out = WH.cdc_merge_apply(spark, sf_dir).collect()
+    n_rows = sum(r["n_rows"] for r in out)
+    n_upd = sum(r["n_updated"] for r in out)
+    n_ins = sum(r["n_inserted"] for r in out)
+    base = od.filter(F.col("o_orderkey") % 2 == 0)
+    n_base = base.count()
+    mods = od.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_orderkey") % 10).alias("m"),
+        (F.col("o_orderkey") - 1).alias("tgt")).collect()
+    exp_ins = sum(1 for r in mods if r["m"] in (1, 3))
+    base_keys = {r["o_orderkey"] for r in base.collect()}
+    exp_upd = sum(1 for r in mods if r["m"] in (5, 7)
+                  and r["tgt"] in base_keys)
+    exp_del = sum(1 for r in mods if r["m"] == 9
+                  and r["tgt"] in base_keys)
+    assert n_ins == exp_ins and n_upd == exp_upd
+    assert n_rows == n_base - exp_del + exp_ins
+
+
+def test_streaming_attribution_equals_batch(spark, sf_dir):
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_attribution_replay)
+    batch = sorted(map(tuple, SE.attribution_last_touch(
+        read_table(spark, sf_dir, "events")).collect()))
+    stream = sorted(map(tuple,
+                        streaming_attribution_replay(spark, sf_dir)
+                        .collect()))
+    assert stream == batch
