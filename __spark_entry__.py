@@ -288,9 +288,13 @@ _PHASH_M = "MM.PHASH"  # marker for greps; constants inlined below
 def _phash_sql() -> str:
     side2 = MM.PHASH_SIDE * MM.PHASH_SIDE
     bands = ",\n                   ".join(
-        "list_aggregate(list_transform(generate_series(0, 15), k -> "
-        f"CASE WHEN cells[{16 * b} + k + 1] > m THEN (1::BIGINT << k) "
-        f"ELSE 0::BIGINT END), 'sum') AS band{b}"
+        # CAST the sum: DuckDB types list_aggregate('sum') of BIGINT
+        # as HUGEINT (int128) — bit-identical values, hash-breaking
+        # dtype (the r1 simhash lesson; tools/dtype_audit.py catches)
+        "CAST(list_aggregate(list_transform(generate_series(0, 15), "
+        f"k -> CASE WHEN cells[{16 * b} + k + 1] > m "
+        f"THEN (1::BIGINT << k) ELSE 0::BIGINT END), 'sum') "
+        f"AS BIGINT) AS band{b}"
         for b in range(MM.PHASH_BANDS))
     return f"""
         WITH d AS (
