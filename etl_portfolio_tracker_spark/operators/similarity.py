@@ -1520,3 +1520,32 @@ def embedding_drift_report(emb: DataFrame) -> DataFrame:
         F.round(F.max(F.when(F.col("_rk") == 1,
                              F.abs(F.col("mc") - F.col("mr")))), 6)
          .alias("max_abs_shift")))
+
+
+def ivf_balance_report(emb: DataFrame,
+                       n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """Cell-occupancy skew report for the IVF index — the health
+    check that decides whether the coarse quantizer needs retraining
+    before the index ships: a skewed cell list means one probe does
+    most of the scan work (the ANN twin of a hot shuffle key), and at
+    100 TB a 10× heavy cell is a 10× slower p99 probe.
+
+    Plan: ivf_assign's shuffle-free argmax map, ONE groupBy(cell)
+    count (key space = n_cells), and a broadcast of the n_cells-row
+    total — nothing here scales with corpus size except the linear
+    assignment scan. share and load_factor (occupancy ÷ ideal uniform
+    occupancy) are single-division doubles of exact BIGINT counts.
+
+    Returns (cell, n_vecs, share, load_factor) ordered by n_vecs
+    desc, cell.
+    """
+    counts = (ivf_assign(emb, n_cells)
+              .groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs")))
+    tot = counts.groupBy().agg(F.sum("n_vecs").alias("_tot"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("cell", "n_vecs",
+                    F.round(F.col("n_vecs").cast("double")
+                            / F.col("_tot"), 6).alias("share"),
+                    F.round((F.col("n_vecs") * n_cells).cast("double")
+                            / F.col("_tot"), 6).alias("load_factor"))
+            .orderBy(F.desc("n_vecs"), F.asc("cell")))

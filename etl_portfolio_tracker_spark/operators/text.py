@@ -1108,3 +1108,73 @@ def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
                             / F.col("n_grams").cast("double"), 6)
                      .alias("novelty"))
             .orderBy("doc_id"))
+
+
+WINSOR_LO_PCT = 10
+WINSOR_HI_PCT = 90
+
+
+def winsorized_stats(docs: DataFrame,
+                     n_parts: int | None = None) -> DataFrame:
+    """Per-source robust length statistics: exact p10/p90 order
+    statistics and the winsorized / trimmed means — the outlier-proof
+    aggregate a curation dashboard reports when a feed mixes tweets
+    with concatenated crawl blobs (the plain mean tracks the blobs).
+
+    Exactness rule: the percentiles are ORDER STATISTICS (the value
+    at integer rank ceil(p·n/100), rank over (n_chars ASC, doc_id
+    ASC)) — no interpolating quantile estimate, so there is no float
+    formula for two engines to disagree on. The winsorized sum is
+    computed in CLOSED FORM from one pass: lo_pos·p10 + Σ middle +
+    (n − hi_pos)·p90 — pure BIGINT arithmetic, with the only doubles
+    being the three final single-division means (round 6).
+
+    Scale shape: the rank is quality_quantile_cut's skew-safe
+    per-source distributed prefix count (`packing.ranged_cumsum`) —
+    no task serializes the largest source; per-source totals are a
+    tiny broadcast; the conditional aggregation is one map-side-
+    combined groupBy(source).
+
+    Returns (source, n_docs, mean_chars, p10_chars, p90_chars,
+    winsorized_mean, trimmed_mean) ordered by source.
+    """
+    from .packing import ranged_cumsum
+    base = docs.select("doc_id", "source",
+                       F.col("n_chars").cast("long").alias("v"),
+                       F.lit(1).cast("long").alias("_one"))
+    cum = ranged_cumsum(base, "_one",
+                        [F.asc("v"), F.asc("doc_id")],
+                        group_cols=["source"], n_parts=n_parts)
+    cnts = base.groupBy("source").agg(F.count(F.lit(1)).alias("_cnt"))
+    rn = F.col("_cum").cast("long")
+    lo_pos = F.expr(f"(_cnt * {WINSOR_LO_PCT} + 99) div 100")
+    hi_pos = F.expr(f"(_cnt * {WINSOR_HI_PCT} + 99) div 100")
+    r = (cum.join(F.broadcast(cnts), "source")
+         .select("source", "v", F.col("_cnt"),
+                 rn.alias("_rn"), lo_pos.alias("_lo"), hi_pos.alias("_hi")))
+    mid = F.when((F.col("_rn") > F.col("_lo"))
+                 & (F.col("_rn") <= F.col("_hi")), F.col("v")).otherwise(F.lit(0))
+    agg = (r.groupBy("source")
+           .agg(F.max("_cnt").alias("n_docs"),
+                F.sum("v").alias("_sum"),
+                F.max(F.when(F.col("_rn") == F.col("_lo"), F.col("v")))
+                 .alias("p10_chars"),
+                F.max(F.when(F.col("_rn") == F.col("_hi"), F.col("v")))
+                 .alias("p90_chars"),
+                F.sum(mid).alias("_mid_sum"),
+                F.max("_lo").alias("_lop"),
+                F.max("_hi").alias("_hip")))
+    wsum = (F.col("_lop") * F.col("p10_chars") + F.col("_mid_sum")
+            + (F.col("n_docs") - F.col("_hip")) * F.col("p90_chars"))
+    n_mid = F.col("_hip") - F.col("_lop")
+    return (agg.select(
+        "source", "n_docs",
+        F.round(F.col("_sum").cast("double") / F.col("n_docs"), 6)
+         .alias("mean_chars"),
+        "p10_chars", "p90_chars",
+        F.round(wsum.cast("double") / F.col("n_docs"), 6)
+         .alias("winsorized_mean"),
+        F.when(n_mid > 0,
+               F.round(F.col("_mid_sum").cast("double") / n_mid, 6))
+         .alias("trimmed_mean"))
+        .orderBy("source"))

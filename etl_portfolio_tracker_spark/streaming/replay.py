@@ -582,3 +582,39 @@ def streaming_attribution_replay(spark: SparkSession, sf_dir: str,
                  F.round(dsum(F.col("value")), 2).cast("double")
                   .alias("attributed_value"))
             .orderBy("attr_bucket"))
+
+
+def streaming_hll_replay(spark: SparkSession, sf_dir: str,
+                         timeout_s: int = 300) -> DataFrame:
+    """HyperLogLog register build executed on the STREAMING engine:
+    `sketches.hll_registers` is a plain groupBy(event_type, reg).max
+    — a supported streaming aggregation whose state store IS the
+    sketch (O(groups · 64) rows, register-wise max merge across
+    micro-batches; complete mode re-emits the register table). The
+    memory-sink registers then roll up through the SAME
+    `sketches.hll_rollup` as the batch operator, so the streamed
+    sketch is gated by the hll_distinct oracle verbatim (the
+    streaming_attribution_replay precedent: streaming does the
+    stateful part, the rollup is shared code).
+
+    The exact_distinct yardstick column joins from a BATCH read of
+    the same table — deliberately: the sketch exists precisely
+    because a streaming exact COUNT(DISTINCT) would need unbounded
+    state; the streamed artifact is the register table alone. 100 TB
+    shape: continuous cardinality with bounded keyed state, the thing
+    dashboards poll instead of re-scanning the firehose."""
+    from pyspark.sql import functions as F
+
+    from ..io import read_table
+    from ..operators.sketches import hll_registers, hll_rollup
+
+    name = "stream_hll_replay_" + uuid.uuid4().hex[:8]
+    regs = hll_registers(_events_stream(spark, sf_dir))
+    _run_to_completion(
+        regs.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True),
+        name, timeout_s)
+    exact = (read_table(spark, sf_dir, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return hll_rollup(spark.table(name), exact)
