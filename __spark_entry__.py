@@ -1318,6 +1318,12 @@ def _q_join_size_estimate(spark, sf_dir):
     return SK.join_size_estimate(read_table(spark, sf_dir, "lineitem"))
 
 
+def _q_streaming_bloom_probe_replay(spark, sf_dir):
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_bloom_probe_replay)
+    return streaming_bloom_probe_replay(spark, sf_dir)
+
+
 def _q_image_phash_pairs(spark, sf_dir):
     return MM.image_phash_pairs(_docs(spark, sf_dir))
 
@@ -1739,9 +1745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cdc_merge_apply (the two 1e entries past this round's window) to
     the FRONT of the dict, followed by the 1e2 sketch-tier batch
     (hll_distinct, cms_heavy_hitters, bloom_chunk_probe,
-    winsorized_stats, ivf_balance_report, streaming_hll_replay) and
-    any round-6-new operators; after that the whole registry carries
-    an external row again.
+    winsorized_stats, ivf_balance_report, streaming_hll_replay,
+    join_size_estimate, streaming_bloom_probe_replay) and any
+    round-6-new operators; after that the whole registry carries an
+    external row again.
     """
     return {
         # -- 1a. never externally checked (hash-checkable), highest priority -------------------------------
@@ -1808,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_balance_report": _q_ivf_balance_report,
         "streaming_hll_replay": _q_streaming_hll_replay,
         "join_size_estimate": _q_join_size_estimate,
+        "streaming_bloom_probe_replay": _q_streaming_bloom_probe_replay,
         # -- 1f. padding re-checks (r4-green; pushed out as 1e grows, window cap = 50) ---------------------
         "kmeans_train": _q_kmeans_train,
         "delta_dedup": _q_delta_dedup,
@@ -6647,4 +6655,5 @@ def _oracle_aliases(sql: dict[str, str]) -> dict[str, str]:
     zero drift) — the streaming_delta_dedup precedent generalized."""
     sql["streaming_attribution_replay"] = sql["attribution_last_touch"]
     sql["streaming_hll_replay"] = sql["hll_distinct"]
+    sql["streaming_bloom_probe_replay"] = sql["bloom_chunk_probe"]
     return sql

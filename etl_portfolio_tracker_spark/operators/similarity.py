@@ -1539,10 +1539,14 @@ def ivf_balance_report(emb: DataFrame,
     Returns (cell, n_vecs, share, load_factor) ordered by n_vecs
     desc, cell.
     """
+    from pyspark.sql import Window as W
     counts = (ivf_assign(emb, n_cells)
               .groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs")))
-    tot = counts.groupBy().agg(F.sum("n_vecs").alias("_tot"))
-    return (counts.crossJoin(F.broadcast(tot))
+    # total as a window over the n_cells-row counts frame: ONE
+    # evaluation of the assignment scan (a separate agg + crossJoin
+    # re-derived the whole argmax pipeline — measured as 2× scans)
+    tot = F.sum("n_vecs").over(W.partitionBy(F.lit(0)))
+    return (counts.withColumn("_tot", tot)
             .select("cell", "n_vecs",
                     F.round(F.col("n_vecs").cast("double")
                             / F.col("_tot"), 6).alias("share"),

@@ -618,3 +618,75 @@ def streaming_hll_replay(spark: SparkSession, sf_dir: str,
              .groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("exact_distinct")))
     return hll_rollup(spark.table(name), exact)
+
+
+def streaming_bloom_probe_replay(spark: SparkSession, sf_dir: str,
+                                 timeout_s: int = 300) -> DataFrame:
+    """Bloom membership probe executed on the STREAMING engine — the
+    operational form of sketches.bloom_chunk_probe: the standing
+    corpus' filter is STATIC state built batch-side once (set-bit
+    positions as ONE broadcast array column), the delta documents
+    arrive as a stream, and each arriving chunk tests its k bit
+    positions IN-ROW (forall + array_contains) — a pure stateless
+    projection, append mode, no streaming aggregation at all. The
+    per-doc rollup runs batch-side on the memory sink (distinct
+    chunks, then the same counts as the batch operator), so the
+    streamed probe is gated by the bloom_chunk_probe oracle verbatim.
+
+    The exact-membership yardstick column rides along as a broadcast
+    of the corpus chunk-md5 set — affordable at test scale, and
+    deliberately separate in the docstring's 100 TB reading: the BIT
+    array stays broadcastable forever (m bits), the exact key set
+    does not — which is precisely why the filter exists. Stream-
+    static cross-join of 1-row broadcast frames is streaming-legal;
+    the chunking posexplode is stateless.
+    """
+    from pyspark.sql import functions as F
+
+    from ..io import read_table
+    from ..operators.packing import _chunks, CHUNK_TOKENS
+    from ..operators.sketches import (
+        BLOOM_BITS_PER, BLOOM_DELTA_MOD, _bloom_bits)
+
+    name = "stream_bloom_probe_" + uuid.uuid4().hex[:8]
+    corpus_keys = (_chunks(read_table(spark, sf_dir, "documents")
+                           .filter(F.col("doc_id") % BLOOM_DELTA_MOD
+                                   != BLOOM_DELTA_MOD - 1), CHUNK_TOKENS)
+                   .select(F.md5("chunk").alias("cm")).distinct())
+    n = corpus_keys.count()  # O(1) driver state: sizes the filter
+    m = 1 << max(6, (BLOOM_BITS_PER * n - 1).bit_length())
+    state = (corpus_keys
+             .select("cm", F.explode(_bloom_bits(F.col("cm"), m))
+                     .alias("bit"))
+             .groupBy()
+             .agg(F.collect_set("bit").alias("_bits"),
+                  F.collect_set("cm").alias("_ck")))
+    delta = (spark.readStream.schema(schemas.DOCUMENTS)
+             .option("pathGlobFilter", "documents.parquet")
+             .parquet(sf_dir)
+             .filter(F.col("doc_id") % BLOOM_DELTA_MOD
+                     == BLOOM_DELTA_MOD - 1))
+    probes = (_chunks(delta, CHUNK_TOKENS)
+              .select("doc_id", F.md5("chunk").alias("cm"))
+              .crossJoin(F.broadcast(state))
+              .select("doc_id", "cm",
+                      F.forall(
+                          F.array_distinct(_bloom_bits(F.col("cm"), m)),
+                          lambda b: F.array_contains("_bits", b))
+                      .alias("bloom_hit"),
+                      F.array_contains("_ck", F.col("cm"))
+                      .alias("exact_dup")))
+    _run_to_completion(
+        probes.writeStream.format("memory").queryName(name)
+              .outputMode("append").trigger(availableNow=True),
+        name, timeout_s)
+    return (spark.table(name).distinct()
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+                 .cast("long").alias("n_bloom_hit"),
+                 F.sum(F.when(F.col("exact_dup"), 1).otherwise(0))
+                 .cast("long").alias("n_exact_dup"),
+                 F.sum(F.when(F.col("bloom_hit") & ~F.col("exact_dup"), 1)
+                       .otherwise(0)).cast("long").alias("n_false_pos"))
+            .orderBy("doc_id"))

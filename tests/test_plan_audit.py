@@ -504,3 +504,74 @@ def test_cdc_merge_single_key_join(spark):
     assert (plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
             + plan.count("ShuffledHashJoin")) <= 2  # join + AQE replan
     assert "Union" in plan
+
+
+# -- round-5 second batch: sketch tier ---------------------------------
+
+def test_hll_exchanges_are_register_keyed(spark):
+    # the only corpus-wide shuffles key on (event_type[, reg]) — the
+    # sketch's own state key — never on user_id (that would be the
+    # exact-distinct shape the sketch exists to avoid; the yardstick
+    # agg is event_type-keyed too, distinct folded in-aggregate)
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import sketches as SK
+    q = SK.hll_registers(read_table(spark, SF, "events"))
+    hash_ex = [e for e in exchanges(q) if "hashpartitioning" in e]
+    assert hash_ex and all("event_type" in e for e in hash_ex)
+
+
+def test_cms_grid_broadcasts_to_probe(spark):
+    # the 512-row counter grid must reach the top-k probe as a
+    # broadcast; no sort-merge join anywhere in a sketch probe
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import sketches as SK
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = SK.cms_heavy_hitters(read_table(spark, SF, "documents"))
+    assert broadcast_joins(q) >= 1
+    assert "SortMergeJoin" not in physical_plan(q)
+
+
+def test_bloom_bit_table_broadcasts(spark):
+    # the filter (set-bit table) broadcasts to the delta probe — the
+    # whole point of Bloom at 100 TB; corpus never joins the probe
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import sketches as SK
+    q = SK.bloom_chunk_probe(read_table(spark, SF, "documents"))
+    assert broadcast_joins(q) >= 1
+
+
+def test_ams_counter_exchange_is_grid_keyed(spark):
+    # counter build shuffles on the d*w grid key or the join key agg,
+    # and the 5-row median must NOT be a corpus-sized global sort:
+    # every range exchange in the plan is over the d-row frame
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import sketches as SK
+    q = SK.join_size_estimate(read_table(spark, SF, "lineitem"))
+    hash_ex = [e for e in exchanges(q) if "hashpartitioning" in e]
+    assert all("l_partkey" in e or "hr" in e or "bucket" in e
+               for e in hash_ex)
+
+
+def test_winsorized_rank_is_range_partitioned(spark):
+    # the per-source rank must be the distributed prefix form (range
+    # exchange on (source, v)), never a single-task global window
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import text as TX
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = TX.winsorized_stats(read_table(spark, SF, "documents"))
+    assert any("rangepartitioning" in e for e in exchanges(q))
+
+
+def test_ivf_balance_single_assignment_scan(spark):
+    # the report adds NO exchange over the corpus beyond the n_cells
+    # count agg: scan -> argmax map -> groupBy(cell)
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+    from etl_portfolio_tracker_spark.plans import physical_plan
+    q = SIM.ivf_balance_report(read_table(spark, SF, "embeddings"))
+    plan = physical_plan(q)
+    assert plan.count("Scan parquet") <= 2  # corpus + centroid row
+    hash_ex = [e for e in exchanges(q) if "hashpartitioning" in e]
+    # only the cell agg and ivf_assign's own _spread repartition
+    assert all("cell" in e or "REPARTITION_BY_NUM" in e
+               for e in hash_ex)

@@ -248,3 +248,17 @@ def test_ams_exact_on_distinct_keys(spark):
     # median row is robust to a single colliding pair; exactness of
     # the chosen realization is pinned (deterministic hash, fixed data)
     assert r["ams_estimate"] == 30
+
+
+# -- streaming_bloom_probe_replay ---------------------------------------
+
+def test_streaming_bloom_matches_batch(spark, sf_dir):
+    """The streamed in-row probe must roll up to the exact same frame
+    as the batch join formulation (same filter, same oracle)."""
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_bloom_probe_replay)
+    batch = SK.bloom_chunk_probe(
+        read_table(spark, sf_dir, "documents")).collect()
+    stream = streaming_bloom_probe_replay(spark, sf_dir).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
