@@ -1324,6 +1324,10 @@ def _q_streaming_bloom_probe_replay(spark, sf_dir):
     return streaming_bloom_probe_replay(spark, sf_dir)
 
 
+def _q_hll_set_ops(spark, sf_dir):
+    return SK.hll_set_ops(read_table(spark, sf_dir, "events"))
+
+
 def _q_image_phash_pairs(spark, sf_dir):
     return MM.image_phash_pairs(_docs(spark, sf_dir))
 
@@ -1746,9 +1750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FRONT of the dict, followed by the 1e2 sketch-tier batch
     (hll_distinct, cms_heavy_hitters, bloom_chunk_probe,
     winsorized_stats, ivf_balance_report, streaming_hll_replay,
-    join_size_estimate, streaming_bloom_probe_replay) and any
-    round-6-new operators; after that the whole registry carries an
-    external row again.
+    join_size_estimate, streaming_bloom_probe_replay, hll_set_ops)
+    and any round-6-new operators; after that the whole registry
+    carries an external row again.
     """
     return {
         # -- 1a. never externally checked (hash-checkable), highest priority -------------------------------
@@ -1816,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_replay": _q_streaming_hll_replay,
         "join_size_estimate": _q_join_size_estimate,
         "streaming_bloom_probe_replay": _q_streaming_bloom_probe_replay,
+        "hll_set_ops": _q_hll_set_ops,
         # -- 1f. padding re-checks (r4-green; pushed out as 1e grows, window cap = 50) ---------------------
         "kmeans_train": _q_kmeans_train,
         "delta_dedup": _q_delta_dedup,
@@ -6444,6 +6449,77 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS rel_error
             FROM est JOIN ex USING (event_type)
             ORDER BY event_type
+        """,
+        # mirrors sketches.hll_set_ops: register-level max merge per
+        # type pair, same raw estimator, inclusion-exclusion
+        # intersection, exact union/intersection yardsticks
+        "hll_set_ops": f"""
+            WITH h AS (
+                SELECT event_type, user_id,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) AS hv
+                FROM events
+            ), br AS (
+                SELECT event_type, hv % {SK.HLL_M} AS reg,
+                       CAST(floor(hv / {SK.HLL_M}.0) AS BIGINT) AS w
+                FROM h
+            ), regs AS (
+                SELECT event_type, reg,
+                       MAX(CASE WHEN w = 0 THEN {SK.HLL_RHO_MAX}
+                           ELSE {SK.HLL_RHO_MAX} - LENGTH(bin(w)) END) AS r
+                FROM br GROUP BY 1, 2
+            ), tps AS (
+                SELECT DISTINCT event_type FROM regs
+            ), pairs AS (
+                SELECT a.event_type AS ta, b.event_type AS tb
+                FROM tps a JOIN tps b ON a.event_type < b.event_type
+            ), lab AS (
+                SELECT ta, tb, reg, r
+                FROM pairs JOIN regs ON regs.event_type = pairs.ta
+                UNION ALL
+                SELECT ta, tb, reg, r
+                FROM pairs JOIN regs ON regs.event_type = pairs.tb
+            ), merged AS (
+                SELECT ta, tb, reg, MAX(r) AS r FROM lab GROUP BY 1, 2, 3
+            ), uest AS (
+                SELECT ta, tb,
+                       {SK.HLL_ALPHA_M2!r}
+                       / (SUM(power(0.5, r)) + ({SK.HLL_M} - COUNT(*)))
+                       AS eu
+                FROM merged GROUP BY 1, 2
+            ), gest AS (
+                SELECT event_type,
+                       {SK.HLL_ALPHA_M2!r}
+                       / (SUM(power(0.5, r)) + ({SK.HLL_M} - COUNT(*)))
+                       AS e
+                FROM regs GROUP BY 1
+            ), ks AS (
+                SELECT DISTINCT event_type, user_id FROM events
+            ), cnts AS (
+                SELECT event_type, COUNT(*) AS n FROM ks GROUP BY 1
+            ), xi AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                       COUNT(*) AS xinter
+                FROM ks a JOIN ks b ON a.user_id = b.user_id
+                                   AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT u.ta AS type_a, u.tb AS type_b,
+                   ROUND(eu, 6) AS union_est,
+                   ROUND(ga.e + gb.e - eu, 6) AS inter_est,
+                   CAST(na.n + nb.n - COALESCE(xinter, 0) AS BIGINT)
+                       AS exact_union,
+                   CAST(COALESCE(xinter, 0) AS BIGINT) AS exact_inter,
+                   ROUND((eu - (na.n + nb.n - COALESCE(xinter, 0)))
+                         / (na.n + nb.n - COALESCE(xinter, 0)), 6)
+                       AS union_rel_error
+            FROM uest u
+            JOIN gest ga ON ga.event_type = u.ta
+            JOIN gest gb ON gb.event_type = u.tb
+            JOIN cnts na ON na.event_type = u.ta
+            JOIN cnts nb ON nb.event_type = u.tb
+            LEFT JOIN xi ON xi.ta = u.ta AND xi.tb = u.tb
+            ORDER BY 1, 2
         """,
         # mirrors sketches.cms_heavy_hitters: 4×128 counter grid from
         # md5(row ':' token) cells, probe = MIN over the 4 counters

@@ -383,3 +383,100 @@ def join_size_estimate(lineitem: DataFrame, d: int = AMS_D,
                              - F.col("true_selfjoin")).cast("double")
                             / F.col("true_selfjoin"), 6)
                     .alias("rel_error")))
+
+
+# ---------------------------------------------------------------------------
+# HLL set operations (register-level merge)
+# ---------------------------------------------------------------------------
+
+
+def hll_set_ops(events: DataFrame) -> DataFrame:
+    """Distinct-user UNION and INTERSECTION estimates for every pair
+    of event types, from REGISTER-LEVEL sketch merges — the property
+    that makes HLL a cluster-native structure: |A ∪ B| needs no
+    access to the raw keys, only max(reg_A, reg_B) per register,
+    which is the same associative merge executors use to combine
+    partial sketches. Intersection comes by inclusion-exclusion
+    (est_A + est_B − est_union) — the standard HLL recipe, whose
+    error compounds for small overlaps; the exact columns quantify
+    exactly that, which is the point of carrying them.
+
+    Plan: ONE register build (the hll_registers groupBy), then a
+    register-keyed self-join of the per-group sketches — a
+    |groups|²·64-row equi-join on (reg), nothing scales with input
+    rows beyond the shared build. Per-group raw estimates are
+    recomputed from the same register rows (identical arithmetic to
+    hll_distinct). Exact union/intersection yardsticks are two
+    distinct-aggs over the raw pairs (the expensive thing the merge
+    avoids at scale).
+
+    Returns (type_a, type_b, union_est, inter_est, exact_union,
+    exact_inter, union_rel_error) for type_a < type_b, ordered.
+    """
+    regs = hll_registers(events)
+    a = regs.select(F.col("event_type").alias("type_a"),
+                    "reg", F.col("r").alias("ra"))
+    b = regs.select(F.col("event_type").alias("type_b"),
+                    "reg", F.col("r").alias("rb"))
+    # full outer per pair is awkward relationally; instead both sides
+    # carry every register through a union trick: merged max via
+    # groupBy over the concatenation of A-labeled and B-labeled rows
+    pairs = (regs.select(F.col("event_type").alias("type_a")).distinct()
+             .join(regs.select(F.col("event_type").alias("type_b"))
+                   .distinct(),
+                   F.col("type_a") < F.col("type_b")))
+    lab_a = pairs.join(a, "type_a").select(
+        "type_a", "type_b", "reg", F.col("ra").alias("r"))
+    lab_b = pairs.join(b, "type_b").select(
+        "type_a", "type_b", "reg", F.col("rb").alias("r"))
+    merged = (lab_a.unionByName(lab_b)
+              .groupBy("type_a", "type_b", "reg")
+              .agg(F.max("r").alias("r")))
+
+    def _raw(df, keys):
+        est = (df.groupBy(*keys)
+               .agg(F.count(F.lit(1)).alias("_nz"),
+                    F.sum(F.pow(F.lit(0.5), F.col("r"))).alias("_s")))
+        sum_inv = (F.col("_s")
+                   + (F.lit(HLL_M) - F.col("_nz")).cast("double"))
+        return est.select(*keys,
+                          (F.lit(HLL_ALPHA_M2) / sum_inv).alias("_est"))
+
+    u = _raw(merged, ["type_a", "type_b"]).withColumnRenamed("_est", "_eu")
+    ea = _raw(regs, ["event_type"]).select(
+        F.col("event_type").alias("type_a"), F.col("_est").alias("_ea"))
+    eb = _raw(regs, ["event_type"]).select(
+        F.col("event_type").alias("type_b"), F.col("_est").alias("_eb"))
+    # exact yardsticks from the raw key sets
+    ks = events.select("event_type", "user_id").distinct()
+    ka = ks.select(F.col("event_type").alias("type_a"),
+                   F.col("user_id").alias("ua"))
+    kb = ks.select(F.col("event_type").alias("type_b"),
+                   F.col("user_id").alias("ub"))
+    ex_inter = (ka.join(kb, (F.col("ua") == F.col("ub"))
+                        & (F.col("type_a") < F.col("type_b")))
+                .groupBy("type_a", "type_b")
+                .agg(F.count(F.lit(1)).alias("exact_inter")))
+    cnts = ks.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    na = cnts.select(F.col("event_type").alias("type_a"),
+                     F.col("_n").alias("_na"))
+    nb = cnts.select(F.col("event_type").alias("type_b"),
+                     F.col("_n").alias("_nb"))
+    out = (u.join(F.broadcast(ea), "type_a")
+           .join(F.broadcast(eb), "type_b")
+           .join(F.broadcast(ex_inter), ["type_a", "type_b"], "left")
+           .join(F.broadcast(na), "type_a")
+           .join(F.broadcast(nb), "type_b"))
+    exact_union = (F.col("_na") + F.col("_nb")
+                   - F.coalesce(F.col("exact_inter"), F.lit(0)))
+    return (out.select(
+        "type_a", "type_b",
+        F.round(F.col("_eu"), 6).alias("union_est"),
+        F.round(F.col("_ea") + F.col("_eb") - F.col("_eu"), 6)
+        .alias("inter_est"),
+        exact_union.alias("exact_union"),
+        F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long")
+        .alias("exact_inter"),
+        F.round((F.col("_eu") - exact_union) / exact_union, 6)
+        .alias("union_rel_error"))
+        .orderBy("type_a", "type_b"))

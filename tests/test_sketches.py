@@ -262,3 +262,35 @@ def test_streaming_bloom_matches_batch(spark, sf_dir):
         read_table(spark, sf_dir, "documents")).collect()
     stream = streaming_bloom_probe_replay(spark, sf_dir).collect()
     assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+# -- hll_set_ops --------------------------------------------------------
+
+def test_hll_union_equals_combined_group(spark):
+    """Register-max merge must give EXACTLY the estimate of a group
+    that contains the union's keys: type 'c' holds every user of 'a'
+    and 'b', so union_est(a,b) == raw_estimate(c)."""
+    rows = (_ev_rows(12, "a")
+            + [(i + 1000, ts, u + 500, et, v)
+               for (i, ts, u, et, v) in _ev_rows(18, "b")])
+    both = rows + [(i + 5000, ts, u, "c", v) for (i, ts, u, et, v) in rows]
+    ev = events_df(spark, both)
+    u = {(r["type_a"], r["type_b"]): r for r in SK.hll_set_ops(ev).collect()}
+    c = {r["event_type"]: r for r in SK.hll_distinct(ev).collect()}
+    assert u[("a", "b")]["union_est"] == c["c"]["raw_estimate"]
+    assert u[("a", "b")]["exact_union"] == 30
+    assert u[("a", "b")]["exact_inter"] == 0
+
+
+def test_hll_identical_groups_union_is_group(spark):
+    """A ∪ A' where A' duplicates A's users: union estimate equals
+    the single-group estimate and inclusion-exclusion intersection
+    equals it too (est_a + est_b − est_union = est_a)."""
+    rows = _ev_rows(20, "a") + [
+        (i + 9000, ts, u, "b", v) for (i, ts, u, et, v) in _ev_rows(20, "a")]
+    ev = events_df(spark, rows)
+    u = SK.hll_set_ops(ev).collect()[0]
+    g = SK.hll_distinct(ev).collect()[0]
+    assert u["union_est"] == g["raw_estimate"]
+    assert u["inter_est"] == u["union_est"]
+    assert u["exact_inter"] == u["exact_union"] == 20
