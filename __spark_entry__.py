@@ -1328,6 +1328,12 @@ def _q_hll_set_ops(spark, sf_dir):
     return SK.hll_set_ops(read_table(spark, sf_dir, "events"))
 
 
+def _q_streaming_cms_replay(spark, sf_dir):
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_cms_replay)
+    return streaming_cms_replay(spark, sf_dir)
+
+
 def _q_image_phash_pairs(spark, sf_dir):
     return MM.image_phash_pairs(_docs(spark, sf_dir))
 
@@ -1750,8 +1756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FRONT of the dict, followed by the 1e2 sketch-tier batch
     (hll_distinct, cms_heavy_hitters, bloom_chunk_probe,
     winsorized_stats, ivf_balance_report, streaming_hll_replay,
-    join_size_estimate, streaming_bloom_probe_replay, hll_set_ops)
-    and any round-6-new operators; after that the whole registry
+    join_size_estimate, streaming_bloom_probe_replay, hll_set_ops,
+    streaming_cms_replay) and any round-6-new operators; after that the whole registry
     carries an external row again.
     """
     return {
@@ -1821,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": _q_join_size_estimate,
         "streaming_bloom_probe_replay": _q_streaming_bloom_probe_replay,
         "hll_set_ops": _q_hll_set_ops,
+        "streaming_cms_replay": _q_streaming_cms_replay,
         # -- 1f. padding re-checks (r4-green; pushed out as 1e grows, window cap = 50) ---------------------
         "kmeans_train": _q_kmeans_train,
         "delta_dedup": _q_delta_dedup,
@@ -6578,7 +6585,8 @@ def _oracle_sql_base() -> dict[str, str]:
                 WHERE doc_id % {SK.BLOOM_DELTA_MOD} <> {SK.BLOOM_DELTA_MOD - 1}
             ), sz AS (
                 SELECT CAST(power(2, GREATEST(6,
-                           LENGTH(bin({SK.BLOOM_BITS_PER} * COUNT(*) - 1))))
+                           LENGTH(bin(GREATEST(1,
+                               {SK.BLOOM_BITS_PER} * COUNT(*) - 1)))))
                        AS BIGINT) AS m
                 FROM ck
             ), bits AS (
@@ -6732,4 +6740,5 @@ def _oracle_aliases(sql: dict[str, str]) -> dict[str, str]:
     sql["streaming_attribution_replay"] = sql["attribution_last_touch"]
     sql["streaming_hll_replay"] = sql["hll_distinct"]
     sql["streaming_bloom_probe_replay"] = sql["bloom_chunk_probe"]
+    sql["streaming_cms_replay"] = sql["cms_heavy_hitters"]
     return sql

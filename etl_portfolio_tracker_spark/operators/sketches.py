@@ -187,20 +187,40 @@ def cms_heavy_hitters(docs: DataFrame, d: int = CMS_D,
     Returns (token, true_count, cms_estimate, overestimate) ordered
     by true_count desc, token.
     """
-    tok = (docs.select(F.explode(
-        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
-                                 r"\s+", " "), " ")).alias("token"))
-           .filter(F.col("token") != ""))
-    cells = tok.select(
-        "token",
-        F.posexplode(F.array(*[_cms_cell(i, F.col("token"))
-                               for i in range(d)])).alias("hr", "cell"))
-    grid = (cells.groupBy("hr", "cell")
-            .agg(F.count(F.lit(1)).alias("counter")))
+    tok = cms_tokens(docs)
     true = (tok.groupBy("token")
             .agg(F.count(F.lit(1)).alias("true_count"))
             .orderBy(F.desc("true_count"), F.asc("token"))
             .limit(topk))
+    return cms_probe(cms_grid(tok, d), true, d)
+
+
+def cms_tokens(docs: DataFrame) -> DataFrame:
+    """Normalized whitespace token stream (empty tokens dropped)."""
+    return (docs.select(F.explode(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                 r"\s+", " "), " ")).alias("token"))
+            .filter(F.col("token") != ""))
+
+
+def cms_grid(tok: DataFrame, d: int = CMS_D) -> DataFrame:
+    """The sketch itself: (hr, cell, counter) — d·w rows of state.
+    Works unchanged on a STREAMING token frame (groupBy-count is a
+    supported streaming aggregation; the state store IS the grid),
+    which is what streaming_cms_replay runs."""
+    cells = tok.select(
+        "token",
+        F.posexplode(F.array(*[_cms_cell(i, F.col("token"))
+                               for i in range(d)])).alias("hr", "cell"))
+    return (cells.groupBy("hr", "cell")
+            .agg(F.count(F.lit(1)).alias("counter")))
+
+
+def cms_probe(grid: DataFrame, true: DataFrame,
+              d: int = CMS_D) -> DataFrame:
+    """Probe the grid at `true`'s (token, true_count) rows: estimate
+    = MIN over the d counters; shared by the batch and streaming
+    forms so both emit the identical frame."""
     probe = true.select(
         "token", "true_count",
         F.posexplode(F.array(*[_cms_cell(i, F.col("token"))
@@ -267,7 +287,11 @@ def bloom_chunk_probe(docs: DataFrame) -> DataFrame:
     corpus_keys = (ch.filter(F.col("doc_id") % BLOOM_DELTA_MOD != BLOOM_DELTA_MOD - 1)
                    .select("cm").distinct())
     n = corpus_keys.count()  # O(1) driver state: sizes the filter
-    m = 1 << max(6, (BLOOM_BITS_PER * n - 1).bit_length())
+    # max(1, ·) before bit_length: a degenerate EMPTY corpus would
+    # otherwise feed -1, whose bit_length diverges between Python (1)
+    # and a two's-complement SQL bin() (64) — the oracle mirrors the
+    # same GREATEST(1, ·) guard
+    m = 1 << max(6, max(1, BLOOM_BITS_PER * n - 1).bit_length())
     bits = (corpus_keys
             .select(F.explode(_bloom_bits(F.col("cm"), m)).alias("bit"))
             .distinct())

@@ -654,7 +654,7 @@ def streaming_bloom_probe_replay(spark: SparkSession, sf_dir: str,
                                    != BLOOM_DELTA_MOD - 1), CHUNK_TOKENS)
                    .select(F.md5("chunk").alias("cm")).distinct())
     n = corpus_keys.count()  # O(1) driver state: sizes the filter
-    m = 1 << max(6, (BLOOM_BITS_PER * n - 1).bit_length())
+    m = 1 << max(6, max(1, BLOOM_BITS_PER * n - 1).bit_length())
     state = (corpus_keys
              .select("cm", F.explode(_bloom_bits(F.col("cm"), m))
                      .alias("bit"))
@@ -690,3 +690,41 @@ def streaming_bloom_probe_replay(spark: SparkSession, sf_dir: str,
                  F.sum(F.when(F.col("bloom_hit") & ~F.col("exact_dup"), 1)
                        .otherwise(0)).cast("long").alias("n_false_pos"))
             .orderBy("doc_id"))
+
+
+def streaming_cms_replay(spark: SparkSession, sf_dir: str,
+                         timeout_s: int = 300) -> DataFrame:
+    """Count-min heavy hitters with the COUNTER GRID built on the
+    streaming engine: `sketches.cms_grid` over the streamed token
+    explode is a plain groupBy(hr, cell).count() — a supported
+    streaming aggregation whose state store is the d·w grid,
+    counter-wise summed across micro-batches (complete mode re-emits
+    the grid). The memory-sink grid then feeds the SAME
+    `sketches.cms_probe` as the batch operator, with the true top-k
+    yardstick computed from a batch read — so the streamed sketch is
+    gated by the cms_heavy_hitters oracle verbatim. This completes
+    the streaming-twin set for the sketch tier: HLL (register max
+    state), CMS (counter sum state), Bloom (stateless broadcast
+    probe) — the three mergeable-state shapes a continuous-ingest
+    pipeline runs."""
+    from pyspark.sql import functions as F
+
+    from ..io import read_table
+    from ..operators.sketches import (
+        CMS_TOPK, cms_grid, cms_probe, cms_tokens)
+
+    name = "stream_cms_replay_" + uuid.uuid4().hex[:8]
+    docs = (spark.readStream.schema(schemas.DOCUMENTS)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+    grid = cms_grid(cms_tokens(docs))
+    _run_to_completion(
+        grid.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True),
+        name, timeout_s)
+    true = (cms_tokens(read_table(spark, sf_dir, "documents"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("true_count"))
+            .orderBy(F.desc("true_count"), F.asc("token"))
+            .limit(CMS_TOPK))
+    return cms_probe(spark.table(name), true)

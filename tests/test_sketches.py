@@ -294,3 +294,17 @@ def test_hll_identical_groups_union_is_group(spark):
     assert u["union_est"] == g["raw_estimate"]
     assert u["inter_est"] == u["union_est"]
     assert u["exact_inter"] == u["exact_union"] == 20
+
+
+# -- streaming_cms_replay ------------------------------------------------
+
+def test_streaming_cms_matches_batch(spark, sf_dir):
+    """The streamed counter grid must probe to the exact same frame
+    as the batch operator (shared probe, shared oracle)."""
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_cms_replay)
+    batch = SK.cms_heavy_hitters(
+        read_table(spark, sf_dir, "documents")).collect()
+    stream = streaming_cms_replay(spark, sf_dir).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]

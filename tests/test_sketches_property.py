@@ -112,3 +112,30 @@ def test_ams_matches_pure_python(spark, keys):
         ests.append(sum(v * v for v in counters.values()))
     ests.sort()
     assert r["ams_estimate"] == ests[SK.AMS_D // 2]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=5000),
+                min_size=1, max_size=40))
+def test_winsorized_matches_pure_python(spark, lengths):
+    """Order statistics, winsorized and trimmed means equal an
+    independent Python computation for arbitrary length multisets
+    (single source, so ranks are global)."""
+    from etl_portfolio_tracker_spark.operators import text as TX
+    docs = spark.createDataFrame(
+        [(i, "x" * n, "en", "s", n) for i, n in enumerate(lengths)],
+        schema=schemas.DOCUMENTS)
+    r = TX.winsorized_stats(docs).collect()[0]
+    v = sorted(lengths)          # ties: doc_id tiebreak never changes
+    n = len(v)                   # the VALUE at a rank
+    lo = (n * 10 + 99) // 100
+    hi = (n * 90 + 99) // 100
+    p10, p90 = v[lo - 1], v[hi - 1]
+    assert (r["n_docs"], r["p10_chars"], r["p90_chars"]) == (n, p10, p90)
+    assert r["mean_chars"] == round(sum(v) / n, 6)
+    wsum = lo * p10 + sum(v[lo:hi]) + (n - hi) * p90
+    assert r["winsorized_mean"] == round(wsum / n, 6)
+    if hi > lo:
+        assert r["trimmed_mean"] == round(sum(v[lo:hi]) / (hi - lo), 6)
+    else:
+        assert r["trimmed_mean"] is None
