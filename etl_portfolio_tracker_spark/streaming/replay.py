@@ -624,22 +624,22 @@ def streaming_bloom_probe_replay(spark: SparkSession, sf_dir: str,
                                  timeout_s: int = 300) -> DataFrame:
     """Bloom membership probe executed on the STREAMING engine — the
     operational form of sketches.bloom_chunk_probe: the standing
-    corpus' filter is STATIC state built batch-side once (set-bit
-    positions as ONE broadcast array column), the delta documents
-    arrive as a stream, and each arriving chunk tests its k bit
-    positions IN-ROW (forall + array_contains) — a pure stateless
-    projection, append mode, no streaming aggregation at all. The
-    per-doc rollup runs batch-side on the memory sink (distinct
-    chunks, then the same counts as the batch operator), so the
-    streamed probe is gated by the bloom_chunk_probe oracle verbatim.
+    corpus' filter is STATIC state built batch-side once, packed as a
+    REAL bitmap (an array of m/64 64-bit words — one bit_or-aggregated
+    broadcast row), the delta documents arrive as a stream, and each
+    arriving chunk tests its k bit positions IN-ROW with O(1) word
+    shift/AND per position (element_at + shiftright + bitwiseAND) — a
+    pure stateless projection, append mode, no streaming aggregation
+    at all. The first cut kept the filter as a set-bit ARRAY and
+    probed with array_contains: O(|set bits|) per position ≈ 1.2e9
+    comparisons at sf0.1, measured 8.8 s; the packed form is the
+    data structure Bloom actually specified, and is sub-second.
 
-    The exact-membership yardstick column rides along as a broadcast
-    of the corpus chunk-md5 set — affordable at test scale, and
-    deliberately separate in the docstring's 100 TB reading: the BIT
-    array stays broadcastable forever (m bits), the exact key set
-    does not — which is precisely why the filter exists. Stream-
-    static cross-join of 1-row broadcast frames is streaming-legal;
-    the chunking posexplode is stateless.
+    The per-doc rollup runs batch-side on the memory sink (distinct
+    chunks, exact-membership yardstick joined there from the corpus
+    key set — the exact set never ships to the stream, only the m-bit
+    filter does, which is precisely the 100 TB point), so the
+    streamed probe is gated by the bloom_chunk_probe oracle verbatim.
     """
     from pyspark.sql import functions as F
 
@@ -648,19 +648,37 @@ def streaming_bloom_probe_replay(spark: SparkSession, sf_dir: str,
     from ..operators.sketches import (
         BLOOM_BITS_PER, BLOOM_DELTA_MOD, _bloom_bits)
 
+    from ..functions.checkpoints import iter_checkpoint
+
     name = "stream_bloom_probe_" + uuid.uuid4().hex[:8]
-    corpus_keys = (_chunks(read_table(spark, sf_dir, "documents")
-                           .filter(F.col("doc_id") % BLOOM_DELTA_MOD
-                                   != BLOOM_DELTA_MOD - 1), CHUNK_TOKENS)
-                   .select(F.md5("chunk").alias("cm")).distinct())
+    # checkpoint barrier: the corpus key set feeds THREE consumers
+    # (the sizing count, the bitmap build, the exact-yardstick join)
+    # — without it each one re-runs the corpus chunk explode
+    corpus_keys = iter_checkpoint(
+        _chunks(read_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") % BLOOM_DELTA_MOD
+                        != BLOOM_DELTA_MOD - 1), CHUNK_TOKENS)
+        .select(F.md5("chunk").alias("cm")).distinct())
     n = corpus_keys.count()  # O(1) driver state: sizes the filter
     m = 1 << max(6, max(1, BLOOM_BITS_PER * n - 1).bit_length())
-    state = (corpus_keys
-             .select("cm", F.explode(_bloom_bits(F.col("cm"), m))
-                     .alias("bit"))
-             .groupBy()
-             .agg(F.collect_set("bit").alias("_bits"),
-                  F.collect_set("cm").alias("_ck")))
+    nwords = m // 64
+    # packed bitmap: word w = OR of (1 << bit%64) over set bits with
+    # bit//64 == w; missing words are zero. ONE dense array column.
+    words = (corpus_keys
+             .select(F.explode(_bloom_bits(F.col("cm"), m)).alias("bit"))
+             .select(F.floor(F.col("bit") / 64).cast("int").alias("w"),
+                     F.expr("shiftleft(1L, CAST(bit % 64 AS INT))")
+                     .alias("v"))
+             .groupBy("w").agg(F.bit_or("v").alias("v")))
+    bitmap = (words
+              .groupBy()
+              .agg(F.map_from_entries(F.collect_list(F.struct("w", "v")))
+                   .alias("_wm"))
+              .select(F.transform(
+                  F.sequence(F.lit(0), F.lit(nwords - 1)),
+                  lambda i: F.coalesce(
+                      F.element_at("_wm", i.cast("int")), F.lit(0)))
+                  .alias("_bm")))
     delta = (spark.readStream.schema(schemas.DOCUMENTS)
              .option("pathGlobFilter", "documents.parquet")
              .parquet(sf_dir)
@@ -668,20 +686,25 @@ def streaming_bloom_probe_replay(spark: SparkSession, sf_dir: str,
                      == BLOOM_DELTA_MOD - 1))
     probes = (_chunks(delta, CHUNK_TOKENS)
               .select("doc_id", F.md5("chunk").alias("cm"))
-              .crossJoin(F.broadcast(state))
+              .crossJoin(F.broadcast(bitmap))
+              .withColumn("_pb", _bloom_bits(F.col("cm"), m))
               .select("doc_id", "cm",
-                      F.forall(
-                          F.array_distinct(_bloom_bits(F.col("cm"), m)),
-                          lambda b: F.array_contains("_bits", b))
-                      .alias("bloom_hit"),
-                      F.array_contains("_ck", F.col("cm"))
-                      .alias("exact_dup")))
+                      F.expr(
+                          "forall(_pb, b ->"
+                          " (element_at(_bm, CAST(b div 64 AS INT) + 1)"
+                          " & shiftleft(1L, CAST(b % 64 AS INT))) != 0L)")
+                      .alias("bloom_hit")))
     _run_to_completion(
         probes.writeStream.format("memory").queryName(name)
               .outputMode("append").trigger(availableNow=True),
         name, timeout_s)
-    return (spark.table(name).distinct()
-            .groupBy("doc_id")
+    ex = corpus_keys.select("cm", F.lit(True).alias("_ex"))
+    flagged = (spark.table(name).distinct()
+               .join(F.broadcast(ex), "cm", "left")
+               .select("doc_id", "bloom_hit",
+                       F.coalesce(F.col("_ex"), F.lit(False))
+                       .alias("exact_dup")))
+    return (flagged.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_chunks"),
                  F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
                  .cast("long").alias("n_bloom_hit"),
