@@ -1334,6 +1334,10 @@ def _q_streaming_cms_replay(spark, sf_dir):
     return streaming_cms_replay(spark, sf_dir)
 
 
+def _q_histogram_quantiles(spark, sf_dir):
+    return SK.histogram_quantiles(read_table(spark, sf_dir, "lineitem"))
+
+
 def _q_image_phash_pairs(spark, sf_dir):
     return MM.image_phash_pairs(_docs(spark, sf_dir))
 
@@ -1757,7 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (hll_distinct, cms_heavy_hitters, bloom_chunk_probe,
     winsorized_stats, ivf_balance_report, streaming_hll_replay,
     join_size_estimate, streaming_bloom_probe_replay, hll_set_ops,
-    streaming_cms_replay) and any round-6-new operators; after that the whole registry
+    streaming_cms_replay, histogram_quantiles) and any round-6-new
+    operators; after that the whole registry
     carries an external row again.
     """
     return {
@@ -1828,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bloom_probe_replay": _q_streaming_bloom_probe_replay,
         "hll_set_ops": _q_hll_set_ops,
         "streaming_cms_replay": _q_streaming_cms_replay,
+        "histogram_quantiles": _q_histogram_quantiles,
         # -- 1f. padding re-checks (r4-green; pushed out as 1e grows, window cap = 50) ---------------------
         "kmeans_train": _q_kmeans_train,
         "delta_dedup": _q_delta_dedup,
@@ -6664,6 +6670,55 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(CAST(ams_estimate - true_selfjoin AS DOUBLE)
                          / true_selfjoin, 6) AS rel_error
             FROM tru, med
+        """,
+        # mirrors sketches.histogram_quantiles: min/max pass, 64
+        # fixed-boundary buckets, first-bucket-reaching-rank linear
+        # interpolation (same IEEE op order), ranged-rank yardstick
+        "histogram_quantiles": f"""
+            WITH mm AS (
+                SELECT MIN(l_extendedprice) AS lo,
+                       MAX(l_extendedprice) AS hi,
+                       COUNT(*) AS n
+                FROM lineitem
+            ), hist AS (
+                SELECT CASE WHEN hi = lo THEN 0
+                       ELSE CAST(LEAST(FLOOR((l_extendedprice - lo)
+                                 / ((hi - lo) / {SK.HIST_BUCKETS})),
+                                 {SK.HIST_BUCKETS - 1}) AS INT) END AS b,
+                       COUNT(*) AS cnt
+                FROM lineitem, mm GROUP BY 1
+            ), hcum AS (
+                SELECT b, cnt,
+                       SUM(cnt) OVER (ORDER BY b
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM hist
+            ), targets AS (
+                SELECT q, lo, hi, n,
+                       (n * q + 99) // 100 AS target_rank
+                FROM mm, UNNEST([{', '.join(map(str, SK.HIST_QS))}]) AS u(q)
+            ), firstb AS (
+                SELECT q, target_rank, lo, hi, b, cnt, cum
+                FROM (SELECT t.*, h.b, h.cnt, h.cum,
+                             ROW_NUMBER() OVER (PARTITION BY q
+                                                ORDER BY b) AS rk
+                      FROM targets t JOIN hcum h ON h.cum >= t.target_rank)
+                WHERE rk = 1
+            ), rnk AS (
+                SELECT l_extendedprice AS exact_value,
+                       ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+                FROM lineitem
+            )
+            SELECT f.q, CAST(f.target_rank AS BIGINT) AS target_rank,
+                   ROUND(lo + ((hi - lo) / {SK.HIST_BUCKETS})
+                         * (b + (target_rank - (cum - cnt))
+                            / CAST(cnt AS DOUBLE)), 6) AS est_value,
+                   r.exact_value,
+                   ROUND(ABS(lo + ((hi - lo) / {SK.HIST_BUCKETS})
+                         * (b + (target_rank - (cum - cnt))
+                            / CAST(cnt AS DOUBLE)) - r.exact_value), 6)
+                       AS abs_error
+            FROM firstb f JOIN rnk r ON r.rn = f.target_rank
+            ORDER BY f.q
         """,
         # mirrors text.winsorized_stats: integer-rank order statistics
         # (rank over n_chars ASC, doc_id ASC), closed-form winsorized

@@ -504,3 +504,93 @@ def hll_set_ops(events: DataFrame) -> DataFrame:
         F.round((F.col("_eu") - exact_union) / exact_union, 6)
         .alias("union_rel_error"))
         .orderBy("type_a", "type_b"))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-boundary histogram quantiles (two-pass mergeable estimate)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 64
+HIST_QS = (25, 50, 75, 90)
+
+
+def histogram_quantiles(lineitem: DataFrame,
+                        n_buckets: int = HIST_BUCKETS) -> DataFrame:
+    """Quantiles of l_extendedprice estimated from a fixed-boundary
+    histogram — the two-pass distributed quantile pattern that closes
+    the approximate tier (cardinality / frequency / membership / join
+    size / QUANTILES): pass 1 is an O(1)-state min/max, pass 2 a
+    B-bucket count histogram whose fixed boundaries make it MERGEABLE
+    (bucket-wise sum — executors combine partials exactly like the
+    other sketches; a t-digest/KLL would estimate better per byte but
+    its merge is order-dependent and therefore not bit-portable).
+    The estimate for rank t is linear interpolation inside the first
+    bucket whose cumulative count reaches t.
+
+    Determinism: bucket width and index are IEEE double ops evaluated
+    in the same order on both engines ((v−min)/w, floor, clamp to
+    B−1); the interpolation is lo + w·(b + (t−cum_before)/cnt) with
+    one division — no accumulation anywhere (counts are integers).
+    Target ranks are integer ceil(q·n/100). The exact order-statistic
+    yardstick comes from the skew-safe distributed prefix rank
+    (`packing.ranged_cumsum`, no global single-task window), which at
+    real scale is the expensive thing the histogram replaces.
+
+    Returns (q, target_rank, est_value, exact_value, abs_error)
+    ordered by q.
+    """
+    from pyspark.sql import Window as W
+    from ..functions.checkpoints import iter_checkpoint
+    from .packing import ranged_cumsum
+    v = F.col("l_extendedprice").cast("double")
+    base = lineitem.select(v.alias("v"), F.lit(1).cast("long").alias("_one"))
+    # checkpoint barriers: mm (1 row) feeds the histogram AND the
+    # rank targets; est (|qs| rows) feeds the output AND the exact
+    # yardstick join — without them every consumer re-scans lineitem
+    # through the full lineage (measured 3.3 s → ~1.3 s at sf0.1)
+    mm = iter_checkpoint(
+        base.groupBy().agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"),
+                           F.count(F.lit(1)).alias("_n")))
+    w_ = (F.col("_hi") - F.col("_lo")) / n_buckets
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(F.floor((F.col("v") - F.col("_lo")) / w_),
+                F.lit(n_buckets - 1))).cast("int")
+    hist = (base.crossJoin(F.broadcast(mm))
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    cum = F.sum("cnt").over(
+        W.partitionBy(F.lit(0)).orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow))
+    hcum = hist.select("b", "cnt", cum.alias("_cum"))
+    qframe = lineitem.sparkSession.createDataFrame(
+        [(q,) for q in HIST_QS], "q int")
+    targets = (mm.select("_lo", "_hi", "_n")
+               .crossJoin(F.broadcast(qframe))
+               .select("q", "_lo", "_hi", "_n",
+                       F.expr("CAST((_n * q + 99) div 100 AS BIGINT)")
+                       .alias("target_rank")))
+    # first bucket whose cumulative count reaches the target rank
+    est = iter_checkpoint(
+        targets.join(F.broadcast(hcum),
+                     F.col("_cum") >= F.col("target_rank"))
+        .withColumn("_rk", F.row_number().over(
+            W.partitionBy("q").orderBy("b")))
+        .filter(F.col("_rk") == 1)
+        .select("q", "target_rank", "_lo", "_hi", "b", "cnt", "_cum"))
+    w2 = (F.col("_hi") - F.col("_lo")) / n_buckets
+    frac = (F.col("target_rank") - (F.col("_cum") - F.col("cnt"))) / F.col("cnt")
+    est_v = F.col("_lo") + w2 * (F.col("b") + frac)
+    # exact yardstick: distributed prefix rank, value at target_rank
+    rnk = ranged_cumsum(base, "_one", [F.asc("v")])
+    exact = (rnk.select(F.col("v").alias("exact_value"),
+                        F.col("_cum").cast("long").alias("_rn"))
+             .join(F.broadcast(est.select("q", F.col("target_rank")
+                                          .alias("_rn"))), "_rn")
+             .select("q", "exact_value"))
+    return (est.join(exact, "q")
+            .select("q", "target_rank",
+                    F.round(est_v, 6).alias("est_value"),
+                    "exact_value",
+                    F.round(F.abs(est_v - F.col("exact_value")), 6)
+                    .alias("abs_error"))
+            .orderBy("q"))

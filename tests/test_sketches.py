@@ -308,3 +308,64 @@ def test_streaming_cms_matches_batch(spark, sf_dir):
         read_table(spark, sf_dir, "documents")).collect()
     stream = streaming_cms_replay(spark, sf_dir).collect()
     assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+# -- histogram_quantiles -------------------------------------------------
+
+def _li(spark, vals):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)],
+        "l_orderkey long, l_extendedprice double")
+
+
+def test_histogram_quantiles_exact_columns(spark):
+    """Target ranks and exact order statistics are integer-exact; the
+    estimate sits inside the bucket that contains the true value."""
+    vals = list(range(1, 101))  # 1..100
+    rows = {r["q"]: r for r in
+            SK.histogram_quantiles(_li(spark, vals)).collect()}
+    assert set(rows) == set(SK.HIST_QS)
+    for q, r in rows.items():
+        assert r["target_rank"] == (100 * q + 99) // 100
+        assert r["exact_value"] == float(r["target_rank"])
+        # 64 buckets over [1,100]: width ~1.55 → estimate within one
+        # bucket of the exact value
+        assert abs(r["est_value"] - r["exact_value"]) <= (99 / 64) + 1e-9
+
+
+def test_histogram_quantiles_matches_python(spark):
+    """Estimate equals an independent Python implementation of the
+    same fixed-boundary interpolation."""
+    vals = [3.5, 7.25, 7.25, 10.0, 55.125, 90.0, 91.5, 100.0]
+    rows = {r["q"]: r for r in
+            SK.histogram_quantiles(_li(spark, vals)).collect()}
+    lo, hi, n = min(vals), max(vals), len(vals)
+    w = (hi - lo) / SK.HIST_BUCKETS
+    import collections
+    cnts = collections.Counter(
+        min(int((v - lo) / w), SK.HIST_BUCKETS - 1) for v in vals)
+    for q in SK.HIST_QS:
+        t = (n * q + 99) // 100
+        cum = 0
+        for b in sorted(cnts):
+            if cum + cnts[b] >= t:
+                est = lo + w * (b + (t - cum) / cnts[b])
+                break
+            cum += cnts[b]
+        r = rows[q]
+        # Spark/DuckDB ROUND are half-away-from-zero; Python round()
+        # is banker's — emulate the engines' mode for the reference
+        from decimal import Decimal, ROUND_HALF_UP
+        expect = float(Decimal(repr(est)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+        assert r["est_value"] == expect
+        assert r["exact_value"] == sorted(vals)[t - 1]
+
+
+def test_histogram_quantiles_constant_column(spark):
+    """All-equal values: every estimate collapses into bucket 0 and
+    the exact value; no division blow-up."""
+    rows = SK.histogram_quantiles(_li(spark, [42.0] * 10)).collect()
+    for r in rows:
+        assert r["exact_value"] == 42.0
+        assert abs(r["est_value"] - 42.0) < 1e-9
