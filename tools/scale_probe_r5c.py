@@ -26,7 +26,7 @@ from etl_portfolio_tracker_spark.operators import sketches as SK  # noqa: E402
 from etl_portfolio_tracker_spark.operators import text as TX  # noqa: E402
 from etl_portfolio_tracker_spark.session import get_spark  # noqa: E402
 
-from scale_probe import bench, docs_10x, emb_10x  # noqa: E402
+from scale_probe import bench, docs_10x, emb_10x, fact_10x  # noqa: E402
 
 
 def events_10x(ev):
@@ -63,6 +63,14 @@ def main() -> None:
     bench("winsorized_stats 10x", lambda: TX.winsorized_stats(docs10))
     bench("ivf_balance_report 1x", lambda: SIM.ivf_balance_report(emb1))
     bench("ivf_balance_report 10x", lambda: SIM.ivf_balance_report(emb10))
+    bench("hll_set_ops 1x", lambda: SK.hll_set_ops(ev1))
+    bench("hll_set_ops 10x", lambda: SK.hll_set_ops(ev10))
+    li1 = read_table(spark, sf, "lineitem")
+    li10 = fact_10x(li1, "l_orderkey").localCheckpoint(eager=True)
+    bench("join_size_estimate 1x", lambda: SK.join_size_estimate(li1))
+    bench("join_size_estimate 10x", lambda: SK.join_size_estimate(li10))
+    bench("histogram_quantiles 1x", lambda: SK.histogram_quantiles(li1))
+    bench("histogram_quantiles 10x", lambda: SK.histogram_quantiles(li10))
 
 
 if __name__ == "__main__":
