@@ -130,16 +130,27 @@ def hll_registers(events: DataFrame) -> DataFrame:
             .agg(F.max("rho").alias("r")))
 
 
+def _hll_raw(regs: DataFrame, keys: list) -> DataFrame:
+    """The ONE definition of the raw estimator: registers grouped by
+    `keys` → (*keys, _nz, _est). Both hll_rollup and hll_set_ops
+    derive their estimates here, so the arithmetic that must stay
+    bit-identical to the shared DuckDB oracle has a single site."""
+    est = (regs.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("_nz"),
+                F.sum(F.pow(F.lit(0.5), F.col("r"))).alias("_s")))
+    # empty registers: rho = 0 → 2^0 = 1 each
+    sum_inv = (F.col("_s")
+               + (F.lit(HLL_M) - F.col("_nz")).cast("double"))
+    return est.select(*keys, "_nz",
+                      (F.lit(HLL_ALPHA_M2) / sum_inv).alias("_est"))
+
+
 def hll_rollup(regs: DataFrame, exact: DataFrame) -> DataFrame:
     """Registers → estimate frame; `exact` supplies the per-group
     (event_type, exact_distinct) yardstick column."""
-    est = (regs.groupBy("event_type")
-           .agg(F.count(F.lit(1)).alias("_nz"),
-                F.sum(F.pow(F.lit(0.5), F.col("r"))).alias("_s")))
+    est = _hll_raw(regs, ["event_type"])
     v_zero = (F.lit(HLL_M) - F.col("_nz")).cast("long")
-    # empty registers: rho = 0 → 2^0 = 1 each
-    sum_inv = F.col("_s") + v_zero.cast("double")
-    raw = F.lit(HLL_ALPHA_M2) / sum_inv
+    raw = F.col("_est")
     return (est.join(exact, "event_type")
             .select("event_type",
                     F.lit(HLL_M).cast("int").alias("m"),
@@ -243,6 +254,17 @@ BLOOM_BITS_PER = 16   # target bits per corpus key (→ fp ≈ 0.14% at k=5)
 BLOOM_DELTA_MOD = 5   # doc_id % 5 == 4 → delta, else corpus
 
 
+def _bloom_m(n: int) -> int:
+    """Filter size for n corpus keys: smallest power of two ≥ 16·n
+    (floor 64). max(1, ·) before bit_length: a degenerate EMPTY
+    corpus would otherwise feed -1, whose bit_length diverges between
+    Python (1) and a two's-complement SQL bin() (64) — the oracle
+    mirrors the same GREATEST(1, ·) guard. ONE definition shared by
+    the batch probe and the streaming twin, so the sizing rule cannot
+    drift between the two forms gated by the same oracle."""
+    return 1 << max(6, max(1, BLOOM_BITS_PER * n - 1).bit_length())
+
+
 def _bloom_bits(key_col, m: int):
     """Array of the k bit positions for a chunk-md5 key."""
     return F.array(*[
@@ -287,11 +309,7 @@ def bloom_chunk_probe(docs: DataFrame) -> DataFrame:
     corpus_keys = (ch.filter(F.col("doc_id") % BLOOM_DELTA_MOD != BLOOM_DELTA_MOD - 1)
                    .select("cm").distinct())
     n = corpus_keys.count()  # O(1) driver state: sizes the filter
-    # max(1, ·) before bit_length: a degenerate EMPTY corpus would
-    # otherwise feed -1, whose bit_length diverges between Python (1)
-    # and a two's-complement SQL bin() (64) — the oracle mirrors the
-    # same GREATEST(1, ·) guard
-    m = 1 << max(6, max(1, BLOOM_BITS_PER * n - 1).bit_length())
+    m = _bloom_m(n)
     bits = (corpus_keys
             .select(F.explode(_bloom_bits(F.col("cm"), m)).alias("bit"))
             .distinct())
@@ -437,7 +455,11 @@ def hll_set_ops(events: DataFrame) -> DataFrame:
     Returns (type_a, type_b, union_est, inter_est, exact_union,
     exact_inter, union_rel_error) for type_a < type_b, ordered.
     """
-    regs = hll_registers(events)
+    from ..functions.checkpoints import iter_checkpoint
+    # checkpoint barrier: six consumer subtrees (both pair sides,
+    # both labelings, both per-group estimates) would otherwise each
+    # re-derive the full register build over events
+    regs = iter_checkpoint(hll_registers(events))
     a = regs.select(F.col("event_type").alias("type_a"),
                     "reg", F.col("r").alias("ra"))
     b = regs.select(F.col("event_type").alias("type_b"),
@@ -457,20 +479,14 @@ def hll_set_ops(events: DataFrame) -> DataFrame:
               .groupBy("type_a", "type_b", "reg")
               .agg(F.max("r").alias("r")))
 
-    def _raw(df, keys):
-        est = (df.groupBy(*keys)
-               .agg(F.count(F.lit(1)).alias("_nz"),
-                    F.sum(F.pow(F.lit(0.5), F.col("r"))).alias("_s")))
-        sum_inv = (F.col("_s")
-                   + (F.lit(HLL_M) - F.col("_nz")).cast("double"))
-        return est.select(*keys,
-                          (F.lit(HLL_ALPHA_M2) / sum_inv).alias("_est"))
-
-    u = _raw(merged, ["type_a", "type_b"]).withColumnRenamed("_est", "_eu")
-    ea = _raw(regs, ["event_type"]).select(
-        F.col("event_type").alias("type_a"), F.col("_est").alias("_ea"))
-    eb = _raw(regs, ["event_type"]).select(
-        F.col("event_type").alias("type_b"), F.col("_est").alias("_eb"))
+    u = (_hll_raw(merged, ["type_a", "type_b"])
+         .select("type_a", "type_b", F.col("_est").alias("_eu")))
+    # one per-group estimate frame, consumed under both pair roles
+    eg = _hll_raw(regs, ["event_type"])
+    ea = eg.select(F.col("event_type").alias("type_a"),
+                   F.col("_est").alias("_ea"))
+    eb = eg.select(F.col("event_type").alias("type_b"),
+                   F.col("_est").alias("_eb"))
     # exact yardsticks from the raw key sets
     ks = events.select("event_type", "user_id").distinct()
     ka = ks.select(F.col("event_type").alias("type_a"),

@@ -646,7 +646,7 @@ def streaming_bloom_probe_replay(spark: SparkSession, sf_dir: str,
     from ..io import read_table
     from ..operators.packing import _chunks, CHUNK_TOKENS
     from ..operators.sketches import (
-        BLOOM_BITS_PER, BLOOM_DELTA_MOD, _bloom_bits)
+        BLOOM_DELTA_MOD, _bloom_bits, _bloom_m)
 
     from ..functions.checkpoints import iter_checkpoint
 
@@ -660,7 +660,7 @@ def streaming_bloom_probe_replay(spark: SparkSession, sf_dir: str,
                         != BLOOM_DELTA_MOD - 1), CHUNK_TOKENS)
         .select(F.md5("chunk").alias("cm")).distinct())
     n = corpus_keys.count()  # O(1) driver state: sizes the filter
-    m = 1 << max(6, max(1, BLOOM_BITS_PER * n - 1).bit_length())
+    m = _bloom_m(n)
     nwords = m // 64
     # packed bitmap: word w = OR of (1 << bit%64) over set bits with
     # bit//64 == w; missing words are zero. ONE dense array column.
