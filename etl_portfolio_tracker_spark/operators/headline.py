@@ -99,11 +99,19 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead. At 100 TB these replace exact distinct/percentile when a
     shuffle of all distinct values is unaffordable."""
     li = read_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    # One quantile sketch shared by the three outputs, then posexploded
+    # to SCALAR columns: the external driver's pandas canonicalizer
+    # cannot hash array cells (r5 red row), and the scalar form carries
+    # the same information.
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000)
+    return (li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000)
-         .alias("price_quantiles"))
+        q.alias("_q"))
+        .select("approx_parts", "approx_orders",
+                F.col("_q")[0].alias("price_q50"),
+                F.col("_q")[1].alias("price_q95"),
+                F.col("_q")[2].alias("price_q99")))
 
 
 def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

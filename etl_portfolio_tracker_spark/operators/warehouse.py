@@ -375,31 +375,44 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str,
 def customer_spend_percentile(spark: SparkSession, sf_dir: str,
                               k: int = 25) -> DataFrame:
     """Distribution-rank window family: percent_rank + cume_dist of
-    per-customer total spend (top-k emitted). One fact aggregation,
-    one global-order window over the |customers| aggregate — the
-    window input is key-cardinality-sized, not fact-sized; at 100 TB
-    per-customer totals are ~millions of rows, where a single-ordered
-    window is still the wrong shape — the scale path is the two-pass
-    range-partitioned rank (range-sample the keys, rank within range
-    buckets, add broadcast per-bucket offsets), same plan as any
-    distributed ORDER BY. Here |customers| is dimension-sized and one
-    window partition is the honest local plan.
+    per-customer total spend (top-k emitted).
 
-    Exactness: ranks are count ratios of exactly-summed decimal
-    totals; percent_rank = (rank-1)/(n-1), cume_dist = rank_max/n —
-    integer divisions in double, bit-identical cross-engine."""
+    Scale note (round-6 rewrite): customers scale WITH the fact
+    (TPC-H: SF×150k; billions at 100 TB), so the round-5 form —
+    ``percent_rank().over(W.orderBy(...))`` with no partition key —
+    planned ``Exchange SinglePartition`` over the whole per-customer
+    aggregate. The rewrite computes the exact global rank with the
+    two-pass range-partitioned prefix sum (packing.ranged_cumsum),
+    then pct_rank = (rank−1)/(N−1) and cume_dist = rank/N directly:
+    the order (spend, o_custkey) is unique, so every row is its own
+    peer group and rank == row_number — identical values to the
+    window form, verified against DuckDB's native percent_rank /
+    cume_dist oracle; plan pinned SinglePartition-free.
+
+    Exactness: ranks are BIGINT prefix counts over exactly-summed
+    decimal totals; both ratios are integer-in-double divisions —
+    bit-identical cross-engine."""
+    from .packing import ranged_cumsum
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     spend = (li.join(orders.select("o_orderkey", "o_custkey"),
                      li.l_orderkey == F.col("o_orderkey"))
              .groupBy("o_custkey")
-             .agg(dsum(_rev()).alias("_spend")))
-    w = W.orderBy(F.asc("_spend"), F.asc("o_custkey"))
-    return (spend.select(
+             .agg(dsum(_rev()).alias("_spend"))
+             .withColumn("_one", F.lit(1).cast("long")))
+    ranked = (ranged_cumsum(spend, "_one",
+                            [F.asc("_spend"), F.asc("o_custkey")])
+              .withColumnRenamed("_cum", "_rank"))
+    total = spend.agg(F.count(F.lit(1)).alias("_n"))
+    return (ranked.crossJoin(F.broadcast(total))
+            .select(
                 "o_custkey",
                 F.round("_spend", 2).cast("double").alias("spend"),
-                F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-                F.round(F.cume_dist().over(w), 6).alias("cume"))
+                F.round((F.col("_rank") - 1).cast("double")
+                        / (F.col("_n") - 1).cast("double"), 6)
+                 .alias("pct_rank"),
+                F.round(F.col("_rank").cast("double")
+                        / F.col("_n").cast("double"), 6).alias("cume"))
             .orderBy(F.desc("spend"), F.asc("o_custkey"))
             .limit(k))
 
@@ -831,16 +844,44 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str,
     makes ties impossible, so the cut is engine-exact), then
     per-bucket count/min/max/sum.
 
-    Scale note: ntile needs a total order — Spark plans one global
-    sort (range-partitioned exchange, spilling sort, no single-node
-    collect). That is the honest cost of an EXACT equi-depth
-    histogram; the approximate path at 100 TB is approx_percentile
-    sketches (see approx_stats), which trades exactness for one pass.
+    Scale note (round-6 rewrite): a bare ``ntile(n).over(orderBy(...))``
+    has NO partition key, so Spark plans ``Exchange SinglePartition`` —
+    every order row funnels through ONE task regardless of cluster
+    size (verified in the round-5 executed plan; only a global
+    ``df.orderBy`` range-partitions, window functions do not). The
+    scale-safe form computes the exact global rank with the two-pass
+    range-partitioned prefix sum (packing.ranged_cumsum: partition-
+    local row-count cumsum + O(parts) broadcast offset table) and then
+    assigns the IDENTICAL ntile bucket arithmetically: with N rows and
+    n buckets, q = N div n, r = N mod n, the first r buckets take q+1
+    rows — bucket = (rank−1) div (q+1) + 1 while rank ≤ r·(q+1), else
+    r + (rank − r·(q+1) − 1) div q + 1. (o_totalprice, o_orderkey) is
+    a unique order, so rank is tie-free and the cut engine-exact;
+    tests pin both oracle equality vs DuckDB's native ntile and plan
+    shape (no Exchange SinglePartition). The approximate one-pass path
+    at 100 TB remains approx_percentile sketches (see approx_stats).
     """
+    from .packing import ranged_cumsum
     orders = read_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return (orders
-            .withColumn("bucket", F.ntile(n_buckets).over(w))
+    base = orders.select("o_totalprice", "o_orderkey",
+                         F.lit(1).cast("long").alias("_one"))
+    ranked = (ranged_cumsum(base, "_one",
+                            [F.asc("o_totalprice"), F.asc("o_orderkey")])
+              .withColumnRenamed("_cum", "_rank"))
+    total = base.agg(F.count(F.lit(1)).alias("_n"))
+    nb = int(n_buckets)
+    # exact SQL-standard ntile from (rank, N): pure BIGINT div/mod —
+    # bit-identical to the single-window form on a unique order
+    bucket = F.expr(f"""
+        CAST(CASE
+          WHEN _rank <= (_n % {nb}) * ((_n div {nb}) + 1)
+          THEN (_rank - 1) div ((_n div {nb}) + 1) + 1
+          ELSE (_n % {nb})
+               + ((_rank - (_n % {nb}) * ((_n div {nb}) + 1) - 1)
+                  div (_n div {nb})) + 1
+        END AS INT)""")
+    return (ranked.crossJoin(F.broadcast(total))
+            .withColumn("bucket", bucket)
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.min("o_totalprice").alias("lo"),

@@ -14,4 +14,5 @@ from .audit import (  # noqa: F401
     physical_plan,
     pushed_filters,
     scan_columns,
+    single_partition_rows,
 )

@@ -58,3 +58,51 @@ def exchanges(df: DataFrame, key: str | None = None) -> list[str]:
 def broadcast_joins(df: DataFrame) -> int:
     """Number of broadcast hash joins in the plan."""
     return len(re.findall(r"BroadcastHashJoin", physical_plan(df)))
+
+
+def single_partition_rows(df: DataFrame) -> list[int]:
+    """Rows actually written into each ``Exchange SinglePartition`` of
+    the FINAL executed adaptive plan (call after an action, e.g.
+    ``df.collect()``) — the measured form of the scale-killer check.
+
+    A SinglePartition exchange funnels its whole input through ONE
+    task; that is fine for O(model) frames (scalar counts, per-
+    partition offset tables, top-k heads) and fatal for fact-sized
+    input (the round-5 ``ntile``/``percent_rank`` global windows).
+    Structural plan inspection cannot tell the two apart — a
+    HashAggregate child may reduce to 32 rows or to |customers| — so
+    this reads the ``shuffleRecordsWritten`` metric off each exchange
+    instead and lets the caller threshold it. Reused exchanges /
+    AQE query stages are unwrapped and deduped by plan node id."""
+    out: list[int] = []
+    seen: set[int] = set()
+
+    def visit(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            visit(node.executedPlan())
+            return
+        if "QueryStageExec" in cls or cls == "ReusedExchangeExec":
+            try:
+                visit(node.plan())
+                return
+            except Exception:
+                pass  # fall through to generic children walk
+        if cls == "ShuffleExchangeExec":
+            nid = node.id()
+            if nid not in seen:
+                seen.add(nid)
+                if node.outputPartitioning().toString() == "SinglePartition":
+                    it = node.metrics().iterator()
+                    written = 0
+                    while it.hasNext():
+                        kv = it.next()
+                        if kv._1() == "shuffleRecordsWritten":
+                            written = kv._2().value()
+                    out.append(int(written))
+        ch = node.children()
+        for i in range(ch.size()):
+            visit(ch.apply(i))
+
+    visit(df._jdf.queryExecution().executedPlan())
+    return out

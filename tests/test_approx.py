@@ -17,7 +17,7 @@ def test_approx_stats_bounds(spark, sf_dir):
     # HLL++ with rsd=2% → allow 5x the target rsd as hard bound
     assert abs(approx["approx_parts"] - exact["parts"]) <= 0.10 * exact["parts"]
     assert abs(approx["approx_orders"] - exact["orders"]) <= 0.10 * exact["orders"]
-    q50 = approx["price_quantiles"][0]
+    q50 = approx["price_q50"]
     assert abs(q50 - exact["p50"]) <= 0.05 * exact["p50"]
 
 

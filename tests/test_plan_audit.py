@@ -402,13 +402,27 @@ def test_quantize_model_broadcast_zero_corpus_shuffle(spark):
     assert all("pos" in e for e in required)
 
 
-def test_equi_depth_single_global_sort(spark):
-    # exact ntile needs ONE total-order exchange and nothing else
-    # corpus-wide beyond the final bucket aggregate
+def test_equi_depth_no_fact_single_partition(spark):
+    # round-6 rewrite: exact ntile from the two-pass ranged_cumsum
+    # rank — MEASURED check that no SinglePartition exchange receives
+    # more than the O(parts) offset table / scalar count (the round-5
+    # form funneled every order row through one task)
     from etl_portfolio_tracker_spark.operators import warehouse as WH
+    from etl_portfolio_tracker_spark.plans import single_partition_rows
     q = WH.equi_depth_histogram(spark, SF)
-    assert len([e for e in exchanges(q) if "SinglePartition" in e
-                or "rangepartitioning" in e]) <= 1
+    q.collect()
+    assert max(single_partition_rows(q), default=0) <= 64
+
+
+def test_customer_spend_percentile_no_fact_single_partition(spark):
+    # round-6 rewrite: percent_rank/cume_dist from the ranged_cumsum
+    # rank — the per-customer aggregate (fact-scaling) must never feed
+    # a SinglePartition exchange
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    from etl_portfolio_tracker_spark.plans import single_partition_rows
+    q = WH.customer_spend_percentile(spark, SF)
+    q.collect()
+    assert max(single_partition_rows(q), default=0) <= 64
 
 
 # -- round-5 batch 2 (novelty / rouge / cube / ohlc / knn / phash) ----
