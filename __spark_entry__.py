@@ -165,6 +165,62 @@ _SPINE_SQL = f"""
 """
 
 
+# Shared per-user price-panel CTE chain (DuckDB twin of
+# operators/windowed.user_price_panel; expects `trades` and
+# `tick_prices` CTEs defined before it): px = thinned prices
+# (_thinned_tick_prices), grid = the user's price dates, spine = the
+# user's full ticker×date panel, qty = end-of-day as-of share counts
+# via a cumsum over the union of grid and trade days, interp = the
+# W10 exact-decimal linear interpolation per (user, ticker).
+_USER_PANEL_SQL = """
+px AS (SELECT ticker, ts, close FROM tick_prices
+       WHERE ticker <> 'view' OR day(ts) % 3 = 0),
+ut AS (SELECT DISTINCT "user", ticker FROM trades),
+grid AS (SELECT DISTINCT ut."user", px.ts FROM ut JOIN px USING (ticker)),
+pspine AS (SELECT g."user", u.ticker, g.ts, p.close, 1 AS ongrid
+           FROM grid g JOIN ut u ON u."user" = g."user"
+           LEFT JOIN px p ON p.ticker = u.ticker AND p.ts = g.ts),
+deltas AS (SELECT "user", ticker, CAST(ts AS DATE) AS ts,
+                  SUM(CASE WHEN side = 'BUY' THEN qty ELSE -qty END) AS delta
+           FROM trades GROUP BY 1, 2, 3),
+merged AS (SELECT COALESCE(s."user", d."user") AS "user",
+                  COALESCE(s.ticker, d.ticker) AS ticker,
+                  COALESCE(s.ts, d.ts) AS ts,
+                  s.close, s.ongrid, d.delta
+           FROM pspine s FULL OUTER JOIN deltas d
+             ON s."user" = d."user" AND s.ticker = d.ticker AND s.ts = d.ts),
+qtyd AS (SELECT "user", ticker, ts, close, ongrid,
+                SUM(COALESCE(delta, 0.0)) OVER (
+                    PARTITION BY "user", ticker ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qty
+         FROM merged),
+interp AS (
+    SELECT "user", ticker, ts, qty,
+           CASE WHEN close IS NOT NULL THEN close
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE CAST(CAST(prev_v AS DECIMAL(20,10))
+                            * CAST(date_diff('day', ts, next_ts) AS DECIMAL(6,0))
+                          + CAST(next_v AS DECIMAL(20,10))
+                            * CAST(date_diff('day', prev_ts, ts) AS DECIMAL(6,0))
+                      AS DOUBLE)
+                     / CAST(date_diff('day', prev_ts, next_ts) AS DOUBLE)
+           END AS close_i
+    FROM (SELECT *,
+                 LAST_VALUE(close IGNORE NULLS) OVER wb AS prev_v,
+                 LAST_VALUE(CASE WHEN close IS NOT NULL THEN ts END
+                            IGNORE NULLS) OVER wb AS prev_ts,
+                 FIRST_VALUE(close IGNORE NULLS) OVER wf AS next_v,
+                 FIRST_VALUE(CASE WHEN close IS NOT NULL THEN ts END
+                             IGNORE NULLS) OVER wf AS next_ts
+          FROM qtyd WHERE ongrid IS NOT NULL
+          WINDOW wb AS (PARTITION BY "user", ticker ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY "user", ticker ORDER BY ts
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+"""
+
+
 # --- DuckDB twins of the tier-E text/dedup/similarity kernels ---------
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
@@ -398,6 +454,34 @@ def _q_price_with_fallback(spark, sf_dir):
 
 def _q_first_holding_day(spark, sf_dir):
     return WD.first_holding_day(derive.trades(spark, sf_dir))
+
+
+def _thinned_tick_prices(spark, sf_dir):
+    """tick_prices with the 'view' series thinned to every 3rd
+    calendar day (benchmark_overlay's fixture convention,
+    __spark_entry__._q_benchmark_overlay) so the TWR panel's
+    interpolation and the non-grid-trade-day as-of qty fill do real
+    work instead of passing through a dense panel."""
+    tp = derive.tick_prices(spark, sf_dir)
+    return tp.filter((F.col("ticker") != "view")
+                     | (F.dayofmonth("ts") % 3 == 0))
+
+
+def _q_portfolio_twr(spark, sf_dir):
+    """Reference 1_Dashboard.py:311-331 — the Dashboard's flagship
+    portfolio-level TWR composite (see operators.windowed.portfolio_twr)."""
+    return WD.portfolio_twr(derive.trades(spark, sf_dir),
+                            _thinned_tick_prices(spark, sf_dir))
+
+
+def _q_basket_index(spark, sf_dir):
+    """Reference 1_Dashboard.py:336-346 — the static-basket fallback
+    series: fold-final quantities (df_pos, portfolio.overview) dotted
+    with the per-user price panel, normalized to 100."""
+    tr = derive.trades(spark, sf_dir)
+    qty_now = FD.portfolio_fold(tr).filter(F.col("qty") > 0)
+    return WD.basket_index(tr, _thinned_tick_prices(spark, sf_dir),
+                           qty_now)
 
 
 def _q_price_panel(spark, sf_dir):
@@ -1219,6 +1303,13 @@ def _q_hard_negative_mining(spark, sf_dir):
         _emb(spark, sf_dir).filter(F.col("vec_id") < SIM.HNM_MAX_VECS))
 
 
+def _q_hard_negative_mining_lsh(spark, sf_dir):
+    # the candidate-bounded PRODUCTION form (VERDICT r5 item 6): full
+    # corpus, SemDeDup-cell candidates, no N² anywhere — the N² form
+    # above stays registered as the bounded exact yardstick.
+    return SIM.hard_negative_mining_lsh(_emb(spark, sf_dir))
+
+
 def _q_embedding_quantize_int8(spark, sf_dir):
     return SIM.embedding_quantize_int8(_emb(spark, sf_dir))
 
@@ -1710,63 +1801,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     external row come first.  The full set is verified locally every
     round via ``tools/check.py`` (committed log).
 
-    Round-5 ordering (executes the round-4 plan):
+    Round-6 ordering (executes the round-5 plan / VERDICT r5 item 1):
       1. the 50-query window, in priority order:
-         (a) the eighteen hash-checkable queries that have never had
-         an external row (six simple warehouse queries plus the
-         twelve round-4-new registered operators — word_entropy,
-         pmi_top_pairs, ngram_dup_spans, doc_chunks, stratified_kfold,
-         semantic_dedup, mmr_topk, minhash_estimate_error,
-         kfold_leakage_report, streaming_semantic_dedup_replay,
-         lsh_recall_curve, semantic_clusters; the thirteenth round-4
-         operator, semantic_dedup_fast, is deliberately not a
-         registered query — it is the float32 production path pinned
-         by an exact-agreement test);
-         (b) ``normalize_embeddings`` — r4's only red row: the
-         driver's pandas canonicalizer cannot hash array cells, so
-         the query now emits the same values in posexploded scalar
-         form (see _q_normalize_embeddings);
-         (c) ``pmi_top_pairs`` is in (a) and ALSO changed this round
-         (overflow-safe double-ratio form, ADVICE r4);
-         (d) the two rows-only-by-design queries (approx_stats —
-         sketch values are engine-specific, error bounds
-         pytest-verified; audio_meta — float reductions over raw
-         bytes, WAV decode pytest-verified on constructed RIFF
-         payloads) so they finally get their weaker external row;
-         (e) the TWENTY-NINE round-5-new operators (each
-         oracle-paired): winnowing_fingerprints, char_entropy,
-         readability_scores, unigram_perplexity, normalized_dedup,
-         hapax_ratio, balanced_downsample, equi_depth_histogram,
-         benford_first_digit, weighted_median_price, fk_orphans,
-         top_event_paths, interval_event_join, sharpe_rolling,
-         hard_negative_mining, embedding_quantize_int8,
-         pca_power_iter, streaming_quality_filter_replay,
-         lang_id_confusion, ngram_novelty, rouge_overlap_pairs,
-         sales_cube_gid, ohlc_bars, knn_classify, image_phash,
-         image_phash_pairs, sequence_match, attribution_last_touch,
-         embedding_drift_report, streaming_attribution_replay,
-         cdc_merge_apply — THIRTY-ONE round-5-new operators total.
-         Sections (a)-(e) total 52; the window takes the first 50,
-         so the LAST TWO 1e entries (streaming_attribution_replay,
-         cdc_merge_apply — both locally bit-exact, see
-         CHECK_LOCAL_r05.txt) wait for the round-6 window.
-      2. the 1f padding re-checks (r4-green) now sit past the window,
-         followed by everything already externally green in r1–r4
-         (all re-verified locally every round via tools/check.py,
-         committed log).
-
-    ROUND-6 TODO: move streaming_attribution_replay and
-    cdc_merge_apply (the two 1e entries past this round's window) to
-    the FRONT of the dict, followed by the 1e2 sketch-tier batch
-    (hll_distinct, cms_heavy_hitters, bloom_chunk_probe,
-    winsorized_stats, ivf_balance_report, streaming_hll_replay,
-    join_size_estimate, streaming_bloom_probe_replay, hll_set_ops,
-    streaming_cms_replay, histogram_quantiles) and any round-6-new
-    operators; after that the whole registry
-    carries an external row again.
+         (a) the THIRTEEN queries that have never had an external row
+         — the two 1e stragglers past the r5 window
+         (streaming_attribution_replay, cdc_merge_apply) and the
+         eleven round-5 sketch-tier entries (hll_distinct,
+         cms_heavy_hitters, bloom_chunk_probe, winsorized_stats,
+         ivf_balance_report, streaming_hll_replay, join_size_estimate,
+         streaming_bloom_probe_replay, hll_set_ops,
+         streaming_cms_replay, histogram_quantiles) — all locally
+         bit-exact every round (CHECK_LOCAL_r05.txt);
+         (b) the three queries CHANGED this round: approx_stats
+         (array column scalarized to price_q50/q95/q99 — the array
+         crashed the driver's pandas canonicalizer in r5, VERDICT
+         item 3; still rows-only by design), equi_depth_histogram and
+         customer_spend_percentile (single-partition global windows
+         replaced by the two-pass packing.ranged_cumsum rank, VERDICT
+         items 1-2 — identical values, scale-safe plan), and
+         skyline_parts (global sweep window → ranged_prefix_max,
+         caught by the new measured SinglePartition audit);
+         (c) the round-6-NEW operators: portfolio_twr (the reference
+         Dashboard's flagship portfolio-level TWR composite,
+         1_Dashboard.py:311-331), basket_index (its static-basket
+         fallback, :336-346), hard_negative_mining_lsh (the
+         candidate-bounded production form of hard_negative_mining,
+         VERDICT item 6);
+         (d) padding re-checks to fill the window: the r5-green 1a
+         block (externally green in CORRECTNESS_r05.json, re-verified
+         locally every round).
+      2. everything else, in prior priority order — externally green
+         in r1–r5 and re-verified locally every round via
+         tools/check.py (committed log).
     """
     return {
-        # -- 1a. never externally checked (hash-checkable), highest priority -------------------------------
+        # -- 1a. never externally checked, highest priority (r5 window stragglers + sketch tier) -----------
+        "streaming_attribution_replay": _q_streaming_attribution_replay,
+        "cdc_merge_apply": _q_cdc_merge_apply,
+        "hll_distinct": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "bloom_chunk_probe": _q_bloom_chunk_probe,
+        "winsorized_stats": _q_winsorized_stats,
+        "ivf_balance_report": _q_ivf_balance_report,
+        "streaming_hll_replay": _q_streaming_hll_replay,
+        "join_size_estimate": _q_join_size_estimate,
+        "streaming_bloom_probe_replay": _q_streaming_bloom_probe_replay,
+        "hll_set_ops": _q_hll_set_ops,
+        "streaming_cms_replay": _q_streaming_cms_replay,
+        "histogram_quantiles": _q_histogram_quantiles,
+        # -- 1b. changed this round (need a fresh external row) --------------------------------------------
+        "approx_stats": _q_approx_stats,
+        "equi_depth_histogram": _q_equi_depth_histogram,
+        "customer_spend_percentile": _q_customer_spend_percentile,
+        "skyline_parts": _q_skyline_parts,
+        # -- 1c. ROUND-6 NEW OPERATORS ----------------------------------------------------------------------
+        "portfolio_twr": _q_portfolio_twr,
+        "basket_index": _q_basket_index,
+        "hard_negative_mining_lsh": _q_hard_negative_mining_lsh,
+        # -- 1d. padding re-checks (r5-green) to fill the 50-query window ----------------------------------
         "promo_revenue_share": _q_promo_revenue_share,
         "top_supplier": _q_top_supplier,
         "big_orders": _q_big_orders,
@@ -1785,12 +1877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_semantic_dedup_replay": _q_streaming_semantic_dedup_replay,
         "lsh_recall_curve": _q_lsh_recall_curve,
         "semantic_clusters": _q_semantic_clusters,
-        # -- 1b. r4 red row, fixed this round (scalar form) ------------------------------------------------
         "normalize_embeddings": _q_normalize_embeddings,
-        # -- 1d. rows-only by design: external rows-only evidence ------------------------------------------
-        "approx_stats": _q_approx_stats,
         "audio_meta": _q_audio_meta,
-        # -- 1e. ROUND-5 NEW OPERATORS (inserted as built) -------------------------------------------------
+        # (r5-green continued)
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "char_entropy": _q_char_entropy,
         "readability_scores": _q_readability_scores,
@@ -1798,7 +1887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": _q_normalized_dedup,
         "hapax_ratio": _q_hapax_ratio,
         "balanced_downsample": _q_balanced_downsample,
-        "equi_depth_histogram": _q_equi_depth_histogram,
         "benford_first_digit": _q_benford_first_digit,
         "weighted_median_price": _q_weighted_median_price,
         "fk_orphans": _q_fk_orphans,
@@ -1820,21 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_match": _q_sequence_match,
         "attribution_last_touch": _q_attribution_last_touch,
         "embedding_drift_report": _q_embedding_drift_report,
-        "streaming_attribution_replay": _q_streaming_attribution_replay,
-        "cdc_merge_apply": _q_cdc_merge_apply,
-        # -- 1e2. round-5 second batch: sketches / robust stats / index health (round-6 window) ------------
-        "hll_distinct": _q_hll_distinct,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "bloom_chunk_probe": _q_bloom_chunk_probe,
-        "winsorized_stats": _q_winsorized_stats,
-        "ivf_balance_report": _q_ivf_balance_report,
-        "streaming_hll_replay": _q_streaming_hll_replay,
-        "join_size_estimate": _q_join_size_estimate,
-        "streaming_bloom_probe_replay": _q_streaming_bloom_probe_replay,
-        "hll_set_ops": _q_hll_set_ops,
-        "streaming_cms_replay": _q_streaming_cms_replay,
-        "histogram_quantiles": _q_histogram_quantiles,
-        # -- 1f. padding re-checks (r4-green; pushed out as 1e grows, window cap = 50) ---------------------
+        # -- 2. externally green in r1–r5, prior priority order --------------------------------------------
         "kmeans_train": _q_kmeans_train,
         "delta_dedup": _q_delta_dedup,
         "common_substring_pairs": _q_common_substring_pairs,
@@ -1860,7 +1934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
         "modal_value_band": _q_modal_value_band,
         "value_mad": _q_value_mad,
-        "skyline_parts": _q_skyline_parts,
         "triangle_stats": _q_triangle_stats,
         "cum_drift": _q_cum_drift,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
@@ -1868,7 +1941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_basket": _q_market_basket,
         "revenue_pareto": _q_revenue_pareto,
         "snapshot_diff": _q_snapshot_diff,
-        "customer_spend_percentile": _q_customer_spend_percentile,
         "high_volume_part_suppliers": _q_high_volume_part_suppliers,
         "stats_summary": _q_stats_summary,
         "user_ticker_list": _q_user_ticker_list,
@@ -1884,7 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_nation_profit": _q_supplier_nation_profit,
         "returned_revenue": _q_returned_revenue,
         "cust_order_histogram": _q_cust_order_histogram,
-        # -- 2. externally green in r1–r4 (locally re-verified each round) ---------------------------------
+        # (externally green in r1–r4, continued) -----------------------------------------------------------
         "leakage_safe_split": _q_leakage_safe_split,
         "bm25_search": _q_bm25_search,
         "label_outliers": _q_label_outliers,
@@ -2620,6 +2692,74 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE cum > 0
             GROUP BY "user"
         """, TRADES_CTE),
+        # mirrors windowed.portfolio_twr over the shared per-user panel
+        # (reference 1_Dashboard.py:311-331)
+        "portfolio_twr": f"""
+            WITH {TRADES_CTE.strip().rstrip()},
+            {TICK_PRICES_CTE.strip().rstrip()},
+            {_USER_PANEL_SQL.strip().rstrip()},
+            cells AS (
+                SELECT "user", ts,
+                       LAG(qty) OVER w * LAG(close_i) OVER w AS hv,
+                       CASE WHEN LAG(close_i) OVER w IS NULL
+                                 OR LAG(close_i) OVER w = 0 THEN 0.0
+                            ELSE close_i / LAG(close_i) OVER w - 1
+                       END AS ret
+                FROM interp
+                WINDOW w AS (PARTITION BY "user", ticker ORDER BY ts)
+            ),
+            daily AS (
+                SELECT "user", ts,
+                       SUM(CAST(hv AS DECIMAL(38,10))) AS tot,
+                       SUM(CAST(hv * ret AS DECIMAL(38,10))) AS num
+                FROM cells GROUP BY 1, 2
+            ),
+            fh AS (SELECT "user", MIN(ts) AS fh FROM daily
+                   WHERE tot > 0 GROUP BY 1),
+            pr AS (
+                SELECT d."user", d.ts,
+                       CASE WHEN d.tot = 0 THEN 0.0
+                            ELSE CAST(d.num AS DOUBLE) / CAST(d.tot AS DOUBLE)
+                       END AS pret
+                FROM daily d JOIN fh USING ("user")
+                WHERE d.ts >= fh.fh
+            )
+            SELECT "user", ts AS d,
+                   ROUND(pret, 6) AS port_ret,
+                   ROUND(EXP(SUM(CASE WHEN pret <= -1 THEN NULL
+                                      ELSE LN(1.0 + pret) END)
+                             OVER (PARTITION BY "user" ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)) * 100, 6) AS twr_idx
+            FROM pr
+        """,
+        # mirrors windowed.basket_index: fold-final quantities dotted
+        # with the same panel (reference 1_Dashboard.py:336-346)
+        "basket_index": FOLD_FINALS_SQL + f""",
+            {TICK_PRICES_CTE.strip().rstrip()},
+            {_USER_PANEL_SQL.strip().rstrip()},
+            pvs AS (
+                SELECT i."user", i.ts,
+                       SUM(CAST(COALESCE(q.qty, 0.0) * i.close_i
+                                AS DECIMAL(38,10))) AS pv
+                FROM interp i
+                LEFT JOIN (SELECT "user", ticker, qty FROM finals
+                           WHERE qty > 0) q
+                  ON q."user" = i."user" AND q.ticker = i.ticker
+                GROUP BY 1, 2
+                HAVING SUM(CAST(COALESCE(q.qty, 0.0) * i.close_i
+                                AS DECIMAL(38,10))) > 0
+            )
+            SELECT "user", ts AS d,
+                   CAST(ROUND(pv, 2) AS DOUBLE) AS pv,
+                   ROUND(CAST(pv AS DOUBLE)
+                         / CAST(FIRST_VALUE(pv) OVER (
+                               PARTITION BY "user" ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE) * 100,
+                         6) AS basket_idx
+            FROM pvs
+        """,
         "price_panel": """
             SELECT CAST(l_shipdate AS DATE) AS ts,
                    MIN(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS "A",
@@ -3057,6 +3197,43 @@ def _oracle_sql_base() -> dict[str, str]:
                    n.vb AS hn_id, ROUND(n.c, 6) AS hn_cos,
                    p.vb AS hp_id, ROUND(p.c, 6) AS hp_cos
             FROM eb e
+            LEFT JOIN neg n ON n.va = e.vec_id AND n.rn = 1
+            LEFT JOIN pos p ON p.va = e.vec_id AND p.rn = 1
+            ORDER BY e.vec_id
+        """,
+        # mirrors similarity.hard_negative_mining_lsh: the SemDeDup
+        # cell chain (_sem_chain_sql: codebook → argmax cells → norms →
+        # intra-cell half-pair dots) + label-aware argmax/argmin
+        "hard_negative_mining_lsh": _PE_SQL + _sem_chain_sql() + """
+            , cos AS (
+                SELECT va, vb, p.dot / (na.nrm * nb.nrm) AS c
+                FROM pdots p
+                JOIN norms na ON na.vec_id = p.va
+                JOIN norms nb ON nb.vec_id = p.vb
+            ), sym AS (
+                SELECT va, vb, c FROM cos
+                UNION ALL
+                SELECT vb AS va, va AS vb, c FROM cos
+            ), labp AS (
+                SELECT s.va, s.vb, s.c, la.label AS lla, lb.label AS llb
+                FROM sym s
+                JOIN embeddings la ON la.vec_id = s.va
+                JOIN embeddings lb ON lb.vec_id = s.vb
+            ), neg AS (
+                SELECT va, vb, c,
+                       row_number() OVER (PARTITION BY va
+                                          ORDER BY c DESC, vb) AS rn
+                FROM labp WHERE lla <> llb
+            ), pos AS (
+                SELECT va, vb, c,
+                       row_number() OVER (PARTITION BY va
+                                          ORDER BY c ASC, vb) AS rn
+                FROM labp WHERE lla = llb
+            )
+            SELECT e.vec_id, e.label,
+                   n.vb AS hn_id, ROUND(n.c, 6) AS hn_cos,
+                   p.vb AS hp_id, ROUND(p.c, 6) AS hp_cos
+            FROM embeddings e
             LEFT JOIN neg n ON n.va = e.vec_id AND n.rn = 1
             LEFT JOIN pos p ON p.va = e.vec_id AND p.rn = 1
             ORDER BY e.vec_id
@@ -6425,7 +6602,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM allr GROUP BY 1 ORDER BY 1
         """,
         # mirrors sketches.hll_distinct: md5-slice hash, register =
-        # low 8 bits, rho via length(bin(w)) (integer bit_length — no
+        # low 6 bits (hv % HLL_M, m=64), rho via length(bin(w)) (integer bit_length — no
         # float log), raw alpha·m²/Σ2^-rho estimate with the SAME
         # Python-repr alpha·m² literal Spark divides
         "hll_distinct": f"""
@@ -6445,7 +6622,7 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM br GROUP BY 1, 2
             ), est AS (
                 SELECT event_type, COUNT(*) AS nz,
-                       SUM(power(0.5, r)) AS s
+                       SUM(1.0 / (1::BIGINT << r)) AS s
                 FROM regs GROUP BY 1
             ), ex AS (
                 SELECT event_type,
@@ -6497,13 +6674,13 @@ def _oracle_sql_base() -> dict[str, str]:
             ), uest AS (
                 SELECT ta, tb,
                        {SK.HLL_ALPHA_M2!r}
-                       / (SUM(power(0.5, r)) + ({SK.HLL_M} - COUNT(*)))
+                       / (SUM(1.0 / (1::BIGINT << r)) + ({SK.HLL_M} - COUNT(*)))
                        AS eu
                 FROM merged GROUP BY 1, 2
             ), gest AS (
                 SELECT event_type,
                        {SK.HLL_ALPHA_M2!r}
-                       / (SUM(power(0.5, r)) + ({SK.HLL_M} - COUNT(*)))
+                       / (SUM(1.0 / (1::BIGINT << r)) + ({SK.HLL_M} - COUNT(*)))
                        AS e
                 FROM regs GROUP BY 1
             ), ks AS (

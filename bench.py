@@ -63,14 +63,31 @@ def main() -> None:
             print(f"bench error {name}: {ex!r}"[:300], file=sys.stderr)
             return -1.0
 
+    # One-time shared curation state (the LSH+CC+verify pipeline that
+    # leakage_safe_split/corpus_prune/... consume) is materialized and
+    # timed as its OWN line item, so consumer queries report honest
+    # warm numbers instead of whichever consumer runs first absorbing
+    # the ~20 s build in a cold sample and losing it in the min-of-2
+    # retry (the r5 driver-vs-canonical gap on minhash_estimate_error).
     timings: dict[str, float] = {}
+    t0 = time.time()
+    try:
+        for frame in E._curation(spark, sf_dir).values():
+            frame.count()
+        timings["_curation_build"] = time.time() - t0
+    except Exception as ex:  # pragma: no cover
+        print(f"bench error _curation_build: {ex!r}"[:300], file=sys.stderr)
+        timings["_curation_build"] = -1.0
+
     for name, fn in qs.items():
         timings[name] = time_one(name, fn)
     ok = sorted(t for t in timings.values() if t >= 0)
     if ok:
         median = ok[len(ok) // 2]
         cutoff = max(1.5, 2 * median)
-        for name in [n for n, t in timings.items() if t > cutoff]:
+        # _curation_build is one-time state, not a query: no retry/min
+        for name in [n for n, t in timings.items()
+                     if t > cutoff and n in qs]:
             retry = time_one(name, qs[name])
             if retry >= 0:
                 timings[name] = min(timings[name], retry)

@@ -37,10 +37,13 @@ def ffill(spine: DataFrame, value_col: str = "close",
 
 
 def interpolate(spine: DataFrame, value_col: str = "close",
-                out_col: str = "close_interp") -> DataFrame:
-    """W10 — per-ticker linear interpolation of nulls, edges filled
+                out_col: str = "close_interp",
+                keys: tuple[str, ...] = ("ticker",)) -> DataFrame:
+    """W10 — per-key linear interpolation of nulls, edges filled
     from the nearest non-null in either direction
     (pandas interpolate(limit_direction='both'), 1_Dashboard.py:82).
+    `keys` is the series identity (default per-ticker; the portfolio
+    TWR panel passes ("user", "ticker")).
 
     value = (prev·(dd−d1) + next·d1) / dd  with d1 = ts − prev_ts,
     dd = next_ts − prev_ts; leading gap → next, trailing gap → prev.
@@ -53,9 +56,9 @@ def interpolate(spine: DataFrame, value_col: str = "close",
     breaks cross-engine hash parity (observed vs DuckDB). Exact
     numerator + one IEEE division is bit-identical everywhere.
     """
-    wb = (W.partitionBy("ticker").orderBy("ts")
+    wb = (W.partitionBy(*keys).orderBy("ts")
           .rowsBetween(W.unboundedPreceding, W.currentRow))
-    wf = (W.partitionBy("ticker").orderBy("ts")
+    wf = (W.partitionBy(*keys).orderBy("ts")
           .rowsBetween(W.currentRow, W.unboundedFollowing))
     v = F.col(value_col)
     obs_ts = F.when(v.isNotNull(), F.col("ts"))

@@ -268,6 +268,45 @@ def ranged_cumsum(df: DataFrame, value_col: str, order_cols: list,
             .drop("_pid", "_lcum", "_off"))
 
 
+def ranged_prefix_max(df: DataFrame, value_col: str,
+                      order_cols: list,
+                      n_parts: int | None = None) -> DataFrame:
+    """Two-pass distributed EXCLUSIVE prefix max — the running-max
+    twin of ranged_cumsum, for sweeps like the 2-D skyline where each
+    row needs MAX(value) over all strictly-earlier rows of a total
+    order (a bare ``max().over(W.orderBy(...).rowsBetween(…, -1))``
+    plans Exchange SinglePartition over the whole input).
+
+      1. range-partition on the order keys (contiguous slices);
+      2. partition-local exclusive running max (empty frame → null);
+      3. per-partition max gets an exclusive prefix over partition id
+         — an O(parts) broadcast frame;
+      4. prefix max = greatest(local, partition offset) — Spark's
+         greatest() skips nulls, so the first partition (null offset)
+         and each partition's first row (null local) fall out
+         naturally, and the global first row stays null exactly like
+         the single-window form.
+
+    MAX is idempotent/merge-associative, so the two-pass result is
+    identical to the single window. Returns `df` plus `_pmax`."""
+    from ..functions.checkpoints import iter_checkpoint
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(n, *order_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+    w_local = (W.partitionBy("_pid").orderBy(*order_cols)
+               .rowsBetween(W.unboundedPreceding, -1))
+    local = iter_checkpoint(
+        ranged.withColumn("_lmax", F.max(value_col).over(w_local)),
+        eager=False)
+    totals = local.groupBy("_pid").agg(F.max(value_col).alias("_ptot"))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.max("_ptot").over(w_off).alias("_off"))
+    return (local.join(F.broadcast(offsets), "_pid")
+            .withColumn("_pmax", F.greatest("_lmax", "_off"))
+            .drop("_pid", "_lmax", "_off"))
+
+
 PPS_SAMPLE_K = 100
 
 

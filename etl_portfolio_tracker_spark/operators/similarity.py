@@ -1259,6 +1259,86 @@ def hard_negative_mining(emb: DataFrame) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def hard_negative_mining_lsh(emb: DataFrame,
+                             n_cells: int | None = None) -> DataFrame:
+    """Candidate-bounded hard-negative/positive mining — the
+    PRODUCTION form of hard_negative_mining (VERDICT r5 item 6): the
+    pair set is restricted to SemDeDup cells (the semantic_dedup
+    assignment — argmax-dot against the deterministic first-c
+    codebook, c ~ √N per semantic_cells), so per-vector candidates
+    are its cell peers and total pair work is ~N^1.5, never N².
+    Inside the candidate set the kernel is the SAME exact decimal
+    cosine and (cos, partner-id) tie rule as the N² baseline — the
+    approximation is purely in candidate recall, the classic
+    ANN-for-mining trade (a vector whose true hardest negative lives
+    in another cell gets its hardest IN-CELL negative instead; cells
+    group by dot-similarity, so high-cosine partners co-locate).
+
+    Scale shape: one broadcast codebook join + vec_id argmax window,
+    one cell-keyed shuffle for the intra-cell pair scan, vec_id-keyed
+    argmax windows — no unbounded self-join anywhere (contrast
+    hard_negative_mining's registered N² demo, which is bounded to
+    HNM_MAX_VECS vectors for exactly that reason). Vectors alone in
+    their cell emit null pairs, like a vector with no same-label peer
+    in the baseline.
+    """
+    if n_cells is None:
+        n_cells = semantic_cells(emb.count())
+    cents = (emb.filter(F.col("vec_id") < n_cells)
+             .select(F.col("vec_id").cast("int").alias("_cid"),
+                     F.col("embedding").alias("_cvec")))
+    n_cents = cents.count()
+    if n_cents != n_cells:
+        raise ValueError(
+            f"hard_negative_mining_lsh codebook expects dense 0-based "
+            f"vec_ids: wanted {n_cells} centroids, found {n_cents}")
+    cl = (_semantic_cells_frame(emb, cents)
+          .join(emb.select("vec_id", "label"), "vec_id"))
+    a = cl.select(F.col("vec_id").alias("_va"),
+                  F.col("label").alias("_la"),
+                  F.col("cell").alias("_ca"),
+                  F.col("embedding").alias("_ea"),
+                  F.col("_nrm").alias("_na"))
+    b = cl.select(F.col("vec_id").alias("_vb"),
+                  F.col("label").alias("_lb"),
+                  F.col("cell").alias("_cb"),
+                  F.col("embedding").alias("_eb"),
+                  F.col("_nrm").alias("_nb"))
+    # cosine once per unordered intra-cell pair, mirrored row-locally
+    # (the hard_negative_mining explode rule — union legs would
+    # re-evaluate the decimal kernel)
+    half = (a.join(b, (F.col("_ca") == F.col("_cb"))
+                   & (F.col("_va") < F.col("_vb")))
+            .select("_va", "_la", "_vb", "_lb",
+                    (F.expr(_dot_sql("_ea", "_eb"))
+                     / (F.col("_na") * F.col("_nb"))).alias("_cos")))
+    pairs = (half.select(F.explode(F.array(
+        F.struct(F.col("_va"), F.col("_la"),
+                 F.col("_vb"), F.col("_lb"), F.col("_cos")),
+        F.struct(F.col("_vb").alias("_va"), F.col("_lb").alias("_la"),
+                 F.col("_va").alias("_vb"), F.col("_la").alias("_lb"),
+                 F.col("_cos")))).alias("_s"))
+        .select("_s.*"))
+    wn = W.partitionBy("_va").orderBy(F.desc("_cos"), F.asc("_vb"))
+    wp = W.partitionBy("_va").orderBy(F.asc("_cos"), F.asc("_vb"))
+    neg = (pairs.filter(F.col("_la") != F.col("_lb"))
+           .withColumn("_rn", F.row_number().over(wn))
+           .filter(F.col("_rn") == 1)
+           .select(F.col("_va").alias("vec_id"),
+                   F.col("_vb").alias("hn_id"),
+                   F.round("_cos", 6).alias("hn_cos")))
+    pos = (pairs.filter(F.col("_la") == F.col("_lb"))
+           .withColumn("_rn", F.row_number().over(wp))
+           .filter(F.col("_rn") == 1)
+           .select(F.col("_va").alias("vec_id"),
+                   F.col("_vb").alias("hp_id"),
+                   F.round("_cos", 6).alias("hp_cos")))
+    return (emb.select("vec_id", "label")
+            .join(neg, "vec_id", "left")
+            .join(pos, "vec_id", "left")
+            .orderBy("vec_id"))
+
+
 def embedding_quantize_int8(emb: DataFrame) -> DataFrame:
     """Scalar int8 quantization audit: per-dimension [min, max] range
     codes (the vector-DB SQ8 compression rule), per-vector

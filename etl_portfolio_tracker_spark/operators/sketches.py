@@ -135,9 +135,13 @@ def _hll_raw(regs: DataFrame, keys: list) -> DataFrame:
     `keys` → (*keys, _nz, _est). Both hll_rollup and hll_set_ops
     derive their estimates here, so the arithmetic that must stay
     bit-identical to the shared DuckDB oracle has a single site."""
+    # 2^-rho without libm (ADVICE r5): IEEE does not guarantee pow()
+    # is correctly rounded, so 1.0 / (1L << r) instead — r <= RHO_MAX
+    # = 27, the divisor is an exact BIGINT power of two, and the
+    # division is exact in double on every engine.
     est = (regs.groupBy(*keys)
            .agg(F.count(F.lit(1)).alias("_nz"),
-                F.sum(F.pow(F.lit(0.5), F.col("r"))).alias("_s")))
+                F.sum(F.expr("1.0 / shiftleft(1L, r)")).alias("_s")))
     # empty registers: rho = 0 → 2^0 = 1 each
     sum_inv = (F.col("_s")
                + (F.lit(HLL_M) - F.col("_nz")).cast("double"))
@@ -383,6 +387,14 @@ def join_size_estimate(lineitem: DataFrame, d: int = AMS_D,
     occurrences (measured 5.1 s → sub-second at sf0.1; the estimate
     is bit-identical either way, and the DuckDB oracle computes the
     per-occurrence form to prove it).
+
+    Range bound (ADVICE r5): counter squares / exact n_k² accumulate
+    in BIGINT, which holds while F2 < 2^63 ≈ 9.2e18 — true up to
+    ~3e9 occurrences of a single hottest key. At the 100 TB tail
+    beyond that, route the Σv² / Σn² sums through DECIMAL(38,0) (the
+    engine's standard widening, cf. derive.dsum) — DuckDB would
+    silently widen to HUGEINT while Spark BIGINT wraps, so the cast
+    must be explicit on BOTH engines before the yardstick diverges.
 
     Returns ONE row: (true_selfjoin, ams_estimate, overestimate,
     rel_error).

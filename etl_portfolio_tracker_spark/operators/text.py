@@ -1135,6 +1135,14 @@ def winsorized_stats(docs: DataFrame,
     tiny broadcast; the conditional aggregation is one map-side-
     combined groupBy(source).
 
+    Band convention (ADVICE r5): the middle band is the half-open
+    rank interval (lo_pos, hi_pos] — the trimmed/winsorized means
+    INCLUDE the p90-rank value and EXCLUDE the p10-rank value (which
+    the winsorized sum replaces lo_pos times). This differs from the
+    textbook symmetric trim by at most one rank on the low side; it
+    is deterministic, oracle-matched, and stated here so the column
+    names aren't read as the symmetric-trim statistic.
+
     Returns (source, n_docs, mean_chars, p10_chars, p90_chars,
     winsorized_mean, trimmed_mean) ordered by source.
     """

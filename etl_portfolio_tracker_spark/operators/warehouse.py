@@ -668,20 +668,26 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Not the naive O(n²) dominance self-join: sorted by (price ASC,
     size DESC, partkey), a row is in the skyline iff its size exceeds
     the running MAX size of every earlier row — the classic
-    O(n log n) 2-D sweep as ONE window. Rows tying an earlier
-    (price, size) point are dominated (lowest partkey keeps the
-    point). The single global-order window is dimension-sized here;
-    the distributed form is the same two-pass range-partitioned
-    running max as token_budget_mix_scalable."""
-    from pyspark.sql import Window as W2
+    O(n log n) 2-D sweep. Rows tying an earlier (price, size) point
+    are dominated (lowest partkey keeps the point).
+
+    Scale note (round-6 rewrite): `part` scales with SF (SF×200k —
+    hundreds of millions at 100 TB), and the round-5 single
+    global-order window funneled all of it through one task (caught
+    by tools/single_partition_audit.py, the measured SinglePartition
+    sweep). The sweep's running max is merge-associative, so it now
+    runs through packing.ranged_prefix_max — range-partitioned local
+    sweeps + an O(parts) broadcast offset — bit-identical to the
+    single window."""
+    from .packing import ranged_prefix_max
     p = read_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice", "p_size")
-    w = (W2.orderBy(F.asc("p_retailprice"), F.desc("p_size"),
-                    F.asc("p_partkey"))
-         .rowsBetween(W2.unboundedPreceding, -1))
-    max_prev = F.max("p_size").over(w)
-    return (p.withColumn("_mp", max_prev)
-            .filter(F.col("_mp").isNull() | (F.col("p_size") > F.col("_mp")))
+    swept = ranged_prefix_max(
+        p, "p_size",
+        [F.asc("p_retailprice"), F.desc("p_size"), F.asc("p_partkey")])
+    return (swept
+            .filter(F.col("_pmax").isNull()
+                    | (F.col("p_size") > F.col("_pmax")))
             .select("p_partkey", "p_name", "p_retailprice", "p_size")
             .orderBy("p_retailprice", "p_partkey"))
 

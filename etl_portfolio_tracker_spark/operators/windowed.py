@@ -133,6 +133,148 @@ def benchmark_overlay(port: DataFrame, bench: DataFrame) -> DataFrame:
                F.round(filled / bench_base * 100, 6)).alias("bench_idx"))
 
 
+def user_price_panel(trades: DataFrame, prices: DataFrame) -> DataFrame:
+    """The reference's per-user price panel, long-form
+    (1_Dashboard.py:64-83, 302-309): for each user, the grid is every
+    date on which ANY of the user's traded tickers has a price; every
+    (user, ticker, grid-date) cell is filled by per-series linear
+    interpolation with nearest-edge fill (the reference's
+    ``pivot(...).interpolate(limit_direction="both")``, our W10 kernel
+    generalized to ("user", "ticker") — interpolation runs on the
+    USER's grid, exactly like the reference's per-user pivot).
+
+    Returns (user, ticker, ts, qty, close_i): qty is the end-of-day
+    cumulative signed share count as-of each grid date (the
+    reference's ``qty.cumsum().reindex(price_index, ffill).fillna(0)``
+    at 1_Dashboard.py:106-118 — trades on non-grid days take effect at
+    the next grid date, via a cumulative sum over the UNION of grid
+    and trade days, grid rows kept).
+
+    Scale: |users|·|their tickers|·|grid days| rows — the honest cost
+    of per-user panels; every join/window below is keyed by user (and
+    ticker), so the whole pipeline partitions horizontally with no
+    global exchange. prices/user_tickers are per-key aggregates of
+    the fact (dimension-sized relative to it).
+    """
+    from .calendar import interpolate
+
+    ut = trades.select("user", "ticker").distinct()
+    px = prices.select(F.col("ticker").alias("_pt"),
+                       F.col("ts").alias("_pts"), "close")
+    grid = (ut.join(px, ut.ticker == F.col("_pt"))
+            .select("user", F.col("_pts").alias("ts")).distinct())
+    spine = (grid.join(ut, "user")
+             .join(px, (F.col("ticker") == F.col("_pt"))
+                   & (F.col("ts") == F.col("_pts")), "left")
+             .select("user", "ticker", "ts", "close",
+                     F.lit(1).alias("_grid")))
+    deltas = (trades
+              .groupBy("user", "ticker", F.to_date("ts").alias("ts"))
+              .agg(F.sum(signed_qty()).alias("_delta")))
+    merged = spine.join(deltas, ["user", "ticker", "ts"], "full_outer")
+    w_cum = (W.partitionBy("user", "ticker").orderBy("ts")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    qty = F.sum(F.coalesce("_delta", F.lit(0.0))).over(w_cum)
+    on_grid = (merged.withColumn("qty", qty)
+               .filter(F.col("_grid").isNotNull())
+               .select("user", "ticker", "ts", "close", "qty"))
+    return (interpolate(on_grid, "close", "close_i",
+                        keys=("user", "ticker"))
+            .select("user", "ticker", "ts", "qty", "close_i"))
+
+
+def portfolio_twr(trades: DataFrame, prices: DataFrame) -> DataFrame:
+    """The reference Dashboard's flagship composite — the portfolio-
+    level time-weighted-return index (1_Dashboard.py:311-331):
+
+      ret       = per-cell pct_change, inf/NaN→0            (:312)
+      hold_val  = qty.shift(1) · close.shift(1)             (:313)
+      tot_val   = Σ_tickers hold_val per day                (:314)
+      trim from the first day tot_val > 0                   (:316-324)
+      port_ret  = Σ (hold_val/tot_val)·ret  ≡ Σ(hold_val·ret)/tot_val
+                                                            (:326-327)
+      twr_idx   = cumprod(1+port_ret)·100                   (:329)
+
+    Long-form per-user over user_price_panel; the weighted sum is
+    computed as Σ(hold_val·ret)/tot_val with both sums in exact
+    DECIMAL (order-insensitive — Spark's partial aggregation and
+    DuckDB's sequential sum agree bitwise), then ONE double division.
+    Days where tot_val = 0 emit port_ret = 0 (the reference's
+    weights.fillna(0) handles only the 0/0 case; the synthetic ledger
+    can oversell into tot_val = 0 with nonzero hold_val, where the
+    reference would produce ±inf — we define it as 0, documented
+    divergence on pathological rows only). cumprod is exp∘sum∘ln with
+    the twr_index ≤−1 guard; final index rounded 6dp (libm last-ulp).
+
+    Scale: aggregates key on (user, d) / user; windows on
+    (user[, ticker]); no global window, no collect.
+    """
+    panel = user_price_panel(trades, prices)
+    w = W.partitionBy("user", "ticker").orderBy("ts")
+    prev_c = F.lag("close_i").over(w)
+    prev_q = F.lag("qty").over(w)
+    ret = (F.when(prev_c.isNull() | (prev_c == 0), F.lit(0.0))
+           .otherwise(F.col("close_i") / prev_c - 1))
+    cells = panel.select(
+        "user", "ts",
+        (prev_q * prev_c).alias("_hv"),
+        ret.alias("_ret"))
+    daily = (cells.groupBy("user", "ts")
+             .agg(dsum(F.col("_hv")).alias("_tot"),
+                  dsum(F.col("_hv") * F.col("_ret")).alias("_num")))
+    fh = (daily.filter(F.col("_tot") > 0)
+          .groupBy("user").agg(F.min("ts").alias("_fh")))
+    port_ret = (F.when(F.col("_tot") == 0, F.lit(0.0))
+                .otherwise(F.col("_num").cast("double")
+                           / F.col("_tot").cast("double")))
+    trimmed = (daily.join(fh, "user")
+               .filter(F.col("ts") >= F.col("_fh"))
+               .select("user", "ts", port_ret.alias("_pr")))
+    w_idx = (W.partitionBy("user").orderBy("ts")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    safe = (F.when(F.col("_pr") <= -1, F.lit(None))
+            .otherwise(F.log(F.lit(1.0) + F.col("_pr"))))
+    return trimmed.select(
+        "user", F.col("ts").alias("d"),
+        F.round("_pr", 6).alias("port_ret"),
+        F.round(F.exp(F.sum(safe).over(w_idx)) * 100, 6).alias("twr_idx"))
+
+
+def basket_index(trades: DataFrame, prices: DataFrame,
+                 qty_now: DataFrame) -> DataFrame:
+    """The Dashboard's static-basket fallback series
+    (1_Dashboard.py:336-346), used whenever the TWR history is too
+    short: TODAY's position quantities (``df_pos`` — the GAV fold's
+    finals with qty > 0, portfolio.overview) dot-product with the
+    per-user price panel, days with pv ≤ 0 dropped, normalized to 100
+    at the first remaining day.
+
+    `qty_now` is (user, ticker, qty) — pass fold.avg_costs-style
+    finals (clamped-sell fold, qty > 0) to match the reference's
+    df_pos exactly. pv is an exact decimal Σ qty·close per (user, d);
+    the index is one double division, rounded 6dp.
+
+    Scale: same per-user panel shape as portfolio_twr; qty_now is a
+    per-key fold final (|users|·|tickers| — broadcast-sized join).
+    """
+    panel = user_price_panel(trades, prices)
+    pv = (panel.join(qty_now.select("user", "ticker", "qty")
+                     .withColumnRenamed("qty", "_qnow"),
+                     ["user", "ticker"], "left")
+          .groupBy("user", "ts")
+          .agg(dsum(F.coalesce("_qnow", F.lit(0.0)) * F.col("close_i"))
+               .alias("_pv"))
+          .filter(F.col("_pv") > 0))
+    w = (W.partitionBy("user").orderBy("ts")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    base = F.first("_pv").over(w)
+    return pv.select(
+        "user", F.col("ts").alias("d"),
+        F.round(F.col("_pv"), 2).cast("double").alias("pv"),
+        F.round(F.col("_pv").cast("double") / base.cast("double") * 100, 6)
+         .alias("basket_idx"))
+
+
 def price_with_fallback(primary: DataFrame, fallback: DataFrame) -> DataFrame:
     """§2.11 source-fallback chain (2_Trades.py:30-42, 115-117:
     yfinance → yf.download → DB-latest) as a relation: per-ticker

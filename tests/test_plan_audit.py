@@ -425,6 +425,32 @@ def test_customer_spend_percentile_no_fact_single_partition(spark):
     assert max(single_partition_rows(q), default=0) <= 64
 
 
+def test_skyline_no_fact_single_partition(spark):
+    # round-6 rewrite: the 2-D sweep's running max via
+    # ranged_prefix_max — part is SF-scaling, so only the O(parts)
+    # offset frame may cross a SinglePartition exchange
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+    from etl_portfolio_tracker_spark.plans import single_partition_rows
+    q = WH.skyline_parts(spark, SF)
+    q.collect()
+    assert max(single_partition_rows(q), default=0) <= 64
+
+
+def test_hnm_lsh_no_unbounded_self_join(spark):
+    # the production miner must join pairs THROUGH the cell key (no
+    # bare vec-vs-vec theta join) and keep every window vec_id-keyed
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+    from etl_portfolio_tracker_spark.plans import (
+        physical_plan, single_partition_rows)
+    q = SIM.hard_negative_mining_lsh(
+        read_table(spark, SF, "embeddings"))
+    q.collect()
+    plan = physical_plan(q)
+    assert "CartesianProduct" not in plan
+    assert max(single_partition_rows(q), default=0) <= 64
+
+
 # -- round-5 batch 2 (novelty / rouge / cube / ohlc / knn / phash) ----
 
 def test_ngram_novelty_exchanges_are_gram_or_doc_keyed(spark):
