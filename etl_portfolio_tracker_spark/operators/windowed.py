@@ -158,6 +158,13 @@ def user_price_panel(trades: DataFrame, prices: DataFrame) -> DataFrame:
     """
     from .calendar import interpolate
 
+    # ut and px each feed two consumers (grid + spine) and Spark does
+    # not share subplans, so both aggregates appear twice in the plan.
+    # Measured at sf0.1 a localCheckpoint boundary here is a net LOSS
+    # (materialization overhead > the cheap re-agg: 2.7-3.3 s vs
+    # 2.2-2.4 s for basket_index); at 100 TB the production shape is a
+    # materialized prices/trades table (the reference's `prices` IS a
+    # table), which removes the duplication at the source.
     ut = trades.select("user", "ticker").distinct()
     px = prices.select(F.col("ticker").alias("_pt"),
                        F.col("ts").alias("_pts"), "close")
