@@ -1399,6 +1399,17 @@ def _q_ivf_balance_report(spark, sf_dir):
     return SIM.ivf_balance_report(_emb(spark, sf_dir))
 
 
+# -- round-6 additions --------------------------------------------------
+
+
+def _q_source_ols_fit(spark, sf_dir):
+    return TX.source_ols_fit(_docs(spark, sf_dir))
+
+
+def _q_source_temperature_mix(spark, sf_dir):
+    return PK.source_temperature_mix(_docs(spark, sf_dir))
+
+
 def _q_streaming_hll_replay(spark, sf_dir):
     from etl_portfolio_tracker_spark.streaming.replay import (
         streaming_hll_replay)
@@ -1826,7 +1837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          1_Dashboard.py:311-331), basket_index (its static-basket
          fallback, :336-346), hard_negative_mining_lsh (the
          candidate-bounded production form of hard_negative_mining,
-         VERDICT item 6);
+         VERDICT item 6), source_ols_fit (one-pass distributed
+         normal-equation regression per source), and
+         source_temperature_mix (T=2 source-reweighting report);
          (d) padding re-checks to fill the window: the r5-green 1a
          block (externally green in CORRECTNESS_r05.json, re-verified
          locally every round).
@@ -1858,6 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "portfolio_twr": _q_portfolio_twr,
         "basket_index": _q_basket_index,
         "hard_negative_mining_lsh": _q_hard_negative_mining_lsh,
+        "source_ols_fit": _q_source_ols_fit,
+        "source_temperature_mix": _q_source_temperature_mix,
         # -- 1d. padding re-checks (r5-green) to fill the 50-query window ----------------------------------
         "promo_revenue_share": _q_promo_revenue_share,
         "top_supplier": _q_top_supplier,
@@ -3237,6 +3252,71 @@ def _oracle_sql_base() -> dict[str, str]:
             LEFT JOIN neg n ON n.va = e.vec_id AND n.rn = 1
             LEFT JOIN pos p ON p.va = e.vec_id AND p.rn = 1
             ORDER BY e.vec_id
+        """,
+        # mirrors text.source_ols_fit: six exact-decimal moments per
+        # source, identical double expression tree for slope/icpt/r2
+        "source_ols_fit": f"""
+            WITH m AS (
+                SELECT source,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+                FROM (SELECT source,
+                             CAST(LEN(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS x,
+                             CAST(LENGTH(text) AS BIGINT) AS y
+                      FROM documents)
+                GROUP BY source
+            )
+            SELECT source, CAST(n AS BIGINT) AS n_docs,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                        ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   END AS slope,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                        ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                                    * sx) / n, 6)
+                   END AS intercept,
+                   CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0 THEN
+                        ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                              / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                              6)
+                   END AS r2
+            FROM m ORDER BY source
+        """,
+        # mirrors packing.source_temperature_mix: sqrt weights (IEEE
+        # sqrt is correctly rounded), decimal-summed denominator, the
+        # SAME double->decimal(38,10)->double roundtrip on each sqrt
+        "source_temperature_mix": f"""
+            WITH per AS (
+                SELECT source,
+                       CAST(SUM(CAST(LEN(string_split({_NORM_SQL}, ' '))
+                                     AS BIGINT)) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), tot AS (
+                SELECT CAST(SUM(n_tokens) AS BIGINT) AS _n,
+                       SUM(CAST(SQRT(CAST(n_tokens AS DOUBLE))
+                                AS DECIMAL(38,10))) AS _sq
+                FROM per
+            )
+            SELECT source, n_tokens,
+                   ROUND(CAST(n_tokens AS DOUBLE) / CAST(_n AS DOUBLE), 6)
+                       AS natural_share,
+                   ROUND(CAST(CAST(SQRT(CAST(n_tokens AS DOUBLE))
+                                   AS DECIMAL(38,10)) AS DOUBLE)
+                         / CAST(_sq AS DOUBLE), 6) AS temp_weight,
+                   ROUND(CAST(CAST(SQRT(CAST(n_tokens AS DOUBLE))
+                                   AS DECIMAL(38,10)) AS DOUBLE)
+                         / CAST(_sq AS DOUBLE)
+                         * {PK.TEMP_MIX_TOKEN_BUDGET}, 2) AS expected_tokens,
+                   ROUND((CAST(CAST(SQRT(CAST(n_tokens AS DOUBLE))
+                                    AS DECIMAL(38,10)) AS DOUBLE)
+                          / CAST(_sq AS DOUBLE))
+                         / (CAST(n_tokens AS DOUBLE) / CAST(_n AS DOUBLE)),
+                         6) AS boost
+            FROM per CROSS JOIN tot ORDER BY source
         """,
         # mirrors similarity.embedding_quantize_int8: per-dim [min,max]
         # SQ8 codes, pos-ordered error folds

@@ -464,3 +464,55 @@ def stratified_kfold(docs: DataFrame, k: int = KFOLDS) -> DataFrame:
     return (cum.select("doc_id", "source",
                        ((F.col("_cum") - 1) % k).cast("int").alias("fold"))
             .orderBy("doc_id"))
+
+
+# --- round-6 operators ------------------------------------------------
+
+TEMP_MIX_TOKEN_BUDGET = 100_000   # tokens per training epoch in the demo
+
+
+def source_temperature_mix(docs: DataFrame,
+                           budget: int = TEMP_MIX_TOKEN_BUDGET) -> DataFrame:
+    """Temperature-based source reweighting (T = 2, i.e. weight ∝
+    n_s^(1/2)) — the multilingual/multi-source mixing rule (GPT-3 /
+    XLM-R style): raising small sources' sampling share relative to
+    their natural frequency without letting any source dominate. For
+    each source: its natural token share, its temperature weight
+    w_s = √n_s / Σ_t √n_t, the expected tokens drawn per epoch at
+    `budget`, and the boost factor w_s / natural_share (>1 =
+    upsampled; epochs_per_pass for small sources exceeding 1 means
+    repetition — the quantity a mixing design caps).
+
+    Exponent choice is ½ ON PURPOSE: IEEE-754 requires sqrt to be
+    correctly rounded (pow(x, 0.5) is NOT guaranteed), so every
+    engine computes the identical weight. Per-source √n doubles are
+    cast to DECIMAL(38,10) before the cross-source total so the
+    denominator is an order-insensitive exact sum.
+
+    Scale: one map-side-combined groupBy(source) over the corpus +
+    one O(sources) broadcast total — the same two-job shape at 100 TB.
+
+    Returns (source, n_tokens, natural_share, temp_weight,
+    expected_tokens, boost) ordered by source.
+    """
+    from .text import tokens_col
+    n_tok = F.size(tokens_col()).cast("long")
+    per = (docs.select("source", n_tok.alias("_t"))
+           .groupBy("source")
+           .agg(F.sum("_t").cast("long").alias("n_tokens")))
+    sq = F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(38,10)")
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("_n"),
+                  F.sum(sq).alias("_sq"))
+    w = (sq.cast("double") / F.col("_sq").cast("double"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(
+                "source", "n_tokens",
+                F.round(F.col("n_tokens").cast("double")
+                        / F.col("_n").cast("double"), 6)
+                 .alias("natural_share"),
+                F.round(w, 6).alias("temp_weight"),
+                F.round(w * budget, 2).alias("expected_tokens"),
+                F.round(w / (F.col("n_tokens").cast("double")
+                             / F.col("_n").cast("double")), 6)
+                 .alias("boost"))
+            .orderBy("source"))

@@ -1186,3 +1186,50 @@ def winsorized_stats(docs: DataFrame,
                F.round(F.col("_mid_sum").cast("double") / n_mid, 6))
          .alias("trimmed_mean"))
         .orderBy("source"))
+
+
+# --- round-6 operators ------------------------------------------------
+
+
+def source_ols_fit(docs: DataFrame) -> DataFrame:
+    """Per-source simple linear regression (chars ~ tokens) in ONE
+    distributed pass — the closed-form normal-equation fit every
+    corpus-health dashboard runs to compare feeds: slope ≈ mean token
+    length + separator overhead per source, r² ≈ how "regular" the
+    feed's documents are (boilerplate-heavy feeds fit tighter). This
+    is the canonical shape of distributed ML-lite at 100 TB: sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) via one map-side-combined
+    groupBy, model algebra on the O(groups) aggregate — no iteration,
+    no collect, no second pass (contrast kmeans_train's k-pass loop).
+
+    Exactness: x = whitespace token count, y = char length — both
+    integers, so all six moments are EXACT decimal sums; they are cast
+    to double once and slope/intercept/r² are computed with the
+    identical expression tree on both engines (IEEE ops on identical
+    doubles), rounded 6dp on emit. Degenerate sources (var(x) = 0)
+    emit null slope/intercept/r² rather than ±inf.
+
+    Returns (source, n_docs, slope, intercept, r2) ordered by source.
+    """
+    x = F.size(tokens_col()).cast("long")
+    y = F.length("text").cast("long")
+    base = docs.select("source", x.alias("_x"), y.alias("_y"))
+    m = (base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("_x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("_y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(DEC)).cast("double").alias("syy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(DEC)).cast("double").alias("sxy")))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / vx
+    return (m.select(
+        "source", F.col("n").cast("long").alias("n_docs"),
+        F.when(vx > 0, F.round(slope, 6)).alias("slope"),
+        F.when(vx > 0, F.round((F.col("sy") - slope * F.col("sx"))
+                               / F.col("n"), 6)).alias("intercept"),
+        F.when((vx > 0) & (vy > 0),
+               F.round(cov * cov / (vx * vy), 6)).alias("r2"))
+        .orderBy("source"))
