@@ -150,6 +150,18 @@ def user_price_panel(trades: DataFrame, prices: DataFrame) -> DataFrame:
     the next grid date, via a cumulative sum over the UNION of grid
     and trade days, grid rows kept).
 
+    Documented divergence (found by the parity property test): the
+    reference's pandas pipeline leaves a pivot_table NaN HOLE in
+    ticker T's column on a day where only some other ticker traded;
+    cumsum propagates it, reindex-ffill copies it, and fillna(0)
+    silently RESETS T's running position to zero from that day — a
+    multi-ticker-ledger artifact contradicting the function's own
+    stated intent ("kumulera … fyll sedan framåt", running count
+    forward-filled). This engine computes the stated intent: the
+    cumulative sum never forgets prior trades
+    (tests/test_portfolio_twr_parity.py pins equality against the
+    intent-realized pandas form).
+
     Scale: |users|·|their tickers|·|grid days| rows — the honest cost
     of per-user panels; every join/window below is keyed by user (and
     ticker), so the whole pipeline partitions horizontally with no
