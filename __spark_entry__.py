@@ -484,6 +484,13 @@ def _q_basket_index(spark, sf_dir):
                            qty_now)
 
 
+def _q_portfolio_value_series(spark, sf_dir):
+    """Reference 1_Dashboard.py:359-366 — daily holdings market value
+    per user (the Portfölj_SEK tooltip series, cash excluded)."""
+    return WD.portfolio_value_series(derive.trades(spark, sf_dir),
+                                     _thinned_tick_prices(spark, sf_dir))
+
+
 def _q_price_panel(spark, sf_dir):
     return PV.price_panel(read_table(spark, sf_dir, "lineitem"))
 
@@ -1838,8 +1845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          fallback, :336-346), hard_negative_mining_lsh (the
          candidate-bounded production form of hard_negative_mining,
          VERDICT item 6), source_ols_fit (one-pass distributed
-         normal-equation regression per source), and
-         source_temperature_mix (T=2 source-reweighting report);
+         normal-equation regression per source), source_temperature_mix
+         (T=2 source-reweighting report), and portfolio_value_series
+         (daily holdings market value — the Portfölj_SEK series);
          (d) padding re-checks to fill the window: the r5-green 1a
          block (externally green in CORRECTNESS_r05.json, re-verified
          locally every round).
@@ -1873,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mining_lsh": _q_hard_negative_mining_lsh,
         "source_ols_fit": _q_source_ols_fit,
         "source_temperature_mix": _q_source_temperature_mix,
+        "portfolio_value_series": _q_portfolio_value_series,
         # -- 1d. padding re-checks (r5-green) to fill the 50-query window ----------------------------------
         "promo_revenue_share": _q_promo_revenue_share,
         "top_supplier": _q_top_supplier,
@@ -2747,6 +2756,19 @@ def _oracle_sql_base() -> dict[str, str]:
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND CURRENT ROW)) * 100, 6) AS twr_idx
             FROM pr
+        """,
+        # mirrors windowed.portfolio_value_series: unshifted daily
+        # holdings value over the shared panel (1_Dashboard.py:359-366)
+        "portfolio_value_series": f"""
+            WITH {TRADES_CTE.strip().rstrip()},
+            {TICK_PRICES_CTE.strip().rstrip()},
+            {_USER_PANEL_SQL.strip().rstrip()}
+            SELECT "user", ts AS d,
+                   CAST(ROUND(SUM(CAST(qty * close_i AS DECIMAL(38,10))),
+                              2) AS DOUBLE) AS market_value
+            FROM interp
+            GROUP BY "user", ts
+            ORDER BY "user", d
         """,
         # mirrors windowed.basket_index: fold-final quantities dotted
         # with the same panel (reference 1_Dashboard.py:336-346)

@@ -259,6 +259,23 @@ def portfolio_twr(trades: DataFrame, prices: DataFrame) -> DataFrame:
         F.round(F.exp(F.sum(safe).over(w_idx)) * 100, 6).alias("twr_idx"))
 
 
+def portfolio_value_series(trades: DataFrame,
+                           prices: DataFrame) -> DataFrame:
+    """Daily holdings market value per user — Σ_tickers qty_eod ·
+    close over the per-user panel: the unshifted form of
+    portfolio_twr's tot_val, and the series the reference surfaces as
+    the Portfölj_SEK tooltip (1_Dashboard.py:359-366, there derived as
+    index/100·base_val — identical when cash is excluded). One
+    (user, d) aggregate over user_price_panel; exact decimal sum,
+    rounded 2dp like the reference's SEK display."""
+    panel = user_price_panel(trades, prices)
+    return (panel.groupBy("user", "ts")
+            .agg(F.round(dsum(F.col("qty") * F.col("close_i")), 2)
+                 .cast("double").alias("market_value"))
+            .select("user", F.col("ts").alias("d"), "market_value")
+            .orderBy("user", "d"))
+
+
 def basket_index(trades: DataFrame, prices: DataFrame,
                  qty_now: DataFrame) -> DataFrame:
     """The Dashboard's static-basket fallback series

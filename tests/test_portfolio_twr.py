@@ -121,6 +121,21 @@ def test_basket_index_normalizes_current_holdings(spark):
     assert out["2024-01-02"]["basket_idx"] == pytest.approx(150.0)
 
 
+def test_portfolio_value_series_is_unshifted_holdings_value(spark):
+    import datetime as dt
+    tr = _trades(spark, [
+        (1, "u1", "A", dt.datetime(2024, 1, 1, 9), "BUY", 2.0, 10.0, 0.0),
+        (2, "u1", "A", dt.datetime(2024, 1, 2, 9), "BUY", 1.0, 12.0, 0.0),
+    ])
+    px = _prices(spark, [
+        ("A", "2024-01-01", 10.0), ("A", "2024-01-02", 12.0),
+    ])
+    out = {r["d"].isoformat(): r["market_value"] for r in
+           WD.portfolio_value_series(tr, px).collect()}
+    # end-of-day quantities: day1 holds 2 (MV 20), day2 holds 3 (MV 36)
+    assert out == {"2024-01-01": 20.0, "2024-01-02": 36.0}
+
+
 def test_hnm_lsh_single_cell_equals_exact_baseline(spark, sf_dir):
     # with ONE cell every vector is every other's candidate, so the
     # candidate-bounded miner must reproduce the exact N² baseline
