@@ -491,6 +491,21 @@ def _q_portfolio_value_series(spark, sf_dir):
                                      _thinned_tick_prices(spark, sf_dir))
 
 
+def _q_ewma_prices(spark, sf_dir):
+    """Per-ticker recursive EWMA (alpha=0.25) — the W6 fold kernel's
+    physical shape applied to exponential smoothing; oracle is the
+    literal recursive CTE."""
+    return WD.ewma_prices(derive.tick_prices(spark, sf_dir))
+
+
+def _q_prefix_filter_pairs(spark, sf_dir):
+    """Exact Jaccard>=0.7 near-dup pairs on the FULL corpus via
+    AllPairs/PPJoin prefix filtering — the exact counterpart of
+    minhash_lsh (zero false negatives by theorem), runnable unbounded
+    where ngram_jaccard's all-shared-shingle join needs a doc cap."""
+    return DD.prefix_filter_pairs(_docs(spark, sf_dir))
+
+
 def _q_price_panel(spark, sf_dir):
     return PV.price_panel(read_table(spark, sf_dir, "lineitem"))
 
@@ -1846,8 +1861,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          candidate-bounded production form of hard_negative_mining,
          VERDICT item 6), source_ols_fit (one-pass distributed
          normal-equation regression per source), source_temperature_mix
-         (T=2 source-reweighting report), and portfolio_value_series
-         (daily holdings market value — the Portfölj_SEK series);
+         (T=2 source-reweighting report), portfolio_value_series
+         (daily holdings market value — the Portfölj_SEK series),
+         ewma_prices (recursive exponential smoothing via the W6 fold
+         kernel, recursive-CTE oracle), and prefix_filter_pairs
+         (EXACT Jaccard>=0.7 self-join on the FULL corpus via
+         AllPairs/PPJoin prefix filtering — brute-force oracle, since
+         the candidate rule has zero false negatives by theorem);
          (d) padding re-checks to fill the window: the r5-green 1a
          block (externally green in CORRECTNESS_r05.json, re-verified
          locally every round).
@@ -1882,6 +1902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_ols_fit": _q_source_ols_fit,
         "source_temperature_mix": _q_source_temperature_mix,
         "portfolio_value_series": _q_portfolio_value_series,
+        "ewma_prices": _q_ewma_prices,
+        "prefix_filter_pairs": _q_prefix_filter_pairs,
         # -- 1d. padding re-checks (r5-green) to fill the 50-query window ----------------------------------
         "promo_revenue_share": _q_promo_revenue_share,
         "top_supplier": _q_top_supplier,
@@ -2658,6 +2680,33 @@ def _oracle_sql_base() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY ticker ORDER BY ts)
             )
         """, TICK_PRICES_CTE),
+        # mirrors windowed.ewma_prices: the literal recursion
+        # s_1 = x_1, s_t = 0.25*x_t + 0.75*s_{t-1} — alpha an exact
+        # binary fraction, so every step is bit-identical across
+        # engines; ROUND(.,6) is the twr_index display convention
+        "ewma_prices": """
+            WITH RECURSIVE tick_prices AS (
+                SELECT event_type AS ticker,
+                       CAST(ts AS DATE) AS ts,
+                       MIN(value) AS close
+                FROM events GROUP BY 1, 2
+            ),
+            px AS (
+                SELECT ticker, ts, close,
+                       ROW_NUMBER() OVER (PARTITION BY ticker
+                                          ORDER BY ts) AS rn
+                FROM tick_prices
+            ),
+            r(ticker, ts, close, rn, ewma) AS (
+                SELECT ticker, ts, close, rn, close FROM px WHERE rn = 1
+                UNION ALL
+                SELECT p.ticker, p.ts, p.close, p.rn,
+                       0.25 * p.close + 0.75 * r.ewma
+                FROM px p JOIN r ON p.ticker = r.ticker
+                               AND p.rn = r.rn + 1
+            )
+            SELECT ticker, ts, close, ROUND(ewma, 6) AS ewma FROM r
+        """,
         "normalize_index": with_domain("""
             SELECT ticker, ts,
                    CASE WHEN base = 0 THEN NULL ELSE ROUND(close / base * 100, 6) END AS idx
@@ -4103,6 +4152,34 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {DD.JACCARD_THRESHOLD}
+        """,
+        # prefix filtering is EXACT (zero false negatives by the
+        # AllPairs theorem), so the oracle is the brute-force
+        # all-shared-shingle join on the FULL corpus at tau=0.7 —
+        # no doc cap and no mirror of the candidate rule needed.
+        "prefix_filter_pairs": f"""
+            WITH shingles AS (
+                SELECT DISTINCT doc_id,
+                       substr(text, i, {DD.PF_SHINGLE_K}) AS shingle
+                FROM (SELECT doc_id, text,
+                             UNNEST(generate_series(1,
+                                 LENGTH(text) - {DD.PF_SHINGLE_K - 1})) AS i
+                      FROM documents)
+            )
+            , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+                  >= {DD.PF_TAU_NUM} / CAST({DD.PF_TAU_DEN} AS DOUBLE)
         """,
         # candidates (same CTEs as minhash_lsh, incl. the bucket cap)
         # → exact Jaccard over DISTINCT shingle sets, candidates only

@@ -90,6 +90,109 @@ def ngram_jaccard_pairs(docs: DataFrame,
             .select("doc_a", "doc_b", "n_common", "jaccard"))
 
 
+PF_TAU_NUM, PF_TAU_DEN = 7, 10  # exact rational threshold tau = 0.7
+# Prefix filtering needs a DISCRIMINATIVE token universe: its cost is
+# sum(df_prefix^2) over prefix tokens, so "rarest-first" only helps if
+# rare tokens exist. 5-char shingles over this corpus's small word
+# pool yield ~2k distinct shingles at sf0.1 (every shingle frequent:
+# 1.3M candidates); 15-char shingles span ~3 words, whose order
+# combinations give a 449k-token universe with a long rare tail —
+# 37k candidates for the same 5000 docs (measured). Real corpora are
+# Zipfian at any k; k stays a parameter.
+PF_SHINGLE_K = 15
+
+
+def prefix_filter_pairs(docs: DataFrame,
+                        tau_num: int = PF_TAU_NUM,
+                        tau_den: int = PF_TAU_DEN,
+                        k: int = PF_SHINGLE_K) -> DataFrame:
+    """EXACT-threshold Jaccard set-similarity self-join via PREFIX
+    FILTERING — the AllPairs/PPJoin candidate rule (Bayardo, Ma &
+    Srikant WWW'07; Chaudhuri, Ganti & Kaushik ICDE'06), the exact
+    counterpart of minhash LSH: zero false negatives by theorem, so
+    the oracle is the brute-force all-shared-shingle join.
+
+    Rule: order all shingles by ONE global total order (ascending
+    document frequency, ties by value — rarest first). For a doc with
+    n distinct shingles keep only its first p = n - ceil(tau*n) + 1
+    shingles as its PREFIX; candidate pairs are docs sharing a prefix
+    shingle. Why complete: J(A,B) >= tau implies |A∩B| >= tau*|A∪B|
+    >= ceil(tau*max(|A|,|B|)); let c* be the globally smallest common
+    shingle — at least |A∩B|-1 common shingles order after it in A,
+    so its position in A is <= |A| - ceil(tau*|A|) + 1 = p_A (same
+    for B), i.e. every qualifying pair shares c* inside BOTH
+    prefixes. ceil(tau*n) is computed in INTEGER arithmetic
+    ((tau_num*n + tau_den-1) div tau_den) so no float boundary can
+    disagree between engines.
+
+    vs ngram_jaccard_pairs (the all-shared-shingle verifier): that
+    join explodes on every frequent shingle (df^2 pairs per shingle)
+    and is registered only on a bounded subset; here each doc ships
+    only its ~(1-tau)*n rarest shingles, the frequent shingles never
+    reach the pair join, and candidates shrink by orders of magnitude
+    (pinned by test) — this is the form that runs on the FULL corpus.
+
+    Scale: shingles -> one shuffle for df counts, one doc-partitioned
+    window pair (count + row_number share the sort), prefix self-join
+    on the rarest shingles, then the size-ratio prune (divide-form,
+    dedup.py minhash_verified convention) on narrow ints BEFORE any
+    array movement; the exact verify intersects per-doc shingle sets
+    on candidates only. At 100 TB the prefix join key distribution is
+    capped by construction (a shingle in many prefixes has low df by
+    definition of the order, bounded by the corpus near-dup rate).
+    """
+    tau = tau_num / tau_den  # one exact int->double divide per engine
+    # distinct (doc_id, shingle) feeds FOUR consumers (df counts,
+    # prefix ranking, both verify sides) — materialize once
+    sh = iter_checkpoint(shingles(docs, k=k), eager=False)
+    # ONE doc-keyed aggregation serves both the verify arrays and the
+    # set sizes (sizes = size(array)) — no separate sizes shuffle
+    arrs = iter_checkpoint(
+        sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_sh")),
+        eager=False)
+    sizes = arrs.select("doc_id", F.size("_sh").cast("bigint").alias("_n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    wdoc = W.partitionBy("doc_id")
+    ranked = (sh.join(dfreq, "shingle")
+              .withColumn("_n", F.count(F.lit(1)).over(wdoc))
+              .withColumn("_rn", F.row_number().over(
+                  wdoc.orderBy("_df", "shingle"))))
+    prefix_len = (F.col("_n")
+                  - F.expr(f"({tau_num} * _n + {tau_den - 1})"
+                           f" div {tau_den}") + 1)
+    pref = (ranked.filter(F.col("_rn") <= prefix_len)
+            .select("doc_id", "shingle"))
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    # size-ratio prune before the arrays move: J <= min/max, evaluated
+    # with the SAME divide form as the final filter (boundary-safe for
+    # any threshold — see minhash_verified's derivation)
+    surv = (cand
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("_n").alias("_na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("_n").alias("_nb")), "doc_b")
+            .filter(F.least("_na", "_nb").cast("double")
+                    / F.greatest("_na", "_nb") >= F.lit(tau)))
+    va = arrs.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+    vb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+    with_common = (surv.join(va, "doc_a").join(vb, "doc_b")
+                   .select("doc_a", "doc_b",
+                           F.size(F.array_intersect("_sa", "_sb"))
+                            .cast("bigint").alias("n_common"),
+                           (F.col("_na") + F.col("_nb")).alias("_tot")))
+    return (with_common
+            .select("doc_a", "doc_b", "n_common",
+                    (F.col("n_common").cast("double")
+                     / (F.col("_tot") - F.col("n_common"))).alias("jaccard"))
+            .filter(F.col("jaccard") >= tau))
+
+
 def _signature_wide(docs: DataFrame, n_seeds: int) -> DataFrame:
     """One row per doc with the K per-seed minima as columns h0..hK−1.
 

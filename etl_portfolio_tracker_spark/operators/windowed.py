@@ -328,3 +328,78 @@ def price_with_fallback(primary: DataFrame, fallback: DataFrame) -> DataFrame:
                     F.coalesce("p_ts", "f_ts").alias("ts"),
                     F.when(F.col("p_close").isNotNull(), F.lit("primary"))
                      .otherwise(F.lit("fallback")).alias("source")))
+
+
+# --- EWMA (recursive exponential smoothing) --------------------------------
+
+EWMA_ALPHA = 0.25  # 2^-2: alpha and 1-alpha are both exact binary
+#                    fractions, so each fold step is two correctly-
+#                    rounded IEEE multiplies + one add — bit-identical
+#                    in any engine that evaluates the same expression.
+
+def ewma_prices(prices: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """Per-ticker exponentially weighted moving average of close:
+    s_1 = x_1;  s_t = alpha*x_t + (1-alpha)*s_{t-1}.
+
+    Why a Python fold and not window algebra: the closed form
+    s_t = alpha*sum((1-alpha)^(t-i) x_i) (+ boundary term) needs
+    (1-alpha)^(-i) factors that overflow/underflow doubles for series
+    longer than a few thousand rows, and its re-associated float sums
+    are NOT bit-identical to the recursion the definition states. So
+    we run the literal recursion, with the W6 fold kernel's physical
+    shape (fold.py module docstring): ONE exchange on the series key +
+    one sort within partitions + `mapInPandas` streaming Arrow batches
+    through a sequential loop with state carried across batch
+    boundaries. At 100 TB that is a single shuffle keyed by ticker;
+    the per-key scan is inherently sequential (the recursion is), and
+    keys spread across all executors.
+
+    Bit-exactness vs the DuckDB recursive-CTE oracle: both engines
+    evaluate `alpha*x + (1-alpha)*s` left to right on the same doubles
+    (alpha = 0.25 exactly representable), so every intermediate state
+    is bit-identical; the final ROUND(.,6) is the repo's display
+    convention (twr_index precedent).
+    """
+    import pandas as pd
+
+    rest = 1.0 - alpha
+
+    def _ewma_batches(batches):
+        cur = None
+        s = 0.0
+        for pdf in batches:
+            tk = []
+            ds = []
+            cl = []
+            ew = []
+            for t, d, c in zip(pdf["ticker"].values, pdf["ts"].values,
+                               pdf["close"].values):
+                c = float(c)
+                if t != cur:
+                    cur = t
+                    s = c
+                else:
+                    s = alpha * c + rest * s
+                tk.append(t)
+                ds.append(d)
+                cl.append(c)
+                ew.append(s)
+            yield pd.DataFrame({"ticker": tk, "ts": ds,
+                                "close": cl, "ewma": ew})
+
+    return (prices
+            .select("ticker", "ts", "close")
+            .repartition("ticker")
+            .sortWithinPartitions("ticker", "ts")
+            .mapInPandas(_ewma_batches, schema=_ewma_schema())
+            .withColumn("ewma", F.round("ewma", 6)))
+
+
+def _ewma_schema():
+    from pyspark.sql import types as T
+    return T.StructType([
+        T.StructField("ticker", T.StringType()),
+        T.StructField("ts", T.DateType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ])
