@@ -1,0 +1,167 @@
+"""Classifier-evaluation tier: exact AUC / PR curve / KS statistic
+for a score column against gold labels — the eval loop of a
+training-data quality pipeline (is the language-ID marker score a
+good detector of gold lang == 'en'?).
+
+The shared shape is the scale-safe one for eval over N docs: ONE
+fact-sized groupBy collapsing the corpus to per-distinct-score
+(n, n_pos) counts, then all rank/threshold math on that model-sized
+frame (distinct integer marker scores are bounded by tokens-per-doc,
+~dozens; the partitionless window that follows sees those few rows,
+never the fact — the same O(model) allowlist class as the sketch
+tier's register tables). A naive pairwise AUC join (P·N pairs) or a
+per-row global rank would be the 100 TB scale-killer here.
+
+Exactness: every statistic reduces to integer counting —
+  AUC  = (2·R_pos − ... ) via midranks: 2·midrank = 2·cum + n + 1 is
+         an INTEGER, so 2·Σranks stays integer; one final divide.
+  PR   = tp / (tp+fp), tp / P per distinct threshold; single divides.
+  KS   = max |cdf_pos − cdf_neg| — maximized over the INTEGER
+         cross-product |cum_pos·NEG − cum_neg·POS| before the one
+         divide, so the argmax can't be perturbed by float rounding.
+The midrank sums go through DECIMAL(38,0): at 10^12 docs
+Σ p·(2·cum+n+1) ~ P·2N exceeds BIGINT and Spark's ANSI mode would
+(correctly) refuse — decimal keeps the sum exact at any corpus size
+(the join_size_estimate convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .text import LANG_MARKERS, tokens_col
+
+EVAL_LANG = "en"
+
+D38 = "decimal(38,0)"
+
+
+def _score_groups(docs: DataFrame, lang: str) -> DataFrame:
+    """(score, n, p): corpus collapsed to per-distinct-score counts.
+    score = gold-language marker hits (the language_id 'en' score);
+    p = how many of those docs are GOLD lang — the one fact-sized
+    aggregation all three statistics share."""
+    markers = LANG_MARKERS[lang]
+    score = F.size(F.filter(tokens_col(), lambda t: t.isin(markers)))
+    y = (F.col("lang") == lang).cast("long")
+    return (docs
+            .select(score.cast("long").alias("score"), y.alias("y"))
+            .groupBy("score")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("p")))
+
+
+def score_auc(docs: DataFrame, lang: str = EVAL_LANG) -> DataFrame:
+    """Exact ROC-AUC of the marker score for gold lang, by the
+    Mann-Whitney rank identity with midrank tie handling:
+    AUC = (Σ_pos midrank − P(P+1)/2) / (P·N). Ties matter here — the
+    score takes ~dozens of integer values — and midranks give the
+    standard trapezoidal ROC value. One row out."""
+    g = _score_groups(docs, lang)
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    c = g.withColumn("cum", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    # 2·Σ_pos midrank = Σ p·(2·cum + n + 1): integer, DECIMAL-summed
+    s = c.agg(
+        F.sum((F.col("p").cast(D38)
+               * (2 * F.col("cum") + F.col("n") + 1)).cast(D38)).alias("r2"),
+        F.sum("p").alias("pos"),
+        F.sum(F.col("n") - F.col("p")).alias("neg"))
+    return s.select(
+        ((F.col("r2") - F.col("pos").cast(D38) * (F.col("pos") + 1))
+         .cast("double")
+         / (2 * F.col("pos").cast(D38) * F.col("neg")).cast("double"))
+        .alias("auc"),
+        F.col("pos").cast("long").alias("n_pos"),
+        F.col("neg").cast("long").alias("n_neg"))
+
+
+def pr_curve(docs: DataFrame, lang: str = EVAL_LANG) -> DataFrame:
+    """Precision/recall at every distinct score threshold (predict
+    positive when score >= t): the operating-point table a filter
+    tuner reads. tp/fp are suffix sums over the grouped counts
+    (descending score), so the curve costs nothing beyond the shared
+    groupBy. One row per distinct score."""
+    g = _score_groups(docs, lang)
+    wd = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, 0)
+    tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (g
+            .withColumn("tp", F.sum("p").over(wd))
+            .withColumn("fp", F.sum(F.col("n") - F.col("p")).over(wd))
+            .withColumn("_P", F.sum("p").over(tot))
+            .select(F.col("score").alias("threshold"),
+                    F.col("tp").cast("long").alias("tp"),
+                    F.col("fp").cast("long").alias("fp"),
+                    (F.col("tp").cast("double")
+                     / (F.col("tp") + F.col("fp")).cast("double"))
+                    .alias("precision"),
+                    (F.col("tp").cast("double")
+                     / F.col("_P").cast("double")).alias("recall")))
+
+
+def score_ks(docs: DataFrame, lang: str = EVAL_LANG) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the score distributions of
+    positives vs negatives: KS = max_t |cdf_pos(t) − cdf_neg(t)|.
+    The max is taken over the INTEGER cross-product
+    |cum_pos·NEG − cum_neg·POS| (ties on it broken by lowest
+    threshold), so the selected threshold is exact — the single
+    divide happens after the argmax. One row out."""
+    g = _score_groups(docs, lang)
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = (g
+         .withColumn("cp", F.sum("p").over(w))
+         .withColumn("cn", F.sum(F.col("n") - F.col("p")).over(w))
+         .withColumn("_P", F.sum("p").over(tot))
+         .withColumn("_N", F.sum(F.col("n") - F.col("p")).over(tot)))
+    d = c.select(
+        "score", "_P", "_N",
+        F.abs(F.col("cp").cast(D38) * F.col("_N")
+              - F.col("cn").cast(D38) * F.col("_P")).alias("_num"))
+    top = d.orderBy(F.desc("_num"), F.asc("score")).limit(1)
+    return top.select(
+        (F.col("_num").cast("double")
+         / (F.col("_P").cast(D38) * F.col("_N")).cast("double")).alias("ks"),
+        F.col("score").alias("at_threshold"))
+
+
+def chi2_lang_source(docs: DataFrame) -> DataFrame:
+    """Chi-square independence test of the lang x source contingency
+    (is language mix homogeneous across sources?) plus Cramér's V —
+    the corpus-audit statistic a mixing pipeline checks before
+    assuming per-source language shares are exchangeable.
+
+    Shape: ONE fact-sized groupBy to the contingency table, then all
+    margin/expected math on that model-sized frame (|langs|·|sources|
+    cells) via partitionless windows — the O(model) allowlist class.
+    Margin products r·c go through DECIMAL(38,0) (BIGINT would
+    overflow at ~10^10 docs); each cell's (o-e)^2/e term is one
+    double expression, and the cell sum is DECIMAL-cast so it is
+    order-insensitive and bit-identical across engines.
+    """
+    cont = (docs.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("o")))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_l = W.partitionBy("lang")
+    w_s = W.partitionBy("source")
+    c = (cont
+         .withColumn("r", F.sum("o").over(w_l))
+         .withColumn("c", F.sum("o").over(w_s))
+         .withColumn("t", F.sum("o").over(w_all))
+         .withColumn("nl", F.size(F.collect_set("lang").over(w_all)))
+         .withColumn("ns", F.size(F.collect_set("source").over(w_all))))
+    e = ((F.col("r").cast(D38) * F.col("c")).cast("double")
+         / F.col("t").cast("double"))
+    term = ((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
+            / e)
+    s = c.agg(
+        F.sum(term.cast("decimal(38,10)")).alias("chi2d"),
+        F.max("t").alias("t"),
+        F.max("nl").alias("nl"),
+        F.max("ns").alias("ns"))
+    chi2 = F.col("chi2d").cast("double")
+    dof = ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long")
+    denom = (F.col("t") * F.least(F.col("nl") - 1, F.col("ns") - 1))
+    return s.select(
+        F.round(chi2, 6).alias("chi2"),
+        dof.alias("dof"),
+        F.round(F.sqrt(chi2 / denom.cast("double")), 6).alias("cramers_v"),
+        F.col("t").cast("long").alias("n_docs"))

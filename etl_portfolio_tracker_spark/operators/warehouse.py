@@ -1097,3 +1097,54 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("_upd").cast("long").alias("n_updated"),
                  F.sum("_ins").cast("long").alias("n_inserted"))
             .orderBy("o_orderstatus"))
+
+
+WAIT_LATE_DAYS = 60
+WAIT_TOP_K = 20
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str,
+                      late_days: int = WAIT_LATE_DAYS,
+                      k: int = WAIT_TOP_K) -> DataFrame:
+    """TPC-H Q21 analog (suppliers who kept orders waiting): count a
+    supplier's LATE lineitems (shipped > late_days after the order
+    date) in multi-supplier orders where it was the ONLY late
+    supplier. The schema has no commit/receipt dates, so "late" is
+    shipdate vs orderdate — the join/quantifier structure is Q21's.
+
+    The classic formulation is a triple self-join of the fact
+    (l1 ⋈ EXISTS l2 ⋈ NOT EXISTS l3) — three fact-fact joins. Here
+    the two correlated quantifiers collapse into ONE per-order
+    aggregate: n_supp >= 2 encodes EXISTS(other supplier) and
+    n_late_supp = 1 encodes NOT EXISTS(other late supplier), with the
+    sole late supplier and its late-row count read off the same
+    aggregate — one fact join (lineitem ⋈ orders on the key both are
+    naturally partitioned by) + one groupBy, instead of three fact
+    shuffles. The DuckDB oracle intentionally keeps the textbook
+    EXISTS/NOT-EXISTS form, so the rewrite is verified against an
+    INDEPENDENT formulation. Interval arithmetic on ntz timestamps is
+    session-tz-independent (the P5 convention).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .select("l_orderkey", "l_suppkey", late.alias("_late")))
+    per = (j.groupBy("l_orderkey")
+           .agg(F.count_distinct("l_suppkey").alias("_ns"),
+                F.count_distinct(
+                    F.when(F.col("_late"), F.col("l_suppkey"))).alias("_nls"),
+                F.max(F.when(F.col("_late"), F.col("l_suppkey")))
+                 .alias("_sole"),
+                F.sum(F.when(F.col("_late"), 1).otherwise(0))
+                 .alias("_late_rows")))
+    sole = per.filter((F.col("_ns") >= 2) & (F.col("_nls") == 1))
+    counts = (sole.groupBy("_sole")
+              .agg(F.sum("_late_rows").cast("long").alias("numwait")))
+    return (counts
+            .join(F.broadcast(supp), counts._sole == supp.s_suppkey)
+            .select("s_name", "numwait")
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(k))
