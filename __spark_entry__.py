@@ -251,6 +251,70 @@ _EVAL_GROUPS_SQL = f"""
     g AS (SELECT score, COUNT(*) AS n, SUM(y) AS p FROM t GROUP BY 1)
 """
 
+def _logit_oracle_sql() -> str:
+    """Unrolled Newton/IRLS chain mirroring text.logit_quality_fit:
+    per-row terms DECIMAL(38,10)-cast before summing (truncates
+    libm-exp ulp noise, order-insensitive), scalar CTE algebra in
+    DOUBLE with the same association as the driver Python
+    (h11*g0 - h01*g1, det its own value). Iteration weights flow
+    through CTEs w1..wK instead of driver literals."""
+    stop = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+    xy = f"""
+    xy AS (
+        SELECT CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks,
+                             t -> list_contains([{stop}], t))) AS DOUBLE)
+                         / len(toks)
+                    ELSE 0.0 END AS x,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM (SELECT string_split({_NORM_SQL}, ' ') AS toks, lang
+              FROM documents)
+    ),
+    w0 AS (SELECT 0.0 AS a, 0.0 AS b)"""
+    parts = [xy]
+    for k in range(1, TX.LOGIT_ITERS + 1):
+        parts.append(f"""
+    s{k} AS (
+        SELECT SUM(CAST(y - mu AS DECIMAL(38,10))) AS g0,
+               SUM(CAST(x * (y - mu) AS DECIMAL(38,10))) AS g1,
+               SUM(CAST(mu * (1.0 - mu) AS DECIMAL(38,10))) AS h00,
+               SUM(CAST(x * (mu * (1.0 - mu)) AS DECIMAL(38,10))) AS h01,
+               SUM(CAST(x * x * (mu * (1.0 - mu)) AS DECIMAL(38,10))) AS h11
+        FROM (SELECT x, y, 1.0 / (1.0 + EXP(-(a + b * x))) AS mu
+              FROM xy CROSS JOIN w{k - 1})
+    ),
+    d{k} AS (
+        SELECT a, b,
+               CAST(g0 AS DOUBLE) AS g0, CAST(g1 AS DOUBLE) AS g1,
+               CAST(h00 AS DOUBLE) AS h00, CAST(h01 AS DOUBLE) AS h01,
+               CAST(h11 AS DOUBLE) AS h11,
+               CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                   - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM s{k} CROSS JOIN w{k - 1}
+    ),
+    w{k} AS (
+        SELECT a + (h11 * g0 - h01 * g1) / det AS a,
+               b + (h00 * g1 - h01 * g0) / det AS b
+        FROM d{k}
+    )""")
+    k = TX.LOGIT_ITERS
+    parts.append(f"""
+    ll AS (
+        SELECT SUM(CAST(-(y * LN(mu) + (1.0 - y) * LN(1.0 - mu))
+                        AS DECIMAL(38,10))) AS lls,
+               COUNT(*) AS n
+        FROM (SELECT x, y, 1.0 / (1.0 + EXP(-(a + b * x))) AS mu
+              FROM xy CROSS JOIN w{k})
+    )""")
+    body = f"""
+    SELECT ROUND(a, 6) AS w0, ROUND(b, 6) AS w1,
+           ROUND(CAST(lls AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS mean_log_loss,
+           CAST(n AS BIGINT) AS n_docs
+    FROM ll CROSS JOIN w{k}"""
+    return "WITH" + ",".join(parts) + body
+
+
 _BANDS_SQL = """
             , seeded AS (
                 -- one-permutation hashing: seed s = 32-bit slice s of
@@ -523,6 +587,13 @@ def _q_score_ks(spark, sf_dir):
     """KS separation of pos/neg score distributions; argmax taken on
     the integer cross-product so rounding can't move the threshold."""
     return EV.score_ks(_docs(spark, sf_dir))
+
+
+def _q_logit_quality_fit(spark, sf_dir):
+    """Newton/IRLS logistic regression of gold lang on stopword_ratio
+    — per-iteration sufficient statistics only (O(1) driver state);
+    oracle is the fully unrolled scalar-CTE chain."""
+    return TX.logit_quality_fit(_docs(spark, sf_dir))
 
 
 def _q_waiting_suppliers(spark, sf_dir):
@@ -1918,9 +1989,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          the EVALUATION TIER (score_auc — exact Mann-Whitney AUC via
          integer midranks, pr_curve, score_ks, chi2_lang_source —
          each one fact-sized groupBy + model-sized rank/margin math),
-         and waiting_suppliers (TPC-H Q21 analog: the correlated
+         waiting_suppliers (TPC-H Q21 analog: the correlated
          EXISTS/NOT-EXISTS pair collapsed into one per-order
-         aggregate; oracle keeps the textbook quantifier form);
+         aggregate; oracle keeps the textbook quantifier form), and
+         logit_quality_fit (Newton/IRLS logistic regression — per
+         iteration one sufficient-statistics aggregate, O(1) driver
+         state; oracle is the fully unrolled scalar-CTE chain);
          (d) padding re-checks to fill the window: the r5-green 1a
          block (externally green in CORRECTNESS_r05.json, re-verified
          locally every round).
@@ -1962,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_ks": _q_score_ks,
         "chi2_lang_source": _q_chi2_lang_source,
         "waiting_suppliers": _q_waiting_suppliers,
+        "logit_quality_fit": _q_logit_quality_fit,
         # -- 1d. padding re-checks (r5-green) to fill the 50-query window ----------------------------------
         "promo_revenue_share": _q_promo_revenue_share,
         "top_supplier": _q_top_supplier,
@@ -4278,6 +4353,7 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY num DESC, score ASC
             LIMIT 1
         """,
+        "logit_quality_fit": _logit_oracle_sql(),
         # INDEPENDENT formulation on purpose: the Spark side collapses
         # Q21's correlated quantifiers into one per-order aggregate;
         # the oracle keeps the textbook EXISTS / NOT EXISTS

@@ -1233,3 +1233,69 @@ def source_ols_fit(docs: DataFrame) -> DataFrame:
         F.when((vx > 0) & (vy > 0),
                F.round(cov * cov / (vx * vy), 6)).alias("r2"))
         .orderBy("source"))
+
+
+LOGIT_ITERS = 3
+
+
+def logit_quality_fit(docs: DataFrame) -> DataFrame:
+    """Distributed logistic regression (Newton/IRLS, LOGIT_ITERS
+    unrolled steps from w = 0): P(lang == 'en' | stopword_ratio) —
+    the in-engine form of training a data-quality classifier, closing
+    the model-training tier (source_ols_fit = linear, kmeans_train =
+    clustering, this = classification).
+
+    Scale shape (the kmeans_train pattern): each iteration is ONE
+    map + aggregate over the fact producing five sufficient
+    statistics (g0, g1 gradient; h00, h01, h11 Hessian); only this
+    O(1) model state reaches the driver, which solves the 2x2 Newton
+    system and embeds the new weights as literals in the next
+    iteration's plan. Nothing pairwise, nothing per-row collected.
+
+    Cross-engine exactness: every per-row term (built from exp(),
+    which libm does NOT guarantee correctly rounded) is cast to
+    DECIMAL(38,10) BEFORE summing — the cast truncates ulp-level
+    libm disagreement below the kept digits and makes the sums
+    order-insensitive; the Newton algebra then runs on bit-identical
+    doubles (driver Python here, scalar CTE math in the oracle — both
+    IEEE). Iteration 1 is exact by construction: w = 0 gives
+    mu = 1/(1+exp(0)) = 0.5 and mu(1-mu) = 0.25 in any engine.
+    """
+    n_tok = F.size(tokens_col())
+    n_stop = F.size(F.filter(tokens_col(), lambda t: t.isin(STOPWORDS)))
+    x = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
+    y = (F.col("lang") == "en").cast("double")
+    from ..functions.checkpoints import iter_checkpoint
+    xy = iter_checkpoint(
+        docs.select(x.alias("x"), y.alias("y")), eager=False)
+
+    w0 = w1 = 0.0
+    for _ in range(LOGIT_ITERS):
+        z = F.lit(w0) + F.lit(w1) * F.col("x")
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        s = mu * (F.lit(1.0) - mu)
+        r = xy.agg(
+            F.sum((F.col("y") - mu).cast(DEC)).alias("g0"),
+            F.sum((F.col("x") * (F.col("y") - mu)).cast(DEC)).alias("g1"),
+            F.sum(s.cast(DEC)).alias("h00"),
+            F.sum((F.col("x") * s).cast(DEC)).alias("h01"),
+            F.sum((F.col("x") * F.col("x") * s).cast(DEC)).alias("h11"),
+        ).collect()[0]
+        g0, g1 = float(r["g0"]), float(r["g1"])
+        h00, h01, h11 = float(r["h00"]), float(r["h01"]), float(r["h11"])
+        det = h00 * h11 - h01 * h01
+        w0 = w0 + (h11 * g0 - h01 * g1) / det
+        w1 = w1 + (h00 * g1 - h01 * g0) / det
+
+    z = F.lit(w0) + F.lit(w1) * F.col("x")
+    mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    ll_term = -(F.col("y") * F.log(mu)
+                + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - mu))
+    return (xy.agg(F.sum(ll_term.cast(DEC)).alias("_ll"),
+                   F.count(F.lit(1)).alias("n_docs"))
+            .select(F.round(F.lit(w0), 6).alias("w0"),
+                    F.round(F.lit(w1), 6).alias("w1"),
+                    F.round((F.col("_ll").cast("double")
+                             / F.col("n_docs").cast("double")), 6)
+                     .alias("mean_log_loss"),
+                    F.col("n_docs").cast("long").alias("n_docs")))

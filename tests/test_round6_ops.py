@@ -320,3 +320,69 @@ def test_waiting_suppliers_matches_pandas_recompute(spark, sf_dir):
                  key=lambda t: (-t[1], t[0]))[:20]
     assert got == exp
     assert len(got) > 0
+
+
+def test_logit_fit_learns_separable_signal(spark):
+    # y=1 docs are stopword-dense, y=0 docs stopword-free → the fit
+    # must find a positive slope and beat the chance loss ln(2)
+    import math
+    rows = ([(i, "the of to and in is the of", "en") for i in range(20)]
+            + [(100 + i, "qq ww ee rr tt yy uu oo", "de") for i in range(20)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = TX.logit_quality_fit(docs).collect()[0]
+    assert r["n_docs"] == 40
+    assert r["w1"] > 0
+    assert r["mean_log_loss"] < math.log(2)
+
+
+def test_logit_fit_matches_python_irls_bitwise(spark, sf_dir):
+    # pure-Python replication of the exact contract: per-row terms
+    # quantized to DECIMAL(38,10) with Spark's double->decimal cast
+    # semantics (HALF_UP on the shortest repr — BigDecimal.valueOf),
+    # decimal sums, IEEE Newton algebra. Must agree bit-for-bit.
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    from etl_portfolio_tracker_spark.io import read_table
+
+    def q10(v):
+        return Decimal(repr(v)).quantize(Decimal("1e-10"), ROUND_HALF_UP)
+
+    docs = read_table(spark, sf_dir, "documents").toPandas()
+    xs, ys = [], []
+    import re
+    for _, row in docs.iterrows():
+        toks = re.sub(r"\s+", " ", row["text"].strip().lower()).split(" ")
+        n_stop = sum(t in TX.STOPWORDS for t in toks)
+        xs.append(n_stop / len(toks) if len(toks) > 0 else 0.0)
+        ys.append(1.0 if row["lang"] == "en" else 0.0)
+    w0 = w1 = 0.0
+    for _ in range(TX.LOGIT_ITERS):
+        g0 = g1 = h00 = h01 = h11 = Decimal(0)
+        for x, y in zip(xs, ys):
+            mu = 1.0 / (1.0 + math.exp(-(w0 + w1 * x)))
+            s = mu * (1.0 - mu)
+            g0 += q10(y - mu)
+            g1 += q10(x * (y - mu))
+            h00 += q10(s)
+            h01 += q10(x * s)
+            h11 += q10(x * x * s)
+        g0f, g1f = float(g0), float(g1)
+        h00f, h01f, h11f = float(h00), float(h01), float(h11)
+        det = h00f * h11f - h01f * h01f
+        w0 = w0 + (h11f * g0f - h01f * g1f) / det
+        w1 = w1 + (h00f * g1f - h01f * g0f) / det
+    lls = Decimal(0)
+    for x, y in zip(xs, ys):
+        mu = 1.0 / (1.0 + math.exp(-(w0 + w1 * x)))
+        lls += q10(-(y * math.log(mu) + (1.0 - y) * math.log(1.0 - mu)))
+    from decimal import Decimal as D
+
+    def r6(v):
+        return float(D(repr(v)).quantize(D("1e-6"), ROUND_HALF_UP))
+
+    got = TX.logit_quality_fit(
+        read_table(spark, sf_dir, "documents")).collect()[0]
+    assert got["w0"] == r6(w0)
+    assert got["w1"] == r6(w1)
+    assert got["mean_log_loss"] == r6(float(lls) / len(xs))
+    assert got["n_docs"] == len(xs)

@@ -1,6 +1,8 @@
-"""1×/10× probe for the round-6b operators (ewma_prices,
-prefix_filter_pairs). Same materialize-a-tmp-sf-dir method as
-scale_probe_r6.py; growth directions are the realistic ones:
+"""1×/10× probe for the round-6 continuation operators
+(ewma_prices, prefix_filter_pairs, the evaluation tier,
+waiting_suppliers, logit_quality_fit). Same
+materialize-a-tmp-sf-dir method as scale_probe_r6.py; growth
+directions are the realistic ones:
 
   documents — 10× docs with per-copy consonant rotation
               (scale_probe.docs_10x): within-copy near-dups survive,
@@ -57,11 +59,33 @@ def main() -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{TMP10}/events.parquet")
-    print("built 10x documents + events", flush=True)
+
+    # orders/lineitem 10x with shifted keys (waiting_suppliers joins
+    # them on the order key); supplier stays 1x — the realistic
+    # direction (dimension bounded, fact grows)
+    o = read_table(spark, sf, "orders")
+    op = [o.withColumn("o_orderkey", F.col("o_orderkey") + i * BIG)
+          for i in range(10)]
+    oo = op[0]
+    for p in op[1:]:
+        oo = oo.unionByName(p)
+    oo.write.mode("overwrite").parquet(f"{TMP10}/orders.parquet")
+    li = read_table(spark, sf, "lineitem")
+    lp = [li.withColumn("l_orderkey", F.col("l_orderkey") + i * BIG)
+          for i in range(10)]
+    ll = lp[0]
+    for p in lp[1:]:
+        ll = ll.unionByName(p)
+    ll.write.mode("overwrite").parquet(f"{TMP10}/lineitem.parquet")
+    read_table(spark, sf, "supplier").write.mode("overwrite") \
+        .parquet(f"{TMP10}/supplier.parquet")
+    print("built 10x documents + events + orders/lineitem", flush=True)
 
     import __spark_entry__ as E  # noqa: E402
     qs = E.queries()
-    for q in ("ewma_prices", "prefix_filter_pairs"):
+    for q in ("ewma_prices", "prefix_filter_pairs", "score_auc",
+              "pr_curve", "score_ks", "chi2_lang_source",
+              "waiting_suppliers", "logit_quality_fit"):
         bench(f"{q} 1x", lambda q=q: qs[q](spark, sf))
         bench(f"{q} 10x", lambda q=q: qs[q](spark, TMP10))
 
