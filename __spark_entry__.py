@@ -583,6 +583,12 @@ def _q_pr_curve(spark, sf_dir):
     return EV.pr_curve(_docs(spark, sf_dir))
 
 
+def _q_pr_auc(spark, sf_dir):
+    """Average precision over the same collapsed distinct-score frame
+    (step-interpolated PR-curve area)."""
+    return EV.pr_auc(_docs(spark, sf_dir))
+
+
 def _q_score_ks(spark, sf_dir):
     """KS separation of pos/neg score distributions; argmax taken on
     the integer cross-product so rounding can't move the threshold."""
@@ -594,6 +600,15 @@ def _q_logit_quality_fit(spark, sf_dir):
     — per-iteration sufficient statistics only (O(1) driver state);
     oracle is the fully unrolled scalar-CTE chain."""
     return TX.logit_quality_fit(_docs(spark, sf_dir))
+
+
+def _q_streaming_ewma_replay(spark, sf_dir):
+    """Per-ticker EWMA as keyed streaming state
+    (applyInPandasWithState), one availableNow micro-batch; oracle is
+    the recursive CTE over (ts, event_id)-ordered event values."""
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_ewma_replay)
+    return streaming_ewma_replay(spark, sf_dir)
 
 
 def _q_waiting_suppliers(spark, sf_dir):
@@ -1987,8 +2002,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          AllPairs/PPJoin prefix filtering — brute-force oracle, since
          the candidate rule has zero false negatives by theorem), and
          the EVALUATION TIER (score_auc — exact Mann-Whitney AUC via
-         integer midranks, pr_curve, score_ks, chi2_lang_source —
-         each one fact-sized groupBy + model-sized rank/margin math),
+         integer midranks, pr_curve, pr_auc, score_ks,
+         chi2_lang_source — each one fact-sized groupBy + model-sized
+         rank/margin math), streaming_ewma_replay (the EWMA recursion
+         as keyed applyInPandasWithState streaming state, recursive-
+         CTE oracle),
          waiting_suppliers (TPC-H Q21 analog: the correlated
          EXISTS/NOT-EXISTS pair collapsed into one per-order
          aggregate; oracle keeps the textbook quantifier form), and
@@ -2033,10 +2051,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter_pairs": _q_prefix_filter_pairs,
         "score_auc": _q_score_auc,
         "pr_curve": _q_pr_curve,
+        "pr_auc": _q_pr_auc,
         "score_ks": _q_score_ks,
         "chi2_lang_source": _q_chi2_lang_source,
         "waiting_suppliers": _q_waiting_suppliers,
         "logit_quality_fit": _q_logit_quality_fit,
+        "streaming_ewma_replay": _q_streaming_ewma_replay,
         # -- 1d. padding re-checks (r5-green) to fill the 50-query window ----------------------------------
         "promo_revenue_share": _q_promo_revenue_share,
         "top_supplier": _q_top_supplier,
@@ -4326,6 +4346,27 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) AS recall
             FROM c
         """,
+        # mirrors evaluation.pr_auc: ΔR·P per descending threshold,
+        # DECIMAL-cast term sum
+        "pr_auc": _EVAL_GROUPS_SQL + """
+            , c AS (
+                SELECT p, n,
+                       SUM(p) OVER wd AS tp,
+                       SUM(n - p) OVER wd AS fp,
+                       SUM(p) OVER () AS pos
+                FROM g
+                WINDOW wd AS (ORDER BY score DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+            )
+            SELECT ROUND(CAST(SUM(CAST(
+                       (CAST(p AS DOUBLE) / CAST(pos AS DOUBLE))
+                       * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                       AS DECIMAL(38,10))) AS DOUBLE), 6) AS avg_precision,
+                   CAST(MAX(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(n - p) AS BIGINT) AS n_neg
+            FROM c
+        """,
         # mirrors evaluation.score_ks: argmax on the INTEGER
         # cross-product |cum_pos·NEG − cum_neg·POS|; divide after
         "score_ks": _EVAL_GROUPS_SQL + """
@@ -4354,6 +4395,29 @@ def _oracle_sql_base() -> dict[str, str]:
             LIMIT 1
         """,
         "logit_quality_fit": _logit_oracle_sql(),
+        # mirrors streaming_ewma_replay: the keyed streaming state's
+        # trajectory is the literal recursion over (ts, event_id)
+        # order — alpha = 2^-2 exact, so final state is bit-identical
+        "streaming_ewma_replay": """
+            WITH RECURSIVE e AS (
+                SELECT event_type AS ticker, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            ),
+            r(ticker, rn, n, ewma) AS (
+                SELECT ticker, rn, n, value FROM e WHERE rn = 1
+                UNION ALL
+                SELECT e.ticker, e.rn, e.n,
+                       0.25 * e.value + 0.75 * r.ewma
+                FROM e JOIN r ON e.ticker = r.ticker
+                            AND e.rn = r.rn + 1
+            )
+            SELECT ticker, CAST(n AS BIGINT) AS n_events,
+                   ROUND(ewma, 6) AS ewma
+            FROM r WHERE rn = n
+        """,
         # INDEPENDENT formulation on purpose: the Spark side collapses
         # Q21's correlated quantifiers into one per-order aggregate;
         # the oracle keeps the textbook EXISTS / NOT EXISTS

@@ -165,3 +165,30 @@ def chi2_lang_source(docs: DataFrame) -> DataFrame:
         dof.alias("dof"),
         F.round(F.sqrt(chi2 / denom.cast("double")), 6).alias("cramers_v"),
         F.col("t").cast("long").alias("n_docs"))
+
+
+def pr_auc(docs: DataFrame, lang: str = EVAL_LANG) -> DataFrame:
+    """Average precision (the PR-curve AUC under the standard step
+    interpolation): AP = Σ_k (R_k − R_{k−1})·P_k over thresholds in
+    descending score order. Each term is exact-integer tp/fp counts
+    through two divides; the term sum is DECIMAL-cast (order-
+    insensitive). One row out; same collapsed-frame shape as
+    score_auc."""
+    g = _score_groups(docs, lang)
+    wd = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, 0)
+    tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = (g
+         .withColumn("tp", F.sum("p").over(wd))
+         .withColumn("fp", F.sum(F.col("n") - F.col("p")).over(wd))
+         .withColumn("_P", F.sum("p").over(tot)))
+    # ΔR·P = (p_k / P) · (tp_k / (tp_k + fp_k)) — p_k is this
+    # threshold's positives, so Σ needs no lag()
+    term = ((F.col("p").cast("double") / F.col("_P").cast("double"))
+            * (F.col("tp").cast("double")
+               / (F.col("tp") + F.col("fp")).cast("double")))
+    return (c.agg(F.sum(term.cast("decimal(38,10)")).alias("_ap"),
+                  F.max("_P").alias("pos"),
+                  F.sum(F.col("n") - F.col("p")).alias("_neg"))
+            .select(F.round(F.col("_ap").cast("double"), 6).alias("avg_precision"),
+                    F.col("pos").cast("long").alias("n_pos"),
+                    F.col("_neg").cast("long").alias("n_neg")))

@@ -751,3 +751,24 @@ def streaming_cms_replay(spark: SparkSession, sf_dir: str,
             .orderBy(F.desc("true_count"), F.asc("token"))
             .limit(CMS_TOPK))
     return cms_probe(spark.table(name), true)
+
+
+def streaming_ewma_replay(spark: SparkSession, sf_dir: str,
+                          timeout_s: int = 300) -> DataFrame:
+    """Per-ticker EWMA of event values maintained as keyed streaming
+    state (applyInPandasWithState), replayed via one availableNow
+    micro-batch; returns (ticker, n_events, ewma). Within the single
+    batch the kernel folds each key's events in (ts, event_id) order
+    (same single-file caveat as streaming_fold_replay); alpha = 2^-2
+    is an exact binary fraction, so the state trajectory is
+    bit-identical to the recursive-CTE oracle."""
+    from pyspark.sql import functions as F
+
+    from .stateful import streaming_ewma_state
+    name = "stream_ewma_replay_" + uuid.uuid4().hex[:8]
+    out = streaming_ewma_state(_events_stream(spark, sf_dir))
+    _run_to_completion(
+        out.writeStream.format("memory").queryName(name)
+           .outputMode("update").trigger(availableNow=True), name, timeout_s)
+    return (spark.table(name)
+            .select("ticker", "n_events", F.round("ewma", 6).alias("ewma")))

@@ -148,3 +148,56 @@ def streaming_portfolio_tws(trades_stream: DataFrame) -> DataFrame:
                 outputStructType=OUT_SCHEMA,
                 outputMode="Update",
                 timeMode="None"))
+
+
+# --- streaming EWMA (the windowed.ewma_prices recursion as keyed
+#     streaming state) --------------------------------------------------
+
+EWMA_STATE_SCHEMA = T.StructType([
+    T.StructField("ewma", T.DoubleType()),
+    T.StructField("n", T.LongType()),
+])
+
+EWMA_OUT_SCHEMA = T.StructType([
+    T.StructField("ticker", T.StringType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("ewma", T.DoubleType()),
+])
+
+EWMA_ALPHA = 0.25  # keep equal to windowed.EWMA_ALPHA (exact 2^-2)
+
+
+def _ewma_with_state(key, pdfs: Iterable[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-ticker EWMA of event values in (ts, event_id) order:
+    s_1 = x_1, s_t = alpha*x_t + (1-alpha)*s_{t-1}. O(1) state per
+    key; incremental across micro-batches (a day's new events cost
+    O(new events) — the streaming form of the fold-kernel EWMA)."""
+    if state.exists:
+        s, n = state.get
+    else:
+        s, n = 0.0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for v in pdf["value"].values:
+            v = float(v)
+            s = v if n == 0 else EWMA_ALPHA * v + (1.0 - EWMA_ALPHA) * s
+            n += 1
+    state.update((s, n))
+    yield pd.DataFrame({"ticker": [key[0]], "n_events": [int(n)],
+                        "ewma": [s]})
+
+
+def streaming_ewma_state(events_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained per-ticker EWMA of event values."""
+    from pyspark.sql import functions as F
+    return (events_stream
+            .select(F.col("event_type").alias("ticker"),
+                    "ts", "event_id", "value")
+            .groupBy("ticker")
+            .applyInPandasWithState(
+                _ewma_with_state,
+                outputStructType=EWMA_OUT_SCHEMA,
+                stateStructType=EWMA_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

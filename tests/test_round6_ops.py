@@ -386,3 +386,78 @@ def test_logit_fit_matches_python_irls_bitwise(spark, sf_dir):
     assert got["w1"] == r6(w1)
     assert got["mean_log_loss"] == r6(float(lls) / len(xs))
     assert got["n_docs"] == len(xs)
+
+
+# --- prefix filter property test --------------------------------------------
+
+def test_prefix_filter_property_random_corpora(spark):
+    # AllPairs completeness + exactness on arbitrary small corpora:
+    # prefix-filtered pairs == pure-Python brute force over distinct
+    # k-shingle sets, for several thresholds and shingle widths
+    from hypothesis import given, settings, strategies as st
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+
+    WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    DOC = st.lists(WORDS, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(DOC, min_size=2, max_size=7),
+           st.sampled_from([(1, 2), (7, 10), (9, 10)]),
+           st.sampled_from([1, 3, 5]))
+    def run(texts, tau, k):
+        tau_num, tau_den = tau
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        got = {(r["doc_a"], r["doc_b"], r["n_common"])
+               for r in DD.prefix_filter_pairs(
+                   docs, tau_num=tau_num, tau_den=tau_den, k=k).collect()}
+        sets = {i: {t[j:j + k] for j in range(len(t) - k + 1)}
+                for i, t in enumerate(texts)}
+        exp = set()
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    if inter / union >= tau_num / tau_den:
+                        exp.add((a, b, inter))
+        assert got == exp
+
+    run()
+
+
+def test_streaming_ewma_matches_pandas_recursion(spark, sf_dir):
+    # the keyed streaming state's final value must equal the literal
+    # per-ticker recursion over (ts, event_id)-ordered event values
+    from decimal import ROUND_HALF_UP, Decimal
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_ewma_replay)
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"),
+                                               ROUND_HALF_UP))
+
+    got = {r["ticker"]: (r["n_events"], r["ewma"])
+           for r in streaming_ewma_replay(spark, sf_dir).collect()}
+    ev = (read_table(spark, sf_dir, "events")
+          .select("event_type", "ts", "event_id", "value").toPandas()
+          .sort_values(["event_type", "ts", "event_id"]))
+    exp = {}
+    for t, grp in ev.groupby("event_type"):
+        s, n = 0.0, 0
+        for v in grp["value"].values:
+            v = float(v)
+            s = v if n == 0 else 0.25 * v + 0.75 * s
+            n += 1
+        exp[t] = (n, r6(s))
+    assert got == exp
+
+
+def test_pr_auc_hand_derived(spark):
+    # thresholds desc: t=2 ΔR=.5 P=1; t=1 ΔR=.5 P=2/3; t=0 ΔR=0 →
+    # AP = .5*1 + .5*2/3 = 5/6
+    from etl_portfolio_tracker_spark.operators import evaluation as EV
+    r = EV.pr_auc(_eval_docs(spark)).collect()[0]
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+    assert abs(r["avg_precision"] - 5 / 6) < 5.1e-7  # round-6 display
