@@ -461,3 +461,57 @@ def test_pr_auc_hand_derived(spark):
     r = EV.pr_auc(_eval_docs(spark)).collect()[0]
     assert r["n_pos"] == 2 and r["n_neg"] == 2
     assert abs(r["avg_precision"] - 5 / 6) < 5.1e-7  # round-6 display
+
+
+def test_evaluation_tier_property_random_corpora(spark):
+    # AUC (pairwise), KS (cdf max), AP (step sum) on arbitrary
+    # score/label distributions vs pure-Python brute force — scores
+    # are en-marker counts, so texts are built from markers + noise
+    from hypothesis import given, settings, strategies as st
+    from etl_portfolio_tracker_spark.operators import evaluation as EV
+
+    MARKERS = ["the", "and", "of", "to", "a"]
+    DOC = st.tuples(st.integers(0, 4), st.sampled_from(["en", "de"]))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(DOC, min_size=2, max_size=12).filter(
+        lambda xs: any(l == "en" for _, l in xs)
+        and any(l != "en" for _, l in xs)))
+    def run(items):
+        rows = [(i, " ".join(MARKERS[:s] or ["zz"]), lang)
+                for i, (s, lang) in enumerate(items)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+        scores = [(s, 1 if lang == "en" else 0) for s, lang in items]
+        P = sum(y for _, y in scores)
+        N = len(scores) - P
+        # AUC brute force
+        wins = ties = 0
+        for sa, ya in scores:
+            for sb, yb in scores:
+                if ya == 1 and yb == 0:
+                    wins += sa > sb
+                    ties += sa == sb
+        r = EV.score_auc(docs).collect()[0]
+        assert r["auc"] == (wins + 0.5 * ties) / (P * N)
+        # KS brute force (max over thresholds, lowest tied threshold)
+        best, at = -1, None
+        for t in sorted({s for s, _ in scores}):
+            cp = sum(1 for s, y in scores if y == 1 and s <= t)
+            cn = sum(1 for s, y in scores if y == 0 and s <= t)
+            num = abs(cp * N - cn * P)
+            if num > best:
+                best, at = num, t
+        k = EV.score_ks(docs).collect()[0]
+        assert k["ks"] == best / (P * N)
+        assert k["at_threshold"] == at
+        # AP brute force over descending distinct thresholds
+        ap = 0.0
+        for t in sorted({s for s, _ in scores}, reverse=True):
+            p_t = sum(1 for s, y in scores if y == 1 and s == t)
+            tp = sum(1 for s, y in scores if y == 1 and s >= t)
+            fp = sum(1 for s, y in scores if y == 0 and s >= t)
+            ap += (p_t / P) * (tp / (tp + fp))
+        a = EV.pr_auc(docs).collect()[0]
+        assert abs(a["avg_precision"] - ap) < 5.1e-7  # round-6 display
+    run()
