@@ -49,10 +49,20 @@ def shingles(docs: DataFrame, k: int = SHINGLE_K,
     (MinHash) are multiset-invariant, so the minhash path never pays
     it; Jaccard set counts do."""
     from ..functions.partitioning import spread
+    # Short-doc guard: Spark's sequence(1, stop) REVERSES when stop < 1
+    # (sequence(1, 0) = [1, 0]) and substring(text, 0, k) aliases
+    # substring(text, 1, k), so an unguarded sequence emits a phantom
+    # whole-text shingle for any doc with length(text) < k — while the
+    # DuckDB oracle's generate_series(1, 0) is empty. A doc shorter
+    # than the shingle width has ZERO k-shingles on both engines.
+    # (Same CASE WHEN guard as the minhash signature path below.)
+    positions = F.expr(
+        f"CASE WHEN length(text) >= {k} "
+        f"THEN sequence(1, length(text) - {k - 1}) "
+        f"ELSE array() END")
     sh = (spread(docs, "doc_id")
           .select("doc_id",
-                  F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1)))
-                   .alias("i"),
+                  F.explode(positions).alias("i"),
                   "text")
           .select("doc_id", F.substring("text", F.col("i"), F.lit(k)).alias("shingle")))
     return sh.distinct() if distinct else sh

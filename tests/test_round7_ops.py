@@ -1,0 +1,78 @@
+"""Round-7 regression + new-operator tests.
+
+First block pins the round-6 verdict's confirmed cross-engine bug:
+Spark ``sequence(1, stop)`` REVERSES when stop < 1 (``sequence(1, 0)
+= [1, 0]``) and ``substring(text, 0, k) == substring(text, 1, k)``,
+so an unguarded shingling kernel emitted one phantom whole-text
+shingle for any doc shorter than the shingle width, while the DuckDB
+oracle's ``generate_series(1, 0)`` is empty.  The falsifying input
+found by hypothesis was ``texts=['aa','aa'], k=3``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_portfolio_tracker_spark.operators import dedup as DD
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+
+
+# --- shingles() short-doc phantom-shingle regression -------------------------
+
+def test_short_doc_zero_shingles(spark):
+    # the exact falsifying example: len(text)=2 < k=3 → ZERO shingles
+    docs = _docs(spark, ["aa", "aa"])
+    assert DD.shingles(docs, k=3).collect() == []
+    assert DD.shingles(docs, k=3, distinct=False).collect() == []
+
+
+def test_short_doc_prefix_filter_pairs_empty(spark):
+    # pre-fix this returned the phantom pair (0, 1, n_common=1, j=1.0)
+    docs = _docs(spark, ["aa", "aa"])
+    assert DD.prefix_filter_pairs(docs, k=3).collect() == []
+
+
+def test_short_doc_ngram_jaccard_empty(spark):
+    # default SHINGLE_K = 5 > len('aa'): no pair may appear
+    docs = _docs(spark, ["aa", "aa"])
+    assert DD.ngram_jaccard_pairs(docs).collect() == []
+
+
+def test_short_doc_minhash_verified_empty(spark):
+    docs = _docs(spark, ["aa", "aa"])
+    assert DD.minhash_verified(docs).collect() == []
+
+
+def test_mixed_short_and_long_docs(spark):
+    # short doc contributes nothing; long identical docs still pair
+    docs = _docs(spark, ["ab", "abcdefgh", "abcdefgh"])
+    sh = {(r["doc_id"], r["shingle"])
+          for r in DD.shingles(docs, k=3).collect()}
+    assert not any(d == 0 for d, _ in sh)
+    exp_long = {"abc", "bcd", "cde", "def", "efg", "fgh"}
+    assert {s for d, s in sh if d == 1} == exp_long
+    pairs = DD.prefix_filter_pairs(docs, tau_num=9, tau_den=10,
+                                   k=3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_common"]) for r in pairs] \
+        == [(1, 2, len(exp_long))]
+
+
+def test_boundary_doc_exactly_k_chars(spark):
+    # len(text) == k → exactly one shingle (the boundary the guard
+    # must NOT clip)
+    docs = _docs(spark, ["abc", "abc"])
+    sh = sorted((r["doc_id"], r["shingle"])
+                for r in DD.shingles(docs, k=3).collect())
+    assert sh == [(0, "abc"), (1, "abc")]
+    pairs = DD.ngram_jaccard_pairs(docs.withColumn(
+        "text", docs.text), threshold=0.5).collect()
+    # with SHINGLE_K=5 > 3 there are no shingles; use k via
+    # prefix_filter_pairs to assert the pair at k=3
+    got = DD.prefix_filter_pairs(docs, tau_num=1, tau_den=2,
+                                 k=3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"])
+            for r in got] == [(0, 1, 1, 1.0)]
