@@ -360,32 +360,44 @@ def ewma_prices(prices: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     is bit-identical; the final ROUND(.,6) is the repo's display
     convention (twr_index precedent).
     """
+    import numpy as np
     import pandas as pd
 
-    rest = 1.0 - alpha
-
     def _ewma_batches(batches):
+        # Vectorized per-run kernel: the recursion s_t = a*x_t +
+        # (1-a)*s_{t-1} IS pandas ewm(adjust=False) (both multiplies
+        # and the add are single correctly-rounded IEEE ops — the
+        # bit-equality is pinned by test_ewma_matches_pandas_ewm_
+        # bitwise), so each same-ticker RUN inside an Arrow batch
+        # folds through the C ewm kernel instead of a per-row Python
+        # loop (~50× on the hot path). State carries across batch
+        # boundaries by prepending the carried value as a synthetic
+        # x_0 (s_1' = a*x_1 + (1-a)*s_0 — the exact next fold step)
+        # and dropping it from the output.
         cur = None
         s = 0.0
         for pdf in batches:
-            tk = []
-            ds = []
-            cl = []
-            ew = []
-            for t, d, c in zip(pdf["ticker"].values, pdf["ts"].values,
-                               pdf["close"].values):
-                c = float(c)
-                if t != cur:
-                    cur = t
-                    s = c
+            n = len(pdf)
+            if n == 0:
+                yield pdf.assign(ewma=np.empty(0, dtype="float64"))
+                continue
+            t = pdf["ticker"].to_numpy()
+            x = pdf["close"].to_numpy(dtype="float64")
+            starts = np.flatnonzero(
+                np.r_[True, t[1:] != t[:-1]]).tolist() + [n]
+            ew = np.empty(n, dtype="float64")
+            for a, b in zip(starts[:-1], starts[1:]):
+                if a == 0 and t[0] == cur:
+                    seeded = pd.Series(np.r_[s, x[:b]]).ewm(
+                        alpha=alpha, adjust=False).mean()
+                    ew[:b] = seeded.to_numpy()[1:]
                 else:
-                    s = alpha * c + rest * s
-                tk.append(t)
-                ds.append(d)
-                cl.append(c)
-                ew.append(s)
-            yield pd.DataFrame({"ticker": tk, "ts": ds,
-                                "close": cl, "ewma": ew})
+                    ew[a:b] = pd.Series(x[a:b]).ewm(
+                        alpha=alpha, adjust=False).mean().to_numpy()
+            cur = t[-1]
+            s = float(ew[-1])
+            yield pd.DataFrame({"ticker": t, "ts": pdf["ts"].to_numpy(),
+                                "close": x, "ewma": ew})
 
     return (prices
             .select("ticker", "ts", "close")

@@ -43,8 +43,13 @@ def _fold_with_state(key, pdfs: Iterable[pd.DataFrame],
     else:
         q, avg, realized = 0.0, 0.0, 0.0
     rejected = 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
+    # concat ALL chunks for the key, sort ONCE: key-grouped Arrow
+    # chunks carry no global-order promise, so per-chunk sorting
+    # could fold out-of-order chunks (see _ewma_with_state)
+    parts = [p for p in pdfs if len(p)]
+    if parts:
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values(["ts", "id"], kind="mergesort"))
         for side, qty, price, fee in zip(pdf["side"].values, pdf["qty"].values,
                                          pdf["price"].values, pdf["fee"].values):
             qty, price, fee = float(qty), float(price), float(fee)
@@ -102,8 +107,10 @@ class PortfolioProcessor:
         else:
             q, avg, realized = 0.0, 0.0, 0.0
         rejected = 0
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "id"], kind="mergesort")
+        parts = [p for p in rows if len(p)]
+        if parts:
+            pdf = (pd.concat(parts, ignore_index=True)
+                   .sort_values(["ts", "id"], kind="mergesort"))
             for side, qty, price, fee in zip(
                     pdf["side"].values, pdf["qty"].values,
                     pdf["price"].values, pdf["fee"].values):
@@ -173,16 +180,27 @@ def _ewma_with_state(key, pdfs: Iterable[pd.DataFrame],
     s_1 = x_1, s_t = alpha*x_t + (1-alpha)*s_{t-1}. O(1) state per
     key; incremental across micro-batches (a day's new events cost
     O(new events) — the streaming form of the fold-kernel EWMA)."""
+    import numpy as np
     if state.exists:
         s, n = state.get
     else:
         s, n = 0.0, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        for v in pdf["value"].values:
-            v = float(v)
-            s = v if n == 0 else EWMA_ALPHA * v + (1.0 - EWMA_ALPHA) * s
-            n += 1
+    # Concatenate ALL of the key's chunks and sort ONCE: Spark's
+    # key-grouping does not promise globally-ordered Arrow chunks, so
+    # a per-chunk sort could fold chunks delivered out of order. Then
+    # fold the whole sorted run through the C ewm kernel (adjust=False
+    # IS the recursion s_t = a*x_t + (1-a)*s_{t-1}, bit-identical —
+    # test_ewma_matches_pandas_ewm_bitwise); prior state seeds as a
+    # synthetic x_0, the exact next fold step.
+    parts = [p for p in pdfs if len(p)]
+    if parts:
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values(["ts", "event_id"], kind="mergesort"))
+        x = pdf["value"].to_numpy(dtype="float64")
+        run = x if n == 0 else np.r_[s, x]
+        s = float(pd.Series(run).ewm(alpha=EWMA_ALPHA,
+                                     adjust=False).mean().iloc[-1])
+        n += len(x)
     state.update((s, n))
     yield pd.DataFrame({"ticker": [key[0]], "n_events": [int(n)],
                         "ewma": [s]})
