@@ -570,6 +570,21 @@ def _q_portfolio_value_series(spark, sf_dir):
                                      _thinned_tick_prices(spark, sf_dir))
 
 
+def _q_twr_with_benchmark(spark, sf_dir):
+    """Reference 1_Dashboard.py:349-356 + :378-384 — the Dashboard's
+    final chart frame end-to-end: per-user TWR index ⋈ ffilled
+    benchmark normalized to 100, melted to the long (Datum, Serie,
+    Index) frame. Benchmark fixture = the benchmark_overlay
+    convention ('view' series thinned to every 3rd calendar day)."""
+    tp = derive.tick_prices(spark, sf_dir)
+    bench = (tp.filter((F.col("ticker") == "view")
+                       & (F.dayofmonth("ts") % 3 == 0))
+             .select("ts", "close"))
+    return WD.twr_with_benchmark(derive.trades(spark, sf_dir),
+                                 _thinned_tick_prices(spark, sf_dir),
+                                 bench)
+
+
 def _q_score_auc(spark, sf_dir):
     """Exact Mann-Whitney AUC (midrank ties) of the en-marker score
     against gold lang — one groupBy collapses the corpus, rank math
@@ -2063,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": _q_waiting_suppliers,
         "logit_quality_fit": _q_logit_quality_fit,
         "streaming_ewma_replay": _q_streaming_ewma_replay,
+        "twr_with_benchmark": _q_twr_with_benchmark,
         # -- 1d. padding re-checks (r5-green) to fill the 50-query window ----------------------------------
         "promo_revenue_share": _q_promo_revenue_share,
         "top_supplier": _q_top_supplier,
@@ -2964,6 +2980,75 @@ def _oracle_sql_base() -> dict[str, str]:
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND CURRENT ROW)) * 100, 6) AS twr_idx
             FROM pr
+        """,
+        # mirrors windowed.twr_with_benchmark: the portfolio_twr CTE
+        # chain joined to the ffilled/normalized benchmark
+        # (benchmark_overlay convention per user) and UNION-ALL-melted
+        # to the long chart frame (1_Dashboard.py:349-356, :378-384)
+        "twr_with_benchmark": f"""
+            WITH {TRADES_CTE.strip().rstrip()},
+            {TICK_PRICES_CTE.strip().rstrip()},
+            {_USER_PANEL_SQL.strip().rstrip()},
+            cells AS (
+                SELECT "user", ts,
+                       LAG(qty) OVER w * LAG(close_i) OVER w AS hv,
+                       CASE WHEN LAG(close_i) OVER w IS NULL
+                                 OR LAG(close_i) OVER w = 0 THEN 0.0
+                            ELSE close_i / LAG(close_i) OVER w - 1
+                       END AS ret
+                FROM interp
+                WINDOW w AS (PARTITION BY "user", ticker ORDER BY ts)
+            ),
+            daily AS (
+                SELECT "user", ts,
+                       SUM(CAST(hv AS DECIMAL(38,10))) AS tot,
+                       SUM(CAST(hv * ret AS DECIMAL(38,10))) AS num
+                FROM cells GROUP BY 1, 2
+            ),
+            fh AS (SELECT "user", MIN(ts) AS fh FROM daily
+                   WHERE tot > 0 GROUP BY 1),
+            pr AS (
+                SELECT d."user", d.ts,
+                       CASE WHEN d.tot = 0 THEN 0.0
+                            ELSE CAST(d.num AS DOUBLE) / CAST(d.tot AS DOUBLE)
+                       END AS pret
+                FROM daily d JOIN fh USING ("user")
+                WHERE d.ts >= fh.fh
+            ),
+            twr AS (
+                SELECT "user", ts AS d,
+                       ROUND(EXP(SUM(CASE WHEN pret <= -1 THEN NULL
+                                          ELSE LN(1.0 + pret) END)
+                                 OVER (PARTITION BY "user" ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)) * 100,
+                             6) AS twr_idx
+                FROM pr
+            ),
+            bench AS (
+                SELECT ts, close FROM tick_prices
+                WHERE ticker = 'view' AND day(ts) % 3 = 0
+            ),
+            wide AS (
+                SELECT t."user", t.d, t.twr_idx,
+                       LAST_VALUE(b.close IGNORE NULLS) OVER wc AS filled,
+                       FIRST_VALUE(b.close IGNORE NULLS) OVER wf AS base
+                FROM twr t LEFT JOIN bench b ON b.ts = t.d
+                WINDOW wc AS (PARTITION BY t."user" ORDER BY t.d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW),
+                       wf AS (PARTITION BY t."user" ORDER BY t.d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+            )
+            SELECT "user", d, 'Portfölj' AS serie, twr_idx AS idx
+            FROM wide
+            UNION ALL
+            SELECT "user", d, '^OMXSPI' AS serie,
+                   CASE WHEN filled IS NOT NULL
+                        THEN ROUND(filled / base * 100, 6) END AS idx
+            FROM wide
+            ORDER BY "user", d, serie
         """,
         # mirrors windowed.portfolio_value_series: unshifted daily
         # holdings value over the shared panel (1_Dashboard.py:359-366)

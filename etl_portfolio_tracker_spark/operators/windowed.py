@@ -311,6 +311,47 @@ def basket_index(trades: DataFrame, prices: DataFrame,
          .alias("basket_idx"))
 
 
+def twr_with_benchmark(trades: DataFrame, prices: DataFrame,
+                       bench: DataFrame) -> DataFrame:
+    """The Dashboard's final CHART FRAME, end-to-end
+    (1_Dashboard.py:349-356 + :378-384): per-user TWR index
+    (portfolio_twr) left-joined to the benchmark close on the user's
+    TWR calendar, benchmark forward-filled and normalized to 100
+    (benchmark_overlay's convention keyed per user: the base is the
+    user's FIRST benchmark print, rows before it stay null — the
+    reference's NaN rows), then melted to the long (d, serie, idx)
+    frame the chart consumes (``melt(id_vars=['Datum'],
+    value_vars=['Portfölj', '^OMXSPI'])``).
+
+    Composition of three externally-verified parts (portfolio_twr,
+    benchmark_overlay, unpivot_panel) as ONE registered query — the
+    reference's flagship page reference-complete end-to-end.
+
+    Scale: portfolio_twr's per-user shape plus two per-user windows
+    and a broadcast-able benchmark join (one row per calendar day);
+    the melt is a row-local stack, no shuffle.
+    """
+    twr = portfolio_twr(trades, prices).select("user", "d", "twr_idx")
+    b = bench.select(F.col("ts").alias("_bts"),
+                     F.col("close").alias("_bc"))
+    j = twr.join(b, twr.d == F.col("_bts"), "left").drop("_bts")
+    wc = (W.partitionBy("user").orderBy("d")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wf = (W.partitionBy("user").orderBy("d")
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    filled = F.last("_bc", ignorenulls=True).over(wc)
+    base = F.first("_bc", ignorenulls=True).over(wf)
+    wide = j.select(
+        "user", "d", "twr_idx",
+        F.when(filled.isNotNull(),
+               F.round(filled / base * 100, 6)).alias("_bidx"))
+    return (wide
+            .select("user", "d",
+                    F.expr("stack(2, 'Portfölj', twr_idx,"
+                           " '^OMXSPI', _bidx) as (serie, idx)"))
+            .orderBy("user", "d", "serie"))
+
+
 def price_with_fallback(primary: DataFrame, fallback: DataFrame) -> DataFrame:
     """§2.11 source-fallback chain (2_Trades.py:30-42, 115-117:
     yfinance → yf.download → DB-latest) as a relation: per-ticker

@@ -114,3 +114,70 @@ def test_table_num_rows_matches_spark_count(spark, sf_dir):
     for name in ("embeddings", "documents"):
         assert table_num_rows(sf_dir, name) \
             == read_table(spark, sf_dir, name).count()
+
+
+# --- twr_with_benchmark: the Dashboard chart frame ---------------------------
+
+def test_twr_with_benchmark_hand_case(spark):
+    # reuses test_portfolio_twr's two-ticker hand case; benchmark
+    # starts LATE (day 2) and skips day 3 → null before first print,
+    # ffill + normalize-to-100 after it
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from etl_portfolio_tracker_spark.operators import windowed as WD
+    t0 = dt.datetime(2024, 1, 1, 10)
+    tr = spark.createDataFrame(
+        [(1, "u1", "A", t0, "BUY", 1.0, 10.0, 0.0),
+         (2, "u1", "B", t0, "BUY", 2.0, 5.0, 0.0)],
+        "id long, user string, ticker string, ts timestamp, "
+        "side string, qty double, price double, fee double")
+    px = (spark.createDataFrame(
+        [("A", "2024-01-01", 10.0), ("A", "2024-01-02", 12.0),
+         ("A", "2024-01-03", 9.0), ("A", "2024-01-04", 9.0),
+         ("B", "2024-01-01", 5.0), ("B", "2024-01-02", 5.0),
+         ("B", "2024-01-03", 10.0), ("B", "2024-01-04", 10.0)],
+        "ticker string, ts string, close double")
+        .withColumn("ts", F.to_date("ts")))
+    bench = (spark.createDataFrame(
+        [("2024-01-02", 50.0), ("2024-01-04", 60.0)],
+        "ts string, close double")
+        .withColumn("ts", F.to_date("ts")))
+    rows = WD.twr_with_benchmark(tr, px, bench).collect()
+    got = {(r["d"].isoformat(), r["serie"]): r["idx"] for r in rows}
+    # TWR trims day 1; series starts day 2 at 110 (see
+    # test_portfolio_twr_two_ticker_hand_case)
+    assert ("2024-01-01", "Portfölj") not in got
+    assert got[("2024-01-02", "Portfölj")] == pytest.approx(110.0)
+    # benchmark: first print day 2 → base 50, idx 100; day 3 has no
+    # print → ffilled 50 → still 100; day 4 prints 60 → 120
+    assert got[("2024-01-02", "^OMXSPI")] == pytest.approx(100.0)
+    assert got[("2024-01-03", "^OMXSPI")] == pytest.approx(100.0)
+    assert got[("2024-01-04", "^OMXSPI")] == pytest.approx(120.0)
+    # every TWR date carries BOTH series rows (melt keeps nulls)
+    days = {d for d, _ in got}
+    assert all((d, "Portfölj") in got and (d, "^OMXSPI") in got
+               for d in days)
+
+
+def test_twr_with_benchmark_null_before_first_print(spark):
+    # benchmark print AFTER the TWR start: earlier rows carry null idx
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from etl_portfolio_tracker_spark.operators import windowed as WD
+    t0 = dt.datetime(2024, 1, 1, 10)
+    tr = spark.createDataFrame(
+        [(1, "u1", "A", t0, "BUY", 1.0, 10.0, 0.0)],
+        "id long, user string, ticker string, ts timestamp, "
+        "side string, qty double, price double, fee double")
+    px = (spark.createDataFrame(
+        [("A", "2024-01-01", 10.0), ("A", "2024-01-02", 12.0),
+         ("A", "2024-01-03", 9.0)],
+        "ticker string, ts string, close double")
+        .withColumn("ts", F.to_date("ts")))
+    bench = (spark.createDataFrame([("2024-01-03", 80.0)],
+                                   "ts string, close double")
+             .withColumn("ts", F.to_date("ts")))
+    got = {(r["d"].isoformat(), r["serie"]): r["idx"]
+           for r in WD.twr_with_benchmark(tr, px, bench).collect()}
+    assert got[("2024-01-02", "^OMXSPI")] is None
+    assert got[("2024-01-03", "^OMXSPI")] == pytest.approx(100.0)
