@@ -2843,10 +2843,12 @@ def _oracle_sql_base() -> dict[str, str]:
         """, TICK_PRICES_CTE),
         "twr_index": with_domain("""
             SELECT ticker, ts, ret,
-                   ROUND(EXP(SUM(CASE WHEN ret <= -1 THEN NULL ELSE LN(1.0 + ret) END)
-                             OVER (PARTITION BY ticker ORDER BY ts
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100,
-                         6) AS twr_index
+                   CASE WHEN MAX(CASE WHEN ret <= -1 THEN 1 ELSE 0 END)
+                             OVER wcum = 1 THEN 0.0
+                        ELSE ROUND(EXP(SUM(CASE WHEN ret <= -1 THEN NULL
+                                                ELSE LN(1.0 + ret) END)
+                                       OVER wcum) * 100, 6)
+                   END AS twr_index
             FROM (
                 SELECT ticker, ts,
                        CASE WHEN LAG(close) OVER w IS NULL OR LAG(close) OVER w = 0 THEN 0.0
@@ -2854,6 +2856,8 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM tick_prices
                 WINDOW w AS (PARTITION BY ticker ORDER BY ts)
             )
+            WINDOW wcum AS (PARTITION BY ticker ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """, TICK_PRICES_CTE),
         # mirrors windowed.ewma_prices: the literal recursion
         # s_1 = x_1, s_t = 0.25*x_t + 0.75*s_{t-1} — alpha an exact
@@ -2974,12 +2978,16 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT "user", ts AS d,
                    ROUND(pret, 6) AS port_ret,
-                   ROUND(EXP(SUM(CASE WHEN pret <= -1 THEN NULL
-                                      ELSE LN(1.0 + pret) END)
-                             OVER (PARTITION BY "user" ORDER BY ts
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND CURRENT ROW)) * 100, 6) AS twr_idx
+                   CASE WHEN MAX(CASE WHEN pret <= -1 THEN 1 ELSE 0 END)
+                             OVER wcum = 1 THEN 0.0
+                        ELSE ROUND(EXP(SUM(CASE WHEN pret <= -1 THEN NULL
+                                                ELSE LN(1.0 + pret) END)
+                                       OVER wcum) * 100, 6)
+                   END AS twr_idx
             FROM pr
+            WINDOW wcum AS (PARTITION BY "user" ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
         """,
         # mirrors windowed.twr_with_benchmark: the portfolio_twr CTE
         # chain joined to the ffilled/normalized benchmark
@@ -3017,13 +3025,16 @@ def _oracle_sql_base() -> dict[str, str]:
             ),
             twr AS (
                 SELECT "user", ts AS d,
-                       ROUND(EXP(SUM(CASE WHEN pret <= -1 THEN NULL
-                                          ELSE LN(1.0 + pret) END)
-                                 OVER (PARTITION BY "user" ORDER BY ts
-                                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND CURRENT ROW)) * 100,
-                             6) AS twr_idx
+                       CASE WHEN MAX(CASE WHEN pret <= -1 THEN 1 ELSE 0 END)
+                                 OVER wcum = 1 THEN 0.0
+                            ELSE ROUND(EXP(SUM(CASE WHEN pret <= -1 THEN NULL
+                                                    ELSE LN(1.0 + pret) END)
+                                           OVER wcum) * 100, 6)
+                       END AS twr_idx
                 FROM pr
+                WINDOW wcum AS (PARTITION BY "user" ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
             ),
             bench AS (
                 SELECT ts, close FROM tick_prices

@@ -71,11 +71,17 @@ def twr_index(prices: DataFrame) -> DataFrame:
     rets = daily_returns(prices)
     w = (W.partitionBy("ticker").orderBy("ts")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    # guard ret <= -1 (total loss) → ln undefined → treat as -100%
+    # total loss (ret <= -1, treated as exactly -100%): the reference's
+    # cumprod picks up a 0 factor and the index is 0 from that day
+    # FORWARD. ln is undefined there, so the dead state is carried by a
+    # cumulative flag instead of the log-sum (which skips the day).
     safe = F.when(F.col("ret") <= -1, F.lit(None)).otherwise(F.log(F.lit(1.0) + F.col("ret")))
+    dead = F.max((F.col("ret") <= -1).cast("int")).over(w)
     return rets.select(
         "ticker", "ts", "ret",
-        F.round(F.exp(F.sum(safe).over(w)) * 100, 6).alias("twr_index"))
+        F.when(dead == 1, F.lit(0.0))
+         .otherwise(F.round(F.exp(F.sum(safe).over(w)) * 100, 6))
+         .alias("twr_index"))
 
 
 def normalize_to_100(prices: DataFrame) -> DataFrame:
@@ -223,7 +229,9 @@ def portfolio_twr(trades: DataFrame, prices: DataFrame) -> DataFrame:
     can oversell into tot_val = 0 with nonzero hold_val, where the
     reference would produce ±inf — we define it as 0, documented
     divergence on pathological rows only). cumprod is exp∘sum∘ln with
-    the twr_index ≤−1 guard; final index rounded 6dp (libm last-ulp).
+    the twr_index total-loss rule (a port_ret ≤ −1 day pins the index
+    at 0 thereafter — the cumprod 0 factor); final index rounded 6dp
+    (libm last-ulp).
 
     Scale: aggregates key on (user, d) / user; windows on
     (user[, ticker]); no global window, no collect.
@@ -251,12 +259,17 @@ def portfolio_twr(trades: DataFrame, prices: DataFrame) -> DataFrame:
                .select("user", "ts", port_ret.alias("_pr")))
     w_idx = (W.partitionBy("user").orderBy("ts")
              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    # twr_index's total-loss rule: a day with port_ret <= -1 pins the
+    # index at 0 from that day forward (cumprod's 0 factor)
     safe = (F.when(F.col("_pr") <= -1, F.lit(None))
             .otherwise(F.log(F.lit(1.0) + F.col("_pr"))))
+    dead = F.max((F.col("_pr") <= -1).cast("int")).over(w_idx)
     return trimmed.select(
         "user", F.col("ts").alias("d"),
         F.round("_pr", 6).alias("port_ret"),
-        F.round(F.exp(F.sum(safe).over(w_idx)) * 100, 6).alias("twr_idx"))
+        F.when(dead == 1, F.lit(0.0))
+         .otherwise(F.round(F.exp(F.sum(safe).over(w_idx)) * 100, 6))
+         .alias("twr_idx"))
 
 
 def portfolio_value_series(trades: DataFrame,

@@ -181,3 +181,29 @@ def test_twr_with_benchmark_null_before_first_print(spark):
            for r in WD.twr_with_benchmark(tr, px, bench).collect()}
     assert got[("2024-01-02", "^OMXSPI")] is None
     assert got[("2024-01-03", "^OMXSPI")] == pytest.approx(100.0)
+
+
+# --- twr_index total-loss semantics ------------------------------------------
+
+def test_twr_index_total_loss_pins_zero(spark):
+    # a close that hits 0 is a -100% day: the reference's cumprod
+    # picks up a 0 factor, so the index is 0 from that day FORWARD
+    # (the pre-r7 guard silently SKIPPED the day instead)
+    from pyspark.sql import functions as F
+    from etl_portfolio_tracker_spark.operators import windowed as WD
+    px = (spark.createDataFrame(
+        [("A", "2024-01-01", 100.0), ("A", "2024-01-02", 50.0),
+         ("A", "2024-01-03", 0.0), ("A", "2024-01-04", 25.0),
+         ("B", "2024-01-01", 10.0), ("B", "2024-01-02", 20.0)],
+        "ticker string, ts string, close double")
+        .withColumn("ts", F.to_date("ts")))
+    got = {(r["ticker"], r["ts"].isoformat()): r["twr_index"]
+           for r in WD.twr_index(px).collect()}
+    assert got[("A", "2024-01-01")] == pytest.approx(100.0)
+    assert got[("A", "2024-01-02")] == pytest.approx(50.0)
+    assert got[("A", "2024-01-03")] == 0.0
+    # the day AFTER total loss stays 0 (25/0 would be inf ret, but
+    # daily_returns maps prev_close=0 to ret=0; dead flag wins)
+    assert got[("A", "2024-01-04")] == 0.0
+    # untouched series unaffected
+    assert got[("B", "2024-01-02")] == pytest.approx(200.0)
