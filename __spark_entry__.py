@@ -4542,7 +4542,9 @@ def _oracle_sql_base() -> dict[str, str]:
                               WHERE l3.l_orderkey = l1.l_orderkey
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.late)
-            GROUP BY 1
+            -- group by the KEY (like the Spark side), name only
+            -- selected: duplicate s_name values must not merge
+            GROUP BY s.s_suppkey, s.s_name
             ORDER BY numwait DESC, s_name ASC
             LIMIT {WH.WAIT_TOP_K}
         """,
@@ -4577,9 +4579,11 @@ def _oracle_sql_base() -> dict[str, str]:
                   FROM terms)
             SELECT ROUND(CAST(chi2d AS DOUBLE), 6) AS chi2,
                    CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
-                   ROUND(SQRT(CAST(chi2d AS DOUBLE)
-                              / CAST(t * LEAST(nl - 1, ns - 1) AS DOUBLE)),
-                         6) AS cramers_v,
+                   CASE WHEN t * LEAST(nl - 1, ns - 1) > 0
+                        THEN ROUND(SQRT(CAST(chi2d AS DOUBLE)
+                                        / CAST(t * LEAST(nl - 1, ns - 1)
+                                               AS DOUBLE)),
+                                   6) END AS cramers_v,
                    CAST(t AS BIGINT) AS n_docs
             FROM s
         """,

@@ -163,7 +163,12 @@ def chi2_lang_source(docs: DataFrame) -> DataFrame:
     return s.select(
         F.round(chi2, 6).alias("chi2"),
         dof.alias("dof"),
-        F.round(F.sqrt(chi2 / denom.cast("double")), 6).alias("cramers_v"),
+        # degenerate contingency (single lang or single source) makes
+        # the denominator 0 → NULL, deterministically on both engines
+        # (unguarded it would be NaN here, engine-defined in SQL)
+        F.when(denom > 0,
+               F.round(F.sqrt(chi2 / denom.cast("double")), 6))
+         .alias("cramers_v"),
         F.col("t").cast("long").alias("n_docs"))
 
 

@@ -1281,9 +1281,20 @@ def logit_quality_fit(docs: DataFrame) -> DataFrame:
             F.sum((F.col("x") * s).cast(DEC)).alias("h01"),
             F.sum((F.col("x") * F.col("x") * s).cast(DEC)).alias("h11"),
         ).collect()[0]
+        if r["g0"] is None:
+            # empty corpus: aggregates are NULL — keep w = 0 (the
+            # final select still emits one row with n_docs = 0)
+            break
         g0, g1 = float(r["g0"]), float(r["g1"])
         h00, h01, h11 = float(r["h00"]), float(r["h01"]), float(r["h11"])
         det = h00 * h11 - h01 * h01
+        if det == 0.0:
+            # rank-1 Hessian (e.g. constant stopword_ratio): the 2x2
+            # Newton system is singular — stop, keep current weights
+            # instead of emitting inf/NaN. The oracle's unrolled CTEs
+            # would need the same guard if a degenerate corpus ever
+            # enters the verified window (harness corpora are not).
+            break
         w0 = w0 + (h11 * g0 - h01 * g1) / det
         w1 = w1 + (h00 * g1 - h01 * g0) / det
 

@@ -207,3 +207,41 @@ def test_twr_index_total_loss_pins_zero(spark):
     assert got[("A", "2024-01-04")] == 0.0
     # untouched series unaffected
     assert got[("B", "2024-01-02")] == pytest.approx(200.0)
+
+
+# --- degenerate-input guards (r6 ADVICE) --------------------------------------
+
+def test_chi2_degenerate_single_lang_null_cramers_v(spark):
+    from etl_portfolio_tracker_spark.operators import evaluation as EV
+    docs = spark.createDataFrame(
+        [(i, "hello world", "en", f"s{i % 3}") for i in range(9)],
+        "doc_id long, text string, lang string, source string")
+    row = EV.chi2_lang_source(docs).collect()[0]
+    assert row["dof"] == 0
+    assert row["cramers_v"] is None          # not NaN
+    assert row["chi2"] == pytest.approx(0.0)
+    assert row["n_docs"] == 9
+
+
+def test_logit_fit_constant_feature_no_nan(spark):
+    # constant stopword_ratio → rank-1 Hessian → det == 0 after the
+    # decimal sums: the Newton loop must stop, not emit inf/NaN
+    import math
+    from etl_portfolio_tracker_spark.operators import text as TX
+    docs = spark.createDataFrame(
+        [(i, "zzz qqq vvv", "en" if i % 2 else "de", "s0")
+         for i in range(8)],
+        "doc_id long, text string, lang string, source string")
+    row = TX.logit_quality_fit(docs).collect()[0]
+    assert math.isfinite(row["w0"]) and math.isfinite(row["w1"])
+    assert row["n_docs"] == 8
+
+
+def test_logit_fit_empty_corpus_no_crash(spark):
+    from etl_portfolio_tracker_spark.operators import text as TX
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string")
+    row = TX.logit_quality_fit(docs).collect()[0]
+    assert row["w0"] == 0.0 and row["w1"] == 0.0
+    assert row["n_docs"] == 0
+    assert row["mean_log_loss"] is None
