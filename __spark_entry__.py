@@ -1236,6 +1236,13 @@ def _q_bigram_lm_score(spark, sf_dir):
     return TX.bigram_lm_score(_docs(spark, sf_dir))
 
 
+def _q_kn_lm_score(spark, sf_dir):
+    """Interpolated Kneser–Ney trigram LM score (Chen & Goodman '98
+    form, D = 3/4) — the perplexity-filter upgrade over
+    bigram_lm_score; all statistics from one trigram-type table."""
+    return TX.kn_lm_score(_docs(spark, sf_dir))
+
+
 def _q_range_window_avg(spark, sf_dir):
     return FIN.range_window_avg(_prices_subset(spark, sf_dir), days=7)
 
@@ -2079,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logit_quality_fit": _q_logit_quality_fit,
         "streaming_ewma_replay": _q_streaming_ewma_replay,
         "twr_with_benchmark": _q_twr_with_benchmark,
+        "kn_lm_score": _q_kn_lm_score,
         # -- 1d. padding re-checks (r5-green) to fill the 50-query window ----------------------------------
         "promo_revenue_share": _q_promo_revenue_share,
         "top_supplier": _q_top_supplier,
@@ -6145,6 +6153,56 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE)
                          / COUNT(*), 6) AS avg_logprob
             FROM bg JOIN model USING (w1, w2)
+            GROUP BY doc_id
+        """,
+        # mirrors text.kn_lm_score: interpolated Kneser–Ney trigram
+        # LM (D = 3/4 exact); every statistic off ONE trigram-type
+        # table; identical expression tree per level; ln through
+        # DECIMAL(38,10) before the per-doc sum
+        "kn_lm_score": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l
+                FROM documents
+            ),
+            tri AS (
+                SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+                FROM toks, UNNEST(generate_series(1, len(l) - 2)) AS u(i)
+            ),
+            tc AS (SELECT w1, w2, w3, COUNT(*) AS c123
+                   FROM tri GROUP BY 1, 2, 3),
+            pre AS (SELECT w1, w2, SUM(c123) AS c12, COUNT(*) AS n1p12
+                    FROM tc GROUP BY 1, 2),
+            cont23 AS (SELECT w2, w3, COUNT(*) AS ccont
+                       FROM tc GROUP BY 1, 2),
+            mid AS (SELECT w2, COUNT(*) AS sumcont2,
+                           COUNT(DISTINCT w3) AS n1pmid2
+                    FROM tc GROUP BY 1),
+            uni AS (SELECT w3, COUNT(*) AS n1pw3 FROM cont23 GROUP BY 1),
+            nbt AS (SELECT COUNT(*) AS n_bt FROM cont23),
+            model0 AS (
+                SELECT tc.w1, tc.w2, tc.w3, tc.c123, pre.c12, pre.n1p12,
+                       GREATEST(CAST(ccont AS DOUBLE) - 0.75, 0.0)
+                           / CAST(sumcont2 AS DOUBLE)
+                       + (0.75 * CAST(n1pmid2 AS DOUBLE)
+                          / CAST(sumcont2 AS DOUBLE))
+                         * (CAST(n1pw3 AS DOUBLE)
+                            / CAST(n_bt AS DOUBLE)) AS p2
+                FROM tc JOIN pre USING (w1, w2)
+                JOIN cont23 USING (w2, w3)
+                JOIN mid USING (w2) JOIN uni USING (w3) CROSS JOIN nbt
+            ),
+            model AS (
+                SELECT w1, w2, w3,
+                       LN(GREATEST(CAST(c123 AS DOUBLE) - 0.75, 0.0)
+                              / CAST(c12 AS DOUBLE)
+                          + (0.75 * CAST(n1p12 AS DOUBLE)
+                             / CAST(c12 AS DOUBLE)) * p2) AS lp
+                FROM model0
+            )
+            SELECT doc_id, COUNT(*) AS n_trigrams,
+                   ROUND(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_logprob
+            FROM tri JOIN model USING (w1, w2, w3)
             GROUP BY doc_id
         """,
         "ivfpq_topk": _PE_SQL + _PQ_CODES_SQL + f"""

@@ -347,6 +347,101 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
                          F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
+KN_DISCOUNT = 0.75  # 3/4: exact binary fraction — the subtract in
+#                     max(c - D, 0) is a single correctly-rounded op
+
+
+def kn_lm_score(docs: DataFrame) -> DataFrame:
+    """Interpolated Kneser–Ney TRIGRAM language-model score per
+    document — the standard perplexity-filter upgrade over
+    bigram_lm_score (Kneser & Ney 1995; Chen & Goodman 1998's
+    interpolated form with a single absolute discount D = 3/4):
+
+      P(w3|w1w2) = max(c(w1w2w3)−D, 0)/c(w1w2·)
+                   + D·N1+(w1w2·)/c(w1w2·) · P(w3|w2)
+      P(w3|w2)   = max(N1+(·w2w3)−D, 0)/N1+(·w2·)
+                   + D·N1+(w2·)/N1+(·w2·) · Pcont(w3)
+      Pcont(w3)  = N1+(·w3) / N1+(··)
+
+    where N1+ are CONTINUATION (type) counts. Every statistic —
+    trigram counts c123, prefix totals c12, and all four continuation
+    counts — derives from ONE trigram-type table (one fact-sized
+    shuffle builds it; everything after is model-sized), so bigram
+    types here are the distinct (w2,w3) suffixes of seen trigrams.
+    Scoring the training corpus itself means every trigram is seen;
+    the discount mass still redistributes exactly as KN defines.
+
+    Cross-engine exactness: counts are integers, D is an exact binary
+    fraction, and both engines evaluate the IDENTICAL expression tree
+    (each level is one divide + one (D·n/denom)·P_lower product,
+    summed innermost-first); ln() outputs are DECIMAL(38,10)-cast
+    before the per-doc sum (the repo's libm rule), mean in double,
+    round 6.
+
+    Scale shape (the bigram_lm_score pattern): token-key shuffles
+    build the model — the model never reaches the driver and is never
+    broadcast (too big at corpus scale, except the 1-row N1+(··)
+    total); the score join co-shuffles the doc trigram stream with
+    the model on the trigram key.
+    """
+    d = KN_DISCOUNT
+    tri = (docs.select("doc_id", tokens_col().alias("_toks"))
+           .select("doc_id", F.explode(_trigrams_col("_toks")).alias("tg"))
+           .select("doc_id", F.col("tg.w1").alias("w1"),
+                   F.col("tg.w2").alias("w2"), F.col("tg.w3").alias("w3")))
+    tc = tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123"))
+    # model-sized statistics, all off the trigram-type table:
+    pre = tc.groupBy("w1", "w2").agg(          # c(w1w2·), N1+(w1w2·)
+        F.sum("c123").alias("c12"),
+        F.count(F.lit(1)).alias("n1p12"))
+    cont23 = tc.groupBy("w2", "w3").agg(       # N1+(·w2w3)
+        F.count(F.lit(1)).alias("ccont"))
+    mid = tc.groupBy("w2").agg(                # N1+(·w2·), N1+(w2·)
+        F.count(F.lit(1)).alias("sumcont2"),
+        F.countDistinct("w3").alias("n1pmid2"))
+    uni = cont23.groupBy("w3").agg(            # N1+(·w3)
+        F.count(F.lit(1)).alias("n1pw3"))
+    nbt = cont23.agg(F.count(F.lit(1)).alias("n_bt"))  # N1+(··), 1 row
+    p1 = F.col("n1pw3").cast("double") / F.col("n_bt").cast("double")
+    p2 = (F.greatest(F.col("ccont").cast("double") - F.lit(d), F.lit(0.0))
+          / F.col("sumcont2").cast("double")
+          + (F.lit(d) * F.col("n1pmid2").cast("double")
+             / F.col("sumcont2").cast("double")) * p1)
+    model0 = (tc.join(pre, ["w1", "w2"])
+              .join(cont23, ["w2", "w3"])
+              .join(mid, "w2")
+              .join(uni, "w3")
+              .crossJoin(F.broadcast(nbt))
+              .select("w1", "w2", "w3", "c123", "c12", "n1p12",
+                      p2.alias("p2")))
+    p3 = (F.greatest(F.col("c123").cast("double") - F.lit(d), F.lit(0.0))
+          / F.col("c12").cast("double")
+          + (F.lit(d) * F.col("n1p12").cast("double")
+             / F.col("c12").cast("double")) * F.col("p2"))
+    model = model0.select("w1", "w2", "w3", F.log(p3).alias("lp"))
+    return (tri.join(model, ["w1", "w2", "w3"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                 F.round(F.sum(F.col("lp").cast(DEC)).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_logprob")))
+
+
+def _trigrams_col(toks_col: str):
+    """array<struct<w1,w2,w3>> of adjacent token triples over an
+    already-materialized token-array column (see _bigrams_col for the
+    materialize-first rationale; the size<3 guard also keeps the
+    descending-sequence phantom away — the shingles() lesson)."""
+    toks = F.col(toks_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    return F.when(F.size(toks) < 3, F.array().cast(
+        "array<struct<w1:string,w2:string,w3:string>>")).otherwise(
+        F.transform(idx, lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+            F.element_at(toks, i + 2).alias("w3"))))
+
+
 def _bigrams_col(toks_col: str):
     """array<struct<w1,w2>> of adjacent token pairs over an ALREADY
     MATERIALIZED token-array column (row-local; empty for 1-token
