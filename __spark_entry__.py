@@ -654,6 +654,15 @@ def _q_prefix_filter_pairs(spark, sf_dir):
     return DD.prefix_filter_pairs(_docs(spark, sf_dir))
 
 
+def _q_weighted_jaccard_pairs(spark, sf_dir):
+    """IDF-weighted exact Jaccard>=0.7 pairs on the FULL corpus via
+    WEIGHTED prefix filtering (rare-shingle evidence counts more) —
+    the production complement of prefix_filter_pairs; every threshold
+    compare is rational-on-decimals, so the brute-force oracle is
+    bit-exact."""
+    return DD.weighted_jaccard_pairs(_docs(spark, sf_dir))
+
+
 def _q_price_panel(spark, sf_dir):
     return PV.price_panel(read_table(spark, sf_dir, "lineitem"))
 
@@ -1995,61 +2004,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     external row come first.  The full set is verified locally every
     round via ``tools/check.py`` (committed log).
 
-    Round-6 ordering (executes the round-5 plan / VERDICT r5 item 1):
-      1. the 50-query window, in priority order:
-         (a) the THIRTEEN queries that have never had an external row
-         — the two 1e stragglers past the r5 window
-         (streaming_attribution_replay, cdc_merge_apply) and the
-         eleven round-5 sketch-tier entries (hll_distinct,
-         cms_heavy_hitters, bloom_chunk_probe, winsorized_stats,
-         ivf_balance_report, streaming_hll_replay, join_size_estimate,
-         streaming_bloom_probe_replay, hll_set_ops,
-         streaming_cms_replay, histogram_quantiles) — all locally
-         bit-exact every round (CHECK_LOCAL_r05.txt);
-         (b) the three queries CHANGED this round: approx_stats
-         (array column scalarized to price_q50/q95/q99 — the array
-         crashed the driver's pandas canonicalizer in r5, VERDICT
-         item 3; still rows-only by design), equi_depth_histogram and
-         customer_spend_percentile (single-partition global windows
-         replaced by the two-pass packing.ranged_cumsum rank, VERDICT
-         items 1-2 — identical values, scale-safe plan), and
-         skyline_parts (global sweep window → ranged_prefix_max,
-         caught by the new measured SinglePartition audit);
-         (c) the round-6-NEW operators: portfolio_twr (the reference
-         Dashboard's flagship portfolio-level TWR composite,
-         1_Dashboard.py:311-331), basket_index (its static-basket
-         fallback, :336-346), hard_negative_mining_lsh (the
-         candidate-bounded production form of hard_negative_mining,
-         VERDICT item 6), source_ols_fit (one-pass distributed
-         normal-equation regression per source), source_temperature_mix
-         (T=2 source-reweighting report), portfolio_value_series
-         (daily holdings market value — the Portfölj_SEK series),
-         ewma_prices (recursive exponential smoothing via the W6 fold
-         kernel, recursive-CTE oracle), and prefix_filter_pairs
-         (EXACT Jaccard>=0.7 self-join on the FULL corpus via
-         AllPairs/PPJoin prefix filtering — brute-force oracle, since
-         the candidate rule has zero false negatives by theorem), and
-         the EVALUATION TIER (score_auc — exact Mann-Whitney AUC via
-         integer midranks, pr_curve, pr_auc, score_ks,
-         chi2_lang_source — each one fact-sized groupBy + model-sized
-         rank/margin math), streaming_ewma_replay (the EWMA recursion
-         as keyed applyInPandasWithState streaming state, recursive-
-         CTE oracle),
-         waiting_suppliers (TPC-H Q21 analog: the correlated
-         EXISTS/NOT-EXISTS pair collapsed into one per-order
-         aggregate; oracle keeps the textbook quantifier form), and
-         logit_quality_fit (Newton/IRLS logistic regression — per
-         iteration one sufficient-statistics aggregate, O(1) driver
-         state; oracle is the fully unrolled scalar-CTE chain);
-         (d) padding re-checks to fill the window: the r5-green 1a
-         block (externally green in CORRECTNESS_r05.json, re-verified
+    Round-7 ordering (executes the round-6 VERDICT/ADVICE list):
+      1. the 50-query window:
+         (a) the three round-7 NEW operators — weighted_jaccard_pairs
+         (exact-threshold IDF-weighted Jaccard self-join via WEIGHTED
+         prefix filtering, BIGINT micro-idf units, brute-force
+         oracle), kn_lm_score (interpolated Kneser-Ney trigram LM,
+         all statistics from one trigram-type table), and
+         twr_with_benchmark (the Dashboard's final chart frame
+         end-to-end: per-user TWR joined to the ffilled/normalized
+         benchmark, melted long — closes VERDICT r6 "What's missing"
+         item 2);
+         (b) the twelve queries whose code paths CHANGED this round:
+         prefix_filter_pairs / ngram_jaccard / minhash_verified (the
+         shingles() short-doc phantom-shingle fix, VERDICT item 1 —
+         Spark sequence(1,0)=[1,0] vs DuckDB empty, now guarded);
+         ewma_prices / streaming_ewma_replay / streaming_fold_replay
+         (vectorized per-run ewm(adjust=False) kernel and the
+         concat-all-chunks-sort-once ordering fix, item 2 + ADVICE
+         item 1); hard_negative_mining_lsh (plan-build count() scans
+         removed — n_cells from parquet-footer catalog stats, dense-id
+         check folded into the job, item 3); twr_index / portfolio_twr
+         (a total-loss day now pins the index at 0 thereafter, the
+         reference's cumprod 0 factor, item 5); chi2_lang_source
+         (NULL cramers_v on degenerate contingency), logit_quality_fit
+         (singular-Hessian / empty-corpus guards), waiting_suppliers
+         (oracle groups by supplier key) — ADVICE items 2-4;
+         (c) padding re-checks to fill the window: the r6-green
+         sketch-tier/stragglers block and the remaining r6 additions
+         (externally green in CORRECTNESS_r06.json, re-verified
          locally every round).
       2. everything else, in prior priority order — externally green
-         in r1–r5 and re-verified locally every round via
+         in r1-r6 and re-verified locally every round via
          tools/check.py (committed log).
     """
     return {
-        # -- 1a. never externally checked, highest priority (r5 window stragglers + sketch tier) -----------
+        # ================= ROUND-7 50-QUERY WINDOW =================
+        # -- 1a. NEW round-7 operators (need their first external row) -------------------------------------
+        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
+        "kn_lm_score": _q_kn_lm_score,
+        "twr_with_benchmark": _q_twr_with_benchmark,
+        # -- 1b. CHANGED this round (need a fresh external row) --------------------------------------------
+        # shingles() short-doc fix (VERDICT r6 item 1) touches every
+        # exact-Jaccard consumer:
+        "prefix_filter_pairs": _q_prefix_filter_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_verified": _q_minhash_verified,
+        # vectorized EWMA kernel + concat-sort-once stateful ordering
+        # (VERDICT item 2 / ADVICE item 1):
+        "ewma_prices": _q_ewma_prices,
+        "streaming_ewma_replay": _q_streaming_ewma_replay,
+        "streaming_fold_replay": _q_streaming_fold_replay,
+        # no plan-build scans + in-job codebook guard (item 3):
+        "hard_negative_mining_lsh": _q_hard_negative_mining_lsh,
+        # total-loss pins the index at 0 thereafter (item 5):
+        "twr_index": _q_twr_index,
+        "portfolio_twr": _q_portfolio_twr,
+        # degenerate-input guards / oracle grouping (ADVICE items 2-4):
+        "chi2_lang_source": _q_chi2_lang_source,
+        "logit_quality_fit": _q_logit_quality_fit,
+        "waiting_suppliers": _q_waiting_suppliers,
+        # -- 1c. padding re-checks (r6-green) to fill the window --------------------------------------------
         "streaming_attribution_replay": _q_streaming_attribution_replay,
         "cdc_merge_apply": _q_cdc_merge_apply,
         "hll_distinct": _q_hll_distinct,
@@ -2068,25 +2083,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_histogram": _q_equi_depth_histogram,
         "customer_spend_percentile": _q_customer_spend_percentile,
         "skyline_parts": _q_skyline_parts,
-        # -- 1c. ROUND-6 NEW OPERATORS ----------------------------------------------------------------------
-        "portfolio_twr": _q_portfolio_twr,
+        # (r6-green continued: the round-6 additions)
         "basket_index": _q_basket_index,
-        "hard_negative_mining_lsh": _q_hard_negative_mining_lsh,
         "source_ols_fit": _q_source_ols_fit,
         "source_temperature_mix": _q_source_temperature_mix,
         "portfolio_value_series": _q_portfolio_value_series,
-        "ewma_prices": _q_ewma_prices,
-        "prefix_filter_pairs": _q_prefix_filter_pairs,
         "score_auc": _q_score_auc,
         "pr_curve": _q_pr_curve,
         "pr_auc": _q_pr_auc,
         "score_ks": _q_score_ks,
-        "chi2_lang_source": _q_chi2_lang_source,
-        "waiting_suppliers": _q_waiting_suppliers,
-        "logit_quality_fit": _q_logit_quality_fit,
-        "streaming_ewma_replay": _q_streaming_ewma_replay,
-        "twr_with_benchmark": _q_twr_with_benchmark,
-        "kn_lm_score": _q_kn_lm_score,
         # -- 1d. padding re-checks (r5-green) to fill the 50-query window ----------------------------------
         "promo_revenue_share": _q_promo_revenue_share,
         "top_supplier": _q_top_supplier,
@@ -2246,7 +2251,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cum_position_series": _q_cum_position_series,
         "cash_series": _q_cash_series,
         "daily_returns": _q_daily_returns,
-        "twr_index": _q_twr_index,
         "normalize_index": _q_normalize_index,
         "benchmark_overlay": _q_benchmark_overlay,
         "price_with_fallback": _q_price_with_fallback,
@@ -2265,8 +2269,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "gopher_filter": _q_gopher_filter,
         "contamination_check": _q_contamination_check,
-        "minhash_verified": _q_minhash_verified,
-        "streaming_fold_replay": _q_streaming_fold_replay,
         "streaming_window_replay": _q_streaming_window_replay,
         "streaming_session_replay": _q_streaming_session_replay,
         "streaming_dedup_replay": _q_streaming_dedup_replay,
@@ -2302,7 +2304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "exact_dedup": _q_exact_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
         "cosine_topk": _q_cosine_topk,
         "multimodal_meta": _q_multimodal_meta,
@@ -4622,6 +4623,51 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
                   >= {DD.PF_TAU_NUM} / CAST({DD.PF_TAU_DEN} AS DOUBLE)
+        """,
+        # weighted prefix filtering is also EXACT (zero false
+        # negatives), so the oracle is again the brute-force
+        # all-shared-shingle join, with idf weights HALF_UP-quantized
+        # at 10 dp (the libm rule) and scaled to BIGINT micro-idf
+        # units — every sum is 64-bit integer and the tau filter is a
+        # rational compare on longs, no float boundary anywhere.
+        "weighted_jaccard_pairs": f"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id,
+                       substr(text, i, {DD.PF_SHINGLE_K}) AS shingle
+                FROM (SELECT doc_id, text,
+                             UNNEST(generate_series(1,
+                                 LENGTH(text) - {DD.PF_SHINGLE_K - 1})) AS i
+                      FROM documents)
+            ),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            wts AS (
+                SELECT shingle,
+                       CAST(CAST(LN(CAST(n + 1 AS DOUBLE)
+                                    / CAST(COUNT(*) AS DOUBLE))
+                                 AS DECIMAL(12,10))
+                            * 10000000000 AS BIGINT) AS w
+                FROM sh CROSS JOIN nd GROUP BY shingle, n
+            ),
+            sw AS (SELECT doc_id, sh.shingle, w
+                   FROM sh JOIN wts USING (shingle)),
+            tot AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wt
+                    FROM sw GROUP BY 1),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(SUM(a.w) AS BIGINT) AS iw
+                FROM sw a JOIN sw b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(iw AS DOUBLE)
+                         / CAST(ta.wt + tb.wt - iw AS DOUBLE),
+                         6) AS w_jaccard
+            FROM common
+            JOIN tot ta ON ta.doc_id = doc_a
+            JOIN tot tb ON tb.doc_id = doc_b
+            WHERE iw * {DD.PF_TAU_DEN}
+                  >= (ta.wt + tb.wt - iw) * {DD.PF_TAU_NUM}
         """,
         # candidates (same CTEs as minhash_lsh, incl. the bucket cap)
         # → exact Jaccard over DISTINCT shingle sets, candidates only

@@ -331,3 +331,71 @@ def test_kn_lm_probabilities_sum_to_one(spark):
     # sanity: all log-probs are finite negatives
     for n, lp in got.values():
         assert n > 0 and lp < 0 and math.isfinite(lp)
+
+
+# --- weighted-set similarity join ---------------------------------------------
+
+def _wj_python(texts, tau_num, tau_den, k):
+    """Brute-force weighted Jaccard with the engine's exact decimal
+    conventions: idf truncated to DECIMAL(38,10), rational filter."""
+    import math
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def q10(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-10"),
+                                         ROUND_HALF_UP)
+
+    sets = {i: {t[j:j + k] for j in range(len(t) - k + 1)}
+            for i, t in enumerate(texts)}
+    n = len(texts)
+    df = Counter(t for s in sets.values() for t in s)
+    # BIGINT micro-idf units, exactly like the engine: HALF_UP 10-dp
+    # quantization then x1e10
+    w = {t: int(q10(math.log((n + 1) / df[t])) * Decimal(10) ** 10)
+         for t in df}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            iw = sum(w[t] for t in sets[a] & sets[b])
+            uw = sum(w[t] for t in sets[a] | sets[b])
+            if uw > 0 and iw * tau_den >= uw * tau_num:
+                out[(a, b)] = float(Decimal(
+                    repr(iw / uw)).quantize(
+                        Decimal("1e-6"), ROUND_HALF_UP))
+    return out
+
+
+def test_weighted_jaccard_property_random_corpora(spark):
+    from hypothesis import given, settings, strategies as st
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+
+    WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    DOC = st.lists(WORDS, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(DOC, min_size=2, max_size=7),
+           st.sampled_from([(1, 2), (7, 10), (9, 10)]),
+           st.sampled_from([1, 3, 5]))
+    def run(texts, tau, k):
+        tau_num, tau_den = tau
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        got = {(r["doc_a"], r["doc_b"]): r["w_jaccard"]
+               for r in DD.weighted_jaccard_pairs(
+                   docs, tau_num=tau_num, tau_den=tau_den,
+                   k=k).collect()}
+        assert got == _wj_python(texts, tau_num, tau_den, k)
+
+    run()
+
+
+def test_weighted_jaccard_short_docs_excluded(spark):
+    # the shingles() short-doc guard flows through: all-short corpus
+    # yields no pairs (pre-guard this was the phantom-pair input)
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    docs = spark.createDataFrame(
+        [(0, "aa"), (1, "aa")], "doc_id long, text string")
+    assert DD.weighted_jaccard_pairs(docs, k=3).collect() == []
