@@ -933,6 +933,15 @@ def _q_minhash_verified(spark, sf_dir):
     return _curation(spark, sf_dir)["verified"]
 
 
+def _q_tfidf_cosine_verified(spark, sf_dir):
+    """IDF-weighted cosine near-dup pairs on the shared LSH
+    candidates — the cosine half of the weighted-similarity family
+    (weighted_jaccard_pairs is the Jaccard half); exact integer
+    squared-compare at tau=0.7."""
+    return DD.tfidf_cosine_verified(
+        _docs(spark, sf_dir), cands=_curation(spark, sf_dir)["cands"])
+
+
 def _q_leakage_safe_split(spark, sf_dir):
     return DD.leakage_safe_split(
         _docs(spark, sf_dir),
@@ -2006,15 +2015,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 ordering (executes the round-6 VERDICT/ADVICE list):
       1. the 50-query window:
-         (a) the three round-7 NEW operators — weighted_jaccard_pairs
+         (a) the four round-7 NEW operators — weighted_jaccard_pairs
          (exact-threshold IDF-weighted Jaccard self-join via WEIGHTED
          prefix filtering, BIGINT micro-idf units, brute-force
          oracle), kn_lm_score (interpolated Kneser-Ney trigram LM,
-         all statistics from one trigram-type table), and
+         all statistics from one trigram-type table),
          twr_with_benchmark (the Dashboard's final chart frame
          end-to-end: per-user TWR joined to the ffilled/normalized
          benchmark, melted long — closes VERDICT r6 "What's missing"
-         item 2);
+         item 2), and tfidf_cosine_verified (the cosine half of the
+         weighted-similarity family: shared LSH candidates → exact
+         idf²-weighted cosine, rational squared compare in
+         DECIMAL(38,0));
          (b) the twelve queries whose code paths CHANGED this round:
          prefix_filter_pairs / ngram_jaccard / minhash_verified (the
          shingles() short-doc phantom-shingle fix, VERDICT item 1 —
@@ -2044,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
         "kn_lm_score": _q_kn_lm_score,
         "twr_with_benchmark": _q_twr_with_benchmark,
+        "tfidf_cosine_verified": _q_tfidf_cosine_verified,
         # -- 1b. CHANGED this round (need a fresh external row) --------------------------------------------
         # shingles() short-doc fix (VERDICT r6 item 1) touches every
         # exact-Jaccard consumer:
@@ -4668,6 +4681,50 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN tot tb ON tb.doc_id = doc_b
             WHERE iw * {DD.PF_TAU_DEN}
                   >= (ta.wt + tb.wt - iw) * {DD.PF_TAU_NUM}
+        """,
+        # mirrors dedup.tfidf_cosine_verified: LSH candidates (same
+        # band/bucket-cap CTEs as minhash_verified) → exact
+        # idf²-weighted cosine; weights HALF_UP-quantized at 1e-4 and
+        # scaled to BIGINT; tau filter = the rational squared compare
+        # in DECIMAL(38,0); sqrt is correctly rounded in both engines
+        "tfidf_cosine_verified": _SHINGLES_SQL.replace(
+            "SELECT DISTINCT", "SELECT")
+        + _BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                            band_rows=DD.LSH_BAND_ROWS)
+        + _MV_CHAIN_SQL + f"""
+            , nd AS (SELECT COUNT(*) AS n FROM documents),
+            wts AS (
+                SELECT shingle,
+                       CAST(CAST(LN(CAST(n + 1 AS DOUBLE)
+                                    / CAST(COUNT(*) AS DOUBLE))
+                                 AS DECIMAL(8,4))
+                            * {DD.COS_W_SCALE} AS BIGINT) AS w
+                FROM dsh CROSS JOIN nd GROUP BY shingle, n
+            ),
+            sw AS (SELECT doc_id, dsh.shingle, w
+                   FROM dsh JOIN wts USING (shingle)),
+            nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+                    FROM sw GROUP BY 1),
+            dots AS (
+                SELECT c.doc_a, c.doc_b,
+                       CAST(SUM(a.w * a.w) AS BIGINT) AS dot
+                FROM cand c
+                JOIN sw a ON a.doc_id = c.doc_a
+                JOIN sw b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                GROUP BY 1, 2
+            )
+            SELECT d.doc_a, d.doc_b,
+                   ROUND(CAST(dot AS DOUBLE)
+                         / SQRT(CAST(na.n2 AS DOUBLE)
+                                * CAST(nb.n2 AS DOUBLE)), 6) AS w_cosine
+            FROM dots d
+            JOIN nrm na ON na.doc_id = d.doc_a
+            JOIN nrm nb ON nb.doc_id = d.doc_b
+            WHERE CAST(dot * {DD.TFIDF_COS_TAU_DEN} AS DECIMAL(19,0))
+                      * (dot * {DD.TFIDF_COS_TAU_DEN})
+                  >= CAST(na.n2 * {DD.TFIDF_COS_TAU_NUM
+                                   * DD.TFIDF_COS_TAU_NUM}
+                          AS DECIMAL(19,0)) * nb.n2
         """,
         # candidates (same CTEs as minhash_lsh, incl. the bucket cap)
         # → exact Jaccard over DISTINCT shingle sets, candidates only

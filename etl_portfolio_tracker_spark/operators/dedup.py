@@ -540,6 +540,102 @@ def minhash_verified(docs: DataFrame,
             .filter(F.col("jaccard") >= threshold))
 
 
+COS_W_SCALE = 10_000  # idf quantized at 1e-4 then scaled to int —
+#                       coarser than the Jaccard join's 1e-10 because
+#                       the cosine compare SQUARES dot products: w²,
+#                       dot ~ n_sh·w², and dot² must stay inside
+#                       DECIMAL(38,0) (bounds in the docstring below)
+TFIDF_COS_TAU_NUM, TFIDF_COS_TAU_DEN = 7, 10
+
+
+def tfidf_cosine_verified(docs: DataFrame,
+                          tau_num: int = TFIDF_COS_TAU_NUM,
+                          tau_den: int = TFIDF_COS_TAU_DEN,
+                          cands: DataFrame | None = None) -> DataFrame:
+    """IDF-weighted COSINE near-dup pairs on LSH candidates — the
+    cosine half of the weighted-similarity family
+    (weighted_jaccard_pairs is the Jaccard half): MinHash-LSH
+    candidate generation (shared with the curation pipeline), then an
+    EXACT idf²-weighted cosine over each candidate's shingle set,
+    kept at cos ≥ τ. For binary idf-weighted vectors
+    dot(A,B) = Σ_{t∈A∩B} w(t)² and |A|² = Σ_{t∈A} w(t)², so rare
+    shared shingles dominate the score — the retrieval-style
+    complement of set-overlap Jaccard.
+
+    Exactness: idf is quantized HALF_UP at 1e-4 and scaled to BIGINT
+    (w ≤ 2.8·10⁵ for any corpus ≤ 10¹² docs), so dot and the squared
+    norms are exact longs and the τ filter is the RATIONAL squared
+    compare (dot·τ_den)² ≥ (τ_num²·|A|²)·|B|² evaluated in
+    DECIMAL(38,0) — exact for docs up to ~10⁶ shingles (dot·τ_den ≤
+    ~10¹⁷, its square ≤ 10³⁴ < 10³⁸); positive weights make both
+    sides nonnegative so squaring preserves the inequality. The
+    emitted cosine is dot/√(|A|²·|B|²) — ONE double multiply + sqrt +
+    divide; sqrt is IEEE-754 correctly rounded in BOTH engines
+    (unlike ln/exp), so no decimal laundering is needed.
+
+    Scale shape (minhash_verified's plan): banded-LSH candidates
+    bound the pair set, the norm-ratio prune (cos ≤ √(min/max) on
+    |·|² — integer compare min·τ_den² ≥ max·τ_num²) discards pairs on
+    a NARROW (doc_id, n2) frame before any array moves, and the exact
+    dot folds over intersected struct(xxhash64, w) arrays on
+    survivors only.
+    """
+    cands = iter_checkpoint(
+        (minhash_lsh_candidates(docs) if cands is None else cands)
+        .select("doc_a", "doc_b"), eager=False)
+    cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    sh = iter_checkpoint(shingles(docs), eager=False)
+    nd = docs.agg(F.count(F.lit(1)).alias("_nd"))
+    wts = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+           .crossJoin(F.broadcast(nd))
+           .select("shingle",
+                   (F.log((F.col("_nd") + 1).cast("double")
+                          / F.col("_df").cast("double"))
+                    .cast("decimal(8,4)") * COS_W_SCALE)
+                   .cast("bigint").alias("_w")))
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    arrs = iter_checkpoint(
+        sh.join(wts, "shingle")
+          .join(cand_ids, "doc_id", "left_semi")
+          .repartition(n, "doc_id")
+          .groupBy("doc_id")
+          .agg(F.collect_set(F.struct(F.xxhash64("shingle").alias("_h"),
+                                      F.col("_w"))).alias("_sw"),
+               F.sum(F.col("_w") * F.col("_w")).alias("_n2")),
+        eager=False)
+    surv = (cands
+            .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                              F.col("_n2").alias("_na2")), "doc_a")
+            .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                              F.col("_n2").alias("_nb2")), "doc_b")
+            .filter(F.least("_na2", "_nb2") * (tau_den * tau_den)
+                    >= F.greatest("_na2", "_nb2") * (tau_num * tau_num)))
+    va = arrs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("_sw").alias("_sa"))
+    vb = arrs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("_sw").alias("_sb"))
+    dot = F.aggregate(
+        F.array_intersect("_sa", "_sb"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x["_w"] * x["_w"])
+    scored = (surv.join(va, "doc_a").join(vb, "doc_b")
+              .select("doc_a", "doc_b", "_na2", "_nb2",
+                      dot.alias("_dot")))
+    lhs = ((F.col("_dot") * tau_den).cast("decimal(19,0)")
+           * (F.col("_dot") * tau_den))
+    rhs = ((F.col("_na2") * (tau_num * tau_num)).cast("decimal(19,0)")
+           * F.col("_nb2"))
+    return (scored
+            .filter(lhs >= rhs)
+            .select("doc_a", "doc_b",
+                    F.round(F.col("_dot").cast("double")
+                            / F.sqrt(F.col("_na2").cast("double")
+                                     * F.col("_nb2").cast("double")),
+                            6).alias("w_cosine")))
+
+
 def min_label_components(labels: DataFrame, edges: DataFrame,
                          max_iter: int = 25) -> DataFrame:
     """Connected components by iterative min-label propagation.

@@ -399,3 +399,74 @@ def test_weighted_jaccard_short_docs_excluded(spark):
     docs = spark.createDataFrame(
         [(0, "aa"), (1, "aa")], "doc_id long, text string")
     assert DD.weighted_jaccard_pairs(docs, k=3).collect() == []
+
+
+# --- tfidf_cosine_verified -----------------------------------------------------
+
+def _wcos_python(texts, tau_num, tau_den, k, pairs):
+    import math
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def q4(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-4"),
+                                         ROUND_HALF_UP)
+
+    sets = {i: {t[j:j + k] for j in range(len(t) - k + 1)}
+            for i, t in enumerate(texts)}
+    n = len(texts)
+    df = Counter(t for s in sets.values() for t in s)
+    w = {t: int(q4(math.log((n + 1) / df[t])) * 10_000) for t in df}
+    out = {}
+    for a, b in pairs:
+        dot = sum(w[t] * w[t] for t in sets[a] & sets[b])
+        na2 = sum(w[t] * w[t] for t in sets[a])
+        nb2 = sum(w[t] * w[t] for t in sets[b])
+        if dot and (dot * tau_den) ** 2 >= (tau_num ** 2 * na2) * nb2:
+            cos = dot / math.sqrt(float(na2) * float(nb2))
+            out[(a, b)] = float(Decimal(repr(cos)).quantize(
+                Decimal("1e-6"), ROUND_HALF_UP))
+    return out
+
+
+def test_tfidf_cosine_property_random_corpora(spark):
+    # exact math check with an ALL-PAIRS candidate frame (candidate
+    # recall is LSH's concern; the oracle gate checks the composed
+    # pipeline) — uses the default SHINGLE_K = 5
+    from hypothesis import given, settings, strategies as st
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+
+    WORDS = st.sampled_from(["aaaaa", "bbbbb", "ccccc", "ddddd"])
+    DOC = st.lists(WORDS, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(DOC, min_size=2, max_size=6),
+           st.sampled_from([(1, 2), (7, 10), (9, 10)]))
+    def run(texts, tau):
+        tau_num, tau_den = tau
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        pairs = [(a, b) for a in range(len(texts))
+                 for b in range(len(texts)) if a < b]
+        cands = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {(r["doc_a"], r["doc_b"]): r["w_cosine"]
+               for r in DD.tfidf_cosine_verified(
+                   docs, tau_num=tau_num, tau_den=tau_den,
+                   cands=cands).collect()}
+        assert got == _wcos_python(texts, tau_num, tau_den,
+                                   DD.SHINGLE_K, pairs)
+
+    run()
+
+
+def test_tfidf_cosine_identical_docs_cos_one(spark):
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+    docs = spark.createDataFrame(
+        [(0, "hello world again"), (1, "hello world again"),
+         (2, "something else entirely")],
+        "doc_id long, text string")
+    cands = spark.createDataFrame([(0, 1), (0, 2), (1, 2)],
+                                  "doc_a long, doc_b long")
+    got = {(r["doc_a"], r["doc_b"]): r["w_cosine"]
+           for r in DD.tfidf_cosine_verified(docs, cands=cands).collect()}
+    assert got == {(0, 1): 1.0}
