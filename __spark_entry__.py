@@ -633,6 +633,14 @@ def _q_waiting_suppliers(spark, sf_dir):
     return WH.waiting_suppliers(spark, sf_dir)
 
 
+def _q_classifier_agreement(spark, sf_dir):
+    """Cohen's kappa + macro-F1 + accuracy of the heuristic
+    language-ID vs gold lang — the one-row chance-corrected summary
+    over lang_id_confusion's matrix; every statistic integer-exact
+    up to one final divide."""
+    return EV.classifier_agreement(_docs(spark, sf_dir))
+
+
 def _q_chi2_lang_source(spark, sf_dir):
     """Chi-square independence + Cramér's V over the lang x source
     contingency — one fact groupBy, margin math on the cell frame."""
@@ -2015,7 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-7 ordering (executes the round-6 VERDICT/ADVICE list):
       1. the 50-query window:
-         (a) the four round-7 NEW operators — weighted_jaccard_pairs
+         (a) the five round-7 NEW operators — weighted_jaccard_pairs
          (exact-threshold IDF-weighted Jaccard self-join via WEIGHTED
          prefix filtering, BIGINT micro-idf units, brute-force
          oracle), kn_lm_score (interpolated Kneser-Ney trigram LM,
@@ -2023,10 +2031,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          twr_with_benchmark (the Dashboard's final chart frame
          end-to-end: per-user TWR joined to the ffilled/normalized
          benchmark, melted long — closes VERDICT r6 "What's missing"
-         item 2), and tfidf_cosine_verified (the cosine half of the
+         item 2), tfidf_cosine_verified (the cosine half of the
          weighted-similarity family: shared LSH candidates → exact
          idf²-weighted cosine, rational squared compare in
-         DECIMAL(38,0));
+         DECIMAL(38,0)), and classifier_agreement (Cohen's kappa /
+         accuracy / macro-F1 over the language-ID confusion —
+         integer-exact up to single divides);
          (b) the twelve queries whose code paths CHANGED this round:
          prefix_filter_pairs / ngram_jaccard / minhash_verified (the
          shingles() short-doc phantom-shingle fix, VERDICT item 1 —
@@ -2057,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_lm_score": _q_kn_lm_score,
         "twr_with_benchmark": _q_twr_with_benchmark,
         "tfidf_cosine_verified": _q_tfidf_cosine_verified,
+        "classifier_agreement": _q_classifier_agreement,
         # -- 1b. CHANGED this round (need a fresh external row) --------------------------------------------
         # shingles() short-doc fix (VERDICT r6 item 1) touches every
         # exact-Jaccard consumer:
@@ -4055,6 +4066,68 @@ def _oracle_sql_base() -> dict[str, str]:
         # mirrors text.lang_id_confusion: the language_id prediction
         # (same _LANG_SCORES_SQL scores + tie rule) aggregated into a
         # per-(label, prediction) confusion matrix
+        # mirrors evaluation.classifier_agreement: kappa / accuracy /
+        # macro-F1 off the same language_id prediction CTE; kappa's
+        # numerator and denominator are exact DECIMAL(38,0) integers
+        # (one final divide, NULL on the degenerate single-cell
+        # matrix); per-class F1 = 2*diag/(row+col); macro mean through
+        # DECIMAL(38,10)
+        "classifier_agreement": f"""
+            WITH li AS (
+                SELECT doc_id, lang,
+                       CASE WHEN best > 0 AND score_de = best THEN 'de'
+                            WHEN best > 0 AND score_en = best THEN 'en'
+                            WHEN best > 0 AND score_es = best THEN 'es'
+                            WHEN best > 0 AND score_fr = best THEN 'fr'
+                            ELSE 'und' END AS lang_pred
+                FROM (
+                    SELECT *, GREATEST(score_de, score_en, score_es, score_fr) AS best
+                    FROM (
+                        SELECT doc_id, lang,
+                               {_LANG_SCORES_SQL}
+                        FROM documents
+                    )
+                )
+            ),
+            c AS (SELECT lang, lang_pred, COUNT(*) AS n
+                  FROM li GROUP BY 1, 2),
+            rws AS (SELECT lang AS k, SUM(n) AS r FROM c GROUP BY 1),
+            cls AS (SELECT lang_pred AS k, SUM(n) AS cc FROM c GROUP BY 1),
+            diag AS (SELECT lang AS k, n AS tp FROM c
+                     WHERE lang = lang_pred),
+            klass AS (
+                SELECT COALESCE(rws.k, cls.k) AS k,
+                       COALESCE(r, 0) AS r,
+                       COALESCE(cc, 0) AS cc,
+                       COALESCE(tp, 0) AS tp
+                FROM rws FULL OUTER JOIN cls ON rws.k = cls.k
+                LEFT JOIN diag ON diag.k = COALESCE(rws.k, cls.k)
+            ),
+            agg AS (
+                SELECT CAST(SUM(r) AS BIGINT) AS t,
+                       CAST(SUM(tp) AS BIGINT) AS agree,
+                       CAST(SUM(CAST(r AS DECIMAL(38,0)) * cc)
+                            AS DECIMAL(38,0)) AS pe,
+                       COUNT(*) AS nk,
+                       SUM(CAST(CAST(2 * tp AS DOUBLE)
+                                / CAST(r + cc AS DOUBLE)
+                                AS DECIMAL(38,10))) AS f1s
+                FROM klass
+            )
+            SELECT CASE WHEN CAST(t AS DECIMAL(38,0)) * t <> pe
+                        THEN ROUND(CAST(CAST(agree AS DECIMAL(38,0)) * t
+                                        - pe AS DOUBLE)
+                                   / CAST(CAST(t AS DECIMAL(38,0)) * t
+                                          - pe AS DOUBLE), 6)
+                   END AS kappa,
+                   ROUND(CAST(agree AS DOUBLE) / CAST(t AS DOUBLE),
+                         6) AS accuracy,
+                   ROUND(CAST(f1s AS DOUBLE) / CAST(nk AS DOUBLE),
+                         6) AS macro_f1,
+                   CAST(nk AS BIGINT) AS n_classes,
+                   t AS n_docs
+            FROM agg
+        """,
         "lang_id_confusion": f"""
             WITH li AS (
                 SELECT doc_id, lang,

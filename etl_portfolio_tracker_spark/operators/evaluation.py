@@ -172,6 +172,65 @@ def chi2_lang_source(docs: DataFrame) -> DataFrame:
         F.col("t").cast("long").alias("n_docs"))
 
 
+def classifier_agreement(docs: DataFrame) -> DataFrame:
+    """Multi-class agreement statistics of the heuristic language-ID
+    against the gold `lang` column — Cohen's kappa (chance-corrected
+    accuracy), macro-F1, and raw accuracy, the one-row summary on top
+    of lang_id_confusion's per-cell matrix.
+
+    All three reduce to integer counting on the model-sized confusion
+    (|classes|² cells):
+      accuracy = agree / T                      (one divide)
+      kappa    = (agree·T − Σ_k r_k·c_k) / (T² − Σ_k r_k·c_k)
+                 — numerator/denominator are exact DECIMAL(38,0)
+                 integers (T ≤ 10¹² → T² ≤ 10²⁴), ONE final divide;
+                 NULL when T² = Σ r·c (degenerate single-cell matrix,
+                 chance agreement is 1 and kappa is undefined)
+      macro-F1 = mean_k 2·tp_k / (r_k + c_k)    — per-class F1
+                 simplifies to 2·diag/(row+col); each is one exact
+                 divide, the mean goes through DECIMAL(38,10) (the
+                 repo's order-insensitive sum rule)
+    Classes = union of gold and predicted labels (absent margin = 0).
+    """
+    from .text import language_id
+    c = (language_id(docs)
+         .groupBy("lang", "lang_pred")
+         .agg(F.count(F.lit(1)).alias("n")))
+    rows = c.groupBy("lang").agg(F.sum("n").alias("_r")) \
+            .select(F.col("lang").alias("k"), "_r")
+    cols = c.groupBy("lang_pred").agg(F.sum("n").alias("_c")) \
+            .select(F.col("lang_pred").alias("k"), "_c")
+    diag = (c.filter(F.col("lang") == F.col("lang_pred"))
+            .select(F.col("lang").alias("k"), F.col("n").alias("_tp")))
+    klass = (rows.join(cols, "k", "full_outer")
+             .join(diag, "k", "left")
+             .select("k",
+                     F.coalesce("_r", F.lit(0)).alias("_r"),
+                     F.coalesce("_c", F.lit(0)).alias("_c"),
+                     F.coalesce("_tp", F.lit(0)).alias("_tp")))
+    f1 = ((2 * F.col("_tp")).cast("double")
+          / (F.col("_r") + F.col("_c")).cast("double"))
+    s = klass.agg(
+        F.sum("_r").alias("_t"),
+        F.sum("_tp").alias("_agree"),
+        F.sum(F.col("_r").cast(D38) * F.col("_c")).cast(D38).alias("_pe"),
+        F.count(F.lit(1)).alias("_nk"),
+        F.sum(f1.cast("decimal(38,10)")).alias("_f1s"))
+    t2 = F.col("_t").cast(D38) * F.col("_t")
+    kappa = F.when(
+        t2 != F.col("_pe"),
+        (F.col("_agree").cast(D38) * F.col("_t") - F.col("_pe"))
+        .cast("double") / (t2 - F.col("_pe")).cast("double"))
+    return s.select(
+        F.round(kappa, 6).alias("kappa"),
+        F.round(F.col("_agree").cast("double")
+                / F.col("_t").cast("double"), 6).alias("accuracy"),
+        F.round(F.col("_f1s").cast("double")
+                / F.col("_nk").cast("double"), 6).alias("macro_f1"),
+        F.col("_nk").cast("long").alias("n_classes"),
+        F.col("_t").cast("long").alias("n_docs"))
+
+
 def pr_auc(docs: DataFrame, lang: str = EVAL_LANG) -> DataFrame:
     """Average precision (the PR-curve AUC under the standard step
     interpolation): AP = Σ_k (R_k − R_{k−1})·P_k over thresholds in

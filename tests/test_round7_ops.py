@@ -470,3 +470,45 @@ def test_tfidf_cosine_identical_docs_cos_one(spark):
     got = {(r["doc_a"], r["doc_b"]): r["w_cosine"]
            for r in DD.tfidf_cosine_verified(docs, cands=cands).collect()}
     assert got == {(0, 1): 1.0}
+
+
+# --- classifier_agreement -------------------------------------------------------
+
+def test_classifier_agreement_hand_case(spark):
+    # language_id predicts via marker words: 'the'→en, 'der'→de,
+    # no marker→'und'. Build a corpus with a known confusion:
+    #   gold en: 2 predicted en, 1 predicted und
+    #   gold de: 1 predicted de, 1 predicted en
+    from etl_portfolio_tracker_spark.operators import evaluation as EV
+    rows = [
+        (0, "the cat", "en", "s0"),
+        (1, "the dog", "en", "s0"),
+        (2, "zzz qqq", "en", "s0"),       # no markers → und
+        (3, "der hund", "de", "s0"),
+        (4, "the haus", "de", "s0"),      # en marker → predicted en
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = EV.classifier_agreement(docs).collect()[0]
+    # confusion: rows en:(en 2, und 1), de:(de 1, en 1); T=5, agree=3
+    # classes {en, de, und}: r=(3,2,0), c=(3,1,1), tp=(2,1,0)
+    # pe_num = 3*3 + 2*1 + 0*1 = 11; kappa = (3*5-11)/(25-11) = 4/14
+    assert got["n_docs"] == 5 and got["n_classes"] == 3
+    assert got["accuracy"] == pytest.approx(3 / 5)
+    assert got["kappa"] == pytest.approx(4 / 14, abs=1e-6)
+    # F1: en 2*2/(3+3)=2/3, de 2*1/(2+1)=2/3, und 0/(0+1)=0
+    assert got["macro_f1"] == pytest.approx((2 / 3 + 2 / 3 + 0) / 3,
+                                            abs=1e-6)
+
+
+def test_classifier_agreement_degenerate_kappa_null(spark):
+    # every doc same gold class and same prediction → pe = 1 → kappa
+    # undefined → NULL (not NaN), accuracy 1
+    from etl_portfolio_tracker_spark.operators import evaluation as EV
+    docs = spark.createDataFrame(
+        [(i, "the the the", "en", "s0") for i in range(4)],
+        "doc_id long, text string, lang string, source string")
+    got = EV.classifier_agreement(docs).collect()[0]
+    assert got["kappa"] is None
+    assert got["accuracy"] == 1.0
+    assert got["n_classes"] == 1
