@@ -242,13 +242,16 @@ def weighted_jaccard_pairs(docs: DataFrame,
     Scale shape (prefix_filter_pairs' plan): one df shuffle, one
     doc-keyed window pair sharing a sort, prefix self-join on the
     rare head only, weight-ratio prune (J_w ≤ min(W)/max(W)) on
-    narrow longs BEFORE any array moves, then the exact verify
-    intersects per-doc struct(xxhash64(shingle), w) arrays on
-    survivors only — xxhash64 stands in for the string exactly as in
-    minhash_verified (P[collision] ≈ n²·2⁻⁶⁵, below operational
-    concern; measured ~40% faster than string structs), equal global
-    weights make struct equality well-defined, and the long fold over
-    the intersection is order-insensitive.
+    narrow longs BEFORE any shingles move, then the exact verify
+    co-shuffles ONLY the survivors' weighted shingle rows: survivors
+    ⋈ sw(doc_a) fans out to ~|surv|·shingles-per-doc rows, the inner
+    join on (doc_b, shingle) keeps exactly the common shingles, and
+    one pair-keyed sum gives Σ w — all codegen, no arrays, no hashes,
+    ZERO collision caveat (string-keyed). The array-intersect form
+    this replaces folded struct(hash, w) arrays, which
+    `array_intersect` evaluates interpreted (SCALING.md r7: structs
+    cost 32× vs primitive longs); with ~6k survivors the explode is
+    ~2M narrow rows — cheaper than shipping both docs' arrays.
     """
     sh = iter_checkpoint(shingles(docs, k=k), eager=False)
     nd = docs.agg(F.count(F.lit(1)).alias("_nd"))
@@ -280,30 +283,22 @@ def weighted_jaccard_pairs(docs: DataFrame,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    arrs = iter_checkpoint(
-        sw.groupBy("doc_id").agg(
-            F.collect_set(F.struct(F.xxhash64("shingle").alias("_h"),
-                                   F.col("_w"))).alias("_sw"),
-            F.sum("_w").alias("_wt")),
+    tots = iter_checkpoint(
+        sw.groupBy("doc_id").agg(F.sum("_w").alias("_wt")),
         eager=False)
     surv = (cand
-            .join(arrs.select(F.col("doc_id").alias("doc_a"),
+            .join(tots.select(F.col("doc_id").alias("doc_a"),
                               F.col("_wt").alias("_wa")), "doc_a")
-            .join(arrs.select(F.col("doc_id").alias("doc_b"),
+            .join(tots.select(F.col("doc_id").alias("doc_b"),
                               F.col("_wt").alias("_wb")), "doc_b")
             .filter(F.least("_wa", "_wb") * tau_den
                     >= F.greatest("_wa", "_wb") * tau_num))
-    va = arrs.select(F.col("doc_id").alias("doc_a"),
-                     F.col("_sw").alias("_sa"))
-    vb = arrs.select(F.col("doc_id").alias("doc_b"),
-                     F.col("_sw").alias("_sb"))
-    inter_w = F.aggregate(
-        F.array_intersect("_sa", "_sb"),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x["_w"])
-    scored = (surv.join(va, "doc_a").join(vb, "doc_b")
-              .select("doc_a", "doc_b", "_wa", "_wb",
-                      inter_w.alias("_iw"))
+    swa = sw.select(F.col("doc_id").alias("doc_a"), "shingle", "_w")
+    swb = sw.select(F.col("doc_id").alias("doc_b"), "shingle")
+    scored = (surv.join(swa, "doc_a")
+              .join(swb, ["doc_b", "shingle"])
+              .groupBy("doc_a", "doc_b", "_wa", "_wb")
+              .agg(F.sum("_w").alias("_iw"))
               .withColumn("_uw", F.col("_wa") + F.col("_wb")
                           - F.col("_iw")))
     return (scored
