@@ -156,9 +156,15 @@ def prefix_filter_pairs(docs: DataFrame,
     # prefix ranking, both verify sides) — materialize once
     sh = iter_checkpoint(shingles(docs, k=k), eager=False)
     # ONE doc-keyed aggregation serves both the verify arrays and the
-    # set sizes (sizes = size(array)) — no separate sizes shuffle
+    # set sizes (sizes = size(array)) — no separate sizes shuffle.
+    # Arrays hold xxhash64(shingle), not the string: array_intersect
+    # on BIGINT runs the primitive codegen path (SCALING.md r7 —
+    # non-primitive elements intersect interpreted); Jaccard over
+    # hash sets equals Jaccard over string sets up to the
+    # minhash_verified collision stance (P ≈ n²·2⁻⁶⁵).
     arrs = iter_checkpoint(
-        sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_sh")),
+        sh.groupBy("doc_id").agg(
+            F.collect_set(F.xxhash64("shingle")).alias("_sh")),
         eager=False)
     sizes = arrs.select("doc_id", F.size("_sh").cast("bigint").alias("_n"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
