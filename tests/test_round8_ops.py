@@ -1,0 +1,82 @@
+"""Round-8 regression + new-operator tests.
+
+Round 8 executes the round-7 VERDICT list: graduating the two
+rows-only queries to hash-checked oracle rows (``audio_meta``,
+``approx_stats``), collision-free verify kernels for
+``minhash_verified`` / ``tfidf_cosine_verified``, the PPJoin
+positional filter on the prefix-filter family, the incremental TWR
+streaming twin, and the ``_guarded_codebook`` empty-corpus fallback
+(ADVICE item 2).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+TESTDATA = "/root/testdata"
+
+
+# --- audio_meta oracle preconditions (VERDICT r7 item 1) ---------------------
+# The DuckDB oracle reads per-CHAR ord(); the Spark side reads per
+# UTF-8 BYTE of text cast to binary. These agree iff the corpus is
+# pure ASCII; the oracle's fake-PCM branch applies iff no doc is a
+# RIFF/WAVE payload. Assert both at every SF the gates run at.
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_documents_ascii_and_not_riff(sf):
+    import duckdb
+    path = os.path.join(TESTDATA, sf, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} absent")
+    con = duckdb.connect()
+    bad, riff, nulls = con.execute(f"""
+        SELECT count(*) FILTER (octet_length(encode(text)) != length(text)),
+               count(*) FILTER (text LIKE 'RIFF%'),
+               count(*) FILTER (text IS NULL)
+        FROM read_parquet('{path}')
+    """).fetchone()
+    assert bad == 0, "corpus no longer ASCII-pure: audio_meta oracle invalid"
+    assert riff == 0, "corpus contains RIFF payloads: oracle branch invalid"
+    assert nulls == 0
+
+
+def test_audio_meta_fake_path_matches_byte_math(spark):
+    """The fake-PCM path must equal the exact rational formula
+    sqrt((Σ(b−128)² / 16384) / n) with single-rounding IEEE steps —
+    the property that makes the DuckDB oracle bit-equal."""
+    import math
+
+    from etl_portfolio_tracker_spark.operators import multimodal as MM
+
+    texts = ["hello world", "a", "  ", "ASCII only 123!"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    rows = {r["media_id"]: r
+            for r in MM.audio_meta(MM.docs_as_media(docs)).collect()}
+    for i, t in enumerate(texts):
+        b = t.encode("ascii")
+        n = len(b)
+        ss = sum((x - 128) ** 2 for x in b)
+        r = rows[i]
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        assert r["bits_per_sample"] == 8 and r["n_samples"] == n
+        assert r["duration_ms"] == (1000.0 * n) / 8000.0
+        assert r["rms"] == math.sqrt((ss / 16384.0) / n)
+        assert r["peak"] == max(abs(x - 128) for x in b) / 128.0
+
+
+# --- approx_stats engine-agnostic form (VERDICT r7 item 1) -------------------
+
+def test_approx_stats_guarantee_booleans(spark):
+    from etl_portfolio_tracker_spark.operators import headline as HL
+    row = HL.approx_stats(spark, os.path.join(TESTDATA, "sf0.001")).collect()
+    assert len(row) == 1
+    r = row[0]
+    # the sketches must sit inside their published guarantees — these
+    # are the same booleans the oracle pins to TRUE
+    assert r["parts_ok"] and r["orders_ok"]
+    assert r["q50_ok"] and r["q95_ok"] and r["q99_ok"]
+    assert r["exact_parts"] > 0 and r["exact_orders"] > 0
+    assert r["q50_exact"] <= r["q95_exact"] <= r["q99_exact"]
