@@ -43,6 +43,35 @@ import __spark_entry__ as E  # noqa: E402
 from etl_portfolio_tracker_spark.session import get_spark  # noqa: E402
 
 
+def _calibrate(spark) -> dict:
+    """Fixed-workload host-weather probe (VERDICT r7 item 2): one
+    single-threaded Python spin loop and one single-task Spark job,
+    timed before AND after the suite and recorded in the artifact.
+    Identical code every run → the ratio between two artifacts'
+    calibration fields IS the host-load ratio, so a per-query
+    regression scan can mechanically discount machine weather instead
+    of guessing (the r7 canonical was a loaded-host run and every
+    diff against it was noise). ~1 s total on a quiet host."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i * i
+    py = time.perf_counter() - t0
+    # one partition → one task: measures a single executor-thread's
+    # effective speed under whatever else the host is running. One
+    # untimed pass first: the probe's own codegen costs ~3 s cold,
+    # which would make cal_before incomparable to cal_after.
+    probe = lambda: (spark.range(0, 30_000_000, 1, 1)  # noqa: E731
+                     .selectExpr("sum(id % 9999) AS s")  # ANSI-safe sum
+                     .collect())
+    probe()
+    t0 = time.perf_counter()
+    probe()
+    jvm = time.perf_counter() - t0
+    return {"python_spin_sec": round(py, 3),
+            "spark_1task_sec": round(jvm, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -53,6 +82,7 @@ def main() -> None:
         qs["pricing_summary"](spark, sf_dir).toPandas()
     except Exception:
         pass
+    cal_before = _calibrate(spark)
 
     def time_one(name: str, fn) -> float:
         t0 = time.time()
@@ -93,6 +123,7 @@ def main() -> None:
                 timings[name] = min(timings[name], retry)
     timings = {n: round(t, 2) for n, t in timings.items()}
 
+    cal_after = _calibrate(spark)
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -101,7 +132,9 @@ def main() -> None:
     # the harness's 2 kB tail capture (r1's ~2.4 kB line with all
     # queries inline was truncated and recorded as unparseable).
     full = {"metric": "total_query_wall_time", "value": total,
-            "unit": "sec", "queries": timings, "sf": sf_val}
+            "unit": "sec", "queries": timings, "sf": sf_val,
+            "calibration_before": cal_before,
+            "calibration_after": cal_after}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_FULL.json"), "w") as fh:
@@ -118,7 +151,9 @@ def main() -> None:
     line_qs: dict[str, float] = {}
     out = {"metric": "total_query_wall_time", "value": total, "unit": "sec",
            "queries": line_qs, "sf": sf_val, "n_queries": len(timings),
-           "other_sec": 0.0, "other_n": 0, "full": "BENCH_FULL.json"}
+           "other_sec": 0.0, "other_n": 0, "full": "BENCH_FULL.json",
+           "cal": [cal_before["spark_1task_sec"],
+                   cal_after["spark_1task_sec"]]}
     dumps = lambda: json.dumps(out, separators=(",", ":"))  # noqa: E731
     for name, t in ordered:
         line_qs[name] = t

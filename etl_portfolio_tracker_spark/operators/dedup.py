@@ -456,23 +456,25 @@ def minhash_verified(docs: DataFrame,
     (similarity.py); this is the composition every docstring in this
     module promises, as one operator.
 
-    Scale shape: the exact intersection is computed IN-ROW over
-    per-doc arrays of 8-byte shingle hashes, not by re-exploding
-    shingles per pair: the exploded formulation shipped
-    |pairs| × |shingles/doc| rows through a shuffle join (~84M rows
-    at sf0.1's 410k candidates × ~200 char-shingles — measured
-    26-46 s), while the array form shuffles each doc's hash set ONCE
-    (one groupBy on the semi-joined shingle table), joins it to the
-    candidate list by doc id (AQE broadcasts it when small; plain
-    hash join at scale), and intersects two sorted-unique bigint
-    arrays per pair — O(|a|+|b|) hash-set work with zero additional
-    shuffle (measured ~6 s end-to-end, 4-7× faster). xxhash64 stands
-    in for the shingle string: Jaccard over hash sets equals Jaccard
-    over string sets unless two distinct shingles of the same doc
-    pair collide in 64 bits (P ≈ n²·2⁻⁶⁵ ≈ 10⁻⁸ for a 10⁶-shingle
-    corpus — below any operational concern, and the oracle gate
-    would catch a systematic break). Candidates sharing zero
-    shingles yield n_common = 0 → filtered by any useful threshold."""
+    Scale shape (r8 — the weighted_jaccard_pairs verify kernel,
+    collision-FREE): the size-ratio prune runs on a NARROW
+    (doc_id, n) frame joined to the pair list before any shingle
+    moves, and the exact intersection is a SURVIVORS-ONLY
+    pair-explode join — survivors ⋈ shingle rows of doc_a fans out to
+    ~|surv|·shingles-per-doc narrow rows, the inner join on
+    (doc_b, shingle) keeps exactly the common shingles, and one
+    pair-keyed count gives n_common. String-keyed throughout: Jaccard
+    over the actual shingle strings, ZERO collision caveat (ADVICE r7
+    item 1 / VERDICT Next item 4 — this replaces the
+    collect_set(xxhash64)+array_intersect form, whose 64-bit in-doc
+    collision stance was documented-honest but gratuitous once the
+    r7 weighted kernel measured the explode form FASTER at equal
+    survivor counts: 9.2→5.8 s). The prune discards ~95% of the 410k
+    sf0.1 candidates shipping two ints per pair, so the explode only
+    ever sees survivors (~20k pairs × ~200 shingles ≈ 4M narrow
+    rows, all codegen, no arrays). Candidates sharing zero shingles
+    produce no joined rows → absent from the output, which any
+    useful threshold filtered anyway."""
     # one materialization of the LSH pipeline: candidates feed the id
     # restriction AND the pair join — without the checkpoint the whole
     # minhash stage recomputes per consumer (cluster: persist()).
@@ -483,18 +485,21 @@ def minhash_verified(docs: DataFrame,
                 .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
     # explicit-N co-partition (same rule as minhash_lsh_candidates):
-    # the shingle stream is ~90 MB of 8-byte hashes at sf0.1, which
-    # AQE coalesces to 2-3 reducers by byte size — but hash-SET
-    # building is CPU-bound per byte, so those 3 tasks serialize the
-    # whole verify prologue (measured as the stage's long tail).
+    # the shingle stream is ~90 MB at sf0.1, which AQE coalesces to
+    # 2-3 reducers by byte size — but the per-doc set-dedup +
+    # downstream joins are CPU-bound per byte, so those tasks would
+    # serialize the verify prologue (measured as the stage's tail).
     n = docs.sparkSession.sparkContext.defaultParallelism
-    arrs = iter_checkpoint(
+    # distinct AFTER the semi-join (set-dedup only candidate docs'
+    # shingles, not the whole corpus); the explicit doc_id partitioning
+    # satisfies the (doc_id, shingle) dedup's clustered distribution,
+    # so dropDuplicates adds no exchange.
+    shd = iter_checkpoint(
         shingles(docs, distinct=False)
         .join(cand_ids, "doc_id", "left_semi")
         .repartition(n, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.collect_set(F.xxhash64("shingle")).alias("_sh")),
-        # materialized once: sizes AND arrays both consume it
+        .dropDuplicates(["doc_id", "shingle"]),
+        # materialized once: sizes AND both pair-join sides consume it
         eager=False)
     # Size-ratio prune (exact): n_common ≤ min(|a|,|b|), so
     # jaccard ≤ min/max — a pair with min/max < t can never reach the
@@ -503,17 +508,12 @@ def minhash_verified(docs: DataFrame,
     # final expression is literally min/max), so the two floats round
     # identically for ANY threshold — a multiply-form bound
     # (min >= t*max) could disagree with the divide-form filter at the
-    # boundary for non-representable thresholds.
-    # The prune runs on a NARROW (doc_id, n) frame joined
-    # to the pair list BEFORE any array moves: at sf0.1 it discards
-    # ~95% of the 410k candidates shipping two ints per pair, so the
-    # two array joins (the heavy movement — ~200 bigints per side)
-    # only ever see the surviving pairs. Same algebra as the
+    # boundary for non-representable thresholds. Same algebra as the
     # prefix-filtering rule in set-similarity joins (PPJoin); results
     # are bit-identical, so the DuckDB oracle needs no mirror (its
     # planner re-derives the same output from the unpruned
     # formulation).
-    sizes = arrs.select("doc_id", F.size("_sh").alias("_n"))
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
     survivors = (cands
                  .join(sizes.select(F.col("doc_id").alias("doc_a"),
                                     F.col("_n").alias("_na")), "doc_a")
@@ -522,22 +522,17 @@ def minhash_verified(docs: DataFrame,
                  .filter(F.least("_na", "_nb").cast("double")
                          / F.greatest("_na", "_nb")
                          >= F.lit(float(threshold))))
-    va = arrs.select(F.col("doc_id").alias("doc_a"),
-                     F.col("_sh").alias("_sa"))
-    vb = arrs.select(F.col("doc_id").alias("doc_b"),
-                     F.col("_sh").alias("_sb"))
-    # n_common materialized in its own projection: referencing the
-    # intersect expression from the jaccard formula AND the filter
-    # would re-evaluate the O(|a|+|b|) intersect per reference.
-    with_common = (survivors.join(va, "doc_a").join(vb, "doc_b")
-                   .select("doc_a", "doc_b",
-                           F.size(F.array_intersect("_sa", "_sb"))
-                            .cast("bigint").alias("n_common"),
-                           (F.col("_na") + F.col("_nb")).alias("_tot")))
+    sha = shd.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = shd.select(F.col("doc_id").alias("doc_b"), "shingle")
+    with_common = (survivors.join(sha, "doc_a")
+                   .join(shb, ["doc_b", "shingle"])
+                   .groupBy("doc_a", "doc_b", "_na", "_nb")
+                   .agg(F.count(F.lit(1)).alias("n_common")))
     return (with_common
             .select("doc_a", "doc_b", "n_common",
                     (F.col("n_common").cast("double")
-                     / (F.col("_tot") - F.col("n_common"))).alias("jaccard"))
+                     / (F.col("_na") + F.col("_nb") - F.col("n_common")))
+                    .alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 
@@ -574,22 +569,22 @@ def tfidf_cosine_verified(docs: DataFrame,
     divide; sqrt is IEEE-754 correctly rounded in BOTH engines
     (unlike ln/exp), so no decimal laundering is needed.
 
-    Scale shape (minhash_verified's plan): banded-LSH candidates
-    bound the pair set, the norm-ratio prune (cos ≤ √(min/max) on
-    |·|² — integer compare min·τ_den² ≥ max·τ_num²) discards pairs on
-    a NARROW (doc_id, n2) frame before any array moves, and the exact
-    dot folds over intersected PACKED-LONG arrays on survivors only:
-    each element is (hash44 << 20) | w — the 44 high bits of
-    xxhash64(shingle) and the 20-bit weight (w < 2²⁰ for any corpus
-    under e^104 docs; hash44 magnitude < 2⁴³ so the pack can't
-    overflow a signed 64-bit) — because array_intersect on BIGINT
-    arrays runs the specialized codegen path while struct arrays fall
-    back to interpreted ordering comparisons (MEASURED 32×: 52 s →
-    1.6 s for the same 314k-pair verify at sf0.1, identical dot
-    sums). Same-weight shingles colliding in 44 bits merge inside a
-    doc's set (P ≈ n_sh²·2⁻⁴⁵ per doc, ~10⁻⁹ for 300-shingle docs —
-    the minhash_verified stance at a shorter width, stated honestly);
-    the string-exact oracle would catch any systematic break.
+    Scale shape (r8 — the weighted_jaccard_pairs verify kernel,
+    collision-FREE): banded-LSH candidates bound the pair set, the
+    norm-ratio prune (cos ≤ √(min/max) on |·|² — integer compare
+    min·τ_den² ≥ max·τ_num²) discards pairs on a NARROW (doc_id, n2)
+    frame before any shingle moves, and the exact dot is a
+    SURVIVORS-ONLY pair-explode join: survivors ⋈ weighted shingle
+    rows of doc_a, inner join on (doc_b, shingle) keeps exactly the
+    common shingles, one pair-keyed Σw² gives the dot — string-keyed,
+    all codegen, no arrays, ZERO collision caveat. This replaces the
+    packed-long (hash44 << 20 | w) array_intersect fold whose 44-bit
+    in-doc merge stance ADVICE r7 item 1 flagged as asymmetric once
+    the Jaccard half went pair-explode — and the r7 measurement says
+    the explode form is also the cheaper one at equal survivor
+    counts (9.2→5.8 s). (History kept for the record: the packed-long
+    fold itself had replaced struct arrays, which array_intersect
+    evaluates INTERPRETED — measured 32×, 52 s → 1.6 s, SCALING.md.)
     """
     cands = iter_checkpoint(
         (minhash_lsh_candidates(docs) if cands is None else cands)
@@ -607,35 +602,27 @@ def tfidf_cosine_verified(docs: DataFrame,
                     .cast("decimal(8,4)") * COS_W_SCALE)
                    .cast("bigint").alias("_w")))
     n = docs.sparkSession.sparkContext.defaultParallelism
-    packed = (F.shiftright(F.xxhash64("shingle"), 20) * F.lit(1 << 20)
-              + F.col("_w"))
-    arrs = iter_checkpoint(
+    sw = iter_checkpoint(
         sh.join(wts, "shingle")
           .join(cand_ids, "doc_id", "left_semi")
-          .repartition(n, "doc_id")
-          .groupBy("doc_id")
-          .agg(F.collect_set(packed.cast("bigint")).alias("_sw"),
-               F.sum(F.col("_w") * F.col("_w")).alias("_n2")),
+          .repartition(n, "doc_id"),
+        # materialized once: norms AND both pair-join sides consume it
         eager=False)
+    norms = sw.groupBy("doc_id").agg(
+        F.sum(F.col("_w") * F.col("_w")).alias("_n2"))
     surv = (cands
-            .join(arrs.select(F.col("doc_id").alias("doc_a"),
-                              F.col("_n2").alias("_na2")), "doc_a")
-            .join(arrs.select(F.col("doc_id").alias("doc_b"),
-                              F.col("_n2").alias("_nb2")), "doc_b")
+            .join(norms.select(F.col("doc_id").alias("doc_a"),
+                               F.col("_n2").alias("_na2")), "doc_a")
+            .join(norms.select(F.col("doc_id").alias("doc_b"),
+                               F.col("_n2").alias("_nb2")), "doc_b")
             .filter(F.least("_na2", "_nb2") * (tau_den * tau_den)
                     >= F.greatest("_na2", "_nb2") * (tau_num * tau_num)))
-    va = arrs.select(F.col("doc_id").alias("doc_a"),
-                     F.col("_sw").alias("_sa"))
-    vb = arrs.select(F.col("doc_id").alias("doc_b"),
-                     F.col("_sw").alias("_sb"))
-    m20 = F.lit((1 << 20) - 1)
-    dot = F.aggregate(
-        F.array_intersect("_sa", "_sb"),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x.bitwiseAND(m20) * x.bitwiseAND(m20))
-    scored = (surv.join(va, "doc_a").join(vb, "doc_b")
-              .select("doc_a", "doc_b", "_na2", "_nb2",
-                      dot.alias("_dot")))
+    swa = sw.select(F.col("doc_id").alias("doc_a"), "shingle", "_w")
+    swb = sw.select(F.col("doc_id").alias("doc_b"), "shingle")
+    scored = (surv.join(swa, "doc_a")
+              .join(swb, ["doc_b", "shingle"])
+              .groupBy("doc_a", "doc_b", "_na2", "_nb2")
+              .agg(F.sum(F.col("_w") * F.col("_w")).alias("_dot")))
     lhs = ((F.col("_dot") * tau_den).cast("decimal(19,0)")
            * (F.col("_dot") * tau_den))
     rhs = ((F.col("_na2") * (tau_num * tau_num)).cast("decimal(19,0)")

@@ -949,25 +949,37 @@ def semantic_dedup(emb: DataFrame, n_cells: int | None = None,
 def _guarded_codebook(emb: DataFrame, n_cells: int, who: str) -> DataFrame:
     """First-n_cells codebook with the dense-id validation folded INTO
     the consuming job — no plan-build action (r6 verdict: the separate
-    `cents.count()` was a blocking scan before any work). A global
-    window counts the codebook rows (model-sized frame, ≤ cell cap —
-    the SinglePartition is over ~√N rows, not the fact) and
-    `assert_true` raises AT EXECUTION when the corpus's ids are
-    sparse; the filter keeps every row while forcing evaluation (the
-    ema_final guard pattern, finance.py). Caveat: a codebook with
-    ZERO ids below n_cells yields no rows to assert on and the
-    consumer goes empty rather than raising — visible, and impossible
-    on the harness's dense 0-based ids."""
+    `cents.count()` was a blocking scan before any work). A SENTINEL
+    row is unioned in before the global window count (model-sized
+    frame, ≤ cell cap + 1 — the SinglePartition is over ~√N rows, not
+    the fact), so `assert_true` evaluates even when the corpus has
+    ZERO vec_ids below n_cells (ADVICE r7 item 2: the sentinel-free
+    window had no rows to assert on for fully-sparse ids, and the
+    consumer silently returned empty where the replaced
+    `cents.count()` path raised); the filter keeps every real row
+    while forcing evaluation (the ema_final guard pattern,
+    finance.py), then drops the sentinel."""
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    sentinel = (emb.sparkSession.range(1)
+                .select(F.lit(-1).cast("int").alias("_cid"),
+                        F.lit(None).cast(vec_type).alias("_cvec")))
     guard = F.assert_true(
-        F.col("_ncb") == n_cells,
+        F.col("_ncb") == n_cells + 1,
         F.concat(F.lit(f"{who} codebook expects dense 0-based vec_ids:"
                        f" wanted {n_cells} centroids, found "),
-                 F.col("_ncb").cast("string")))
+                 (F.col("_ncb") - 1).cast("string")))
     return (emb.filter(F.col("vec_id") < n_cells)
             .select(F.col("vec_id").cast("int").alias("_cid"),
                     F.col("embedding").alias("_cvec"))
+            .unionByName(sentinel)
             .withColumn("_ncb", F.count("*").over(W.partitionBy(F.lit(1))))
+            # two filters, guard INNERMOST: CombineFilters folds them
+            # to And(guard, _cid >= 0) evaluated left-to-right, so the
+            # assert fires on the sentinel row even when it is the
+            # only row (a single combined `guard & _cid >= 0` filter
+            # could short-circuit the guard away on the sentinel)
             .filter(guard.isNull())
+            .filter(F.col("_cid") >= 0)
             .drop("_ncb"))
 
 

@@ -80,3 +80,31 @@ def test_approx_stats_guarantee_booleans(spark):
     assert r["q50_ok"] and r["q95_ok"] and r["q99_ok"]
     assert r["exact_parts"] > 0 and r["exact_orders"] > 0
     assert r["q50_exact"] <= r["q95_exact"] <= r["q99_exact"]
+
+
+# --- _guarded_codebook sentinel (ADVICE r7 item 2) ----------------------------
+
+def test_guarded_codebook_fully_sparse_raises(spark):
+    """A corpus with ZERO vec_ids below n_cells previously returned
+    empty (no rows for the window-count assert to evaluate on); the
+    sentinel row makes the in-job guard fire like the old
+    cents.count() path did."""
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i + 1000, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="dense 0-based"):
+        SIM._guarded_codebook(emb, 3, "t").collect()
+
+
+def test_guarded_codebook_dense_and_partial(spark):
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    assert sorted(r["_cid"] for r in
+                  SIM._guarded_codebook(emb, 4, "t").collect()) == [0, 1, 2, 3]
+    with pytest.raises(Exception, match="found 2"):
+        SIM._guarded_codebook(emb.filter("vec_id < 2"), 4, "t").collect()
