@@ -142,31 +142,38 @@ def prefix_filter_pairs(docs: DataFrame,
     reach the pair join, and candidates shrink by orders of magnitude
     (pinned by test) — this is the form that runs on the FULL corpus.
 
+    r8 adds the POSITIONAL filter (PPJoin, Xiao/Wang/Lin/Yu WWW'08
+    §3.2): carry each prefix shingle's rank; for a candidate pair the
+    smallest SHARED prefix shingle t (positions i in A, j in B) is
+    provably the smallest COMMON shingle (any smaller common shingle
+    would rank before t inside BOTH prefixes — contradiction), so
+    |A∩B| ≤ 1 + min(|A|−i, |B|−j); prune unless that bound reaches
+    the overlap threshold. Pure-integer form (no float boundary):
+    J ≥ τ ⟺ |A∩B|·(τn+τd) ≥ τn·(|A|+|B|), so the test is
+    (1 + min(nA−i, nB−j))·(τn+τd) ≥ τn·(nA+nB). Zero false negatives
+    by the theorem; the brute-force oracle stays unchanged. Measured
+    candidate reduction at sf0.1: see SCALING.md r8.
+
     Scale: shingles -> one shuffle for df counts, one doc-partitioned
     window pair (count + row_number share the sort), prefix self-join
-    on the rarest shingles, then the size-ratio prune (divide-form,
-    dedup.py minhash_verified convention) on narrow ints BEFORE any
-    array movement; the exact verify intersects per-doc shingle sets
-    on candidates only. At 100 TB the prefix join key distribution is
-    capped by construction (a shingle in many prefixes has low df by
-    definition of the order, bounded by the corpus near-dup rate).
+    on the rarest shingles with a pair-keyed min-struct (the
+    positional data rides the same aggregation that deduped the pair
+    list), the size-ratio prune (divide-form, dedup.py
+    minhash_verified convention) + positional prune on narrow ints
+    BEFORE any shingle movement; the exact verify is the survivors-
+    only string-keyed pair-explode join (the weighted_jaccard_pairs
+    kernel — collision-FREE, r8; it replaces the xxhash64 array
+    intersect and its P ≈ n²·2⁻⁶⁵ caveat). At 100 TB the prefix join
+    key distribution is capped by construction (a shingle in many
+    prefixes has low df by definition of the order, bounded by the
+    corpus near-dup rate).
     """
     tau = tau_num / tau_den  # one exact int->double divide per engine
     # distinct (doc_id, shingle) feeds FOUR consumers (df counts,
     # prefix ranking, both verify sides) — materialize once
     sh = iter_checkpoint(shingles(docs, k=k), eager=False)
-    # ONE doc-keyed aggregation serves both the verify arrays and the
-    # set sizes (sizes = size(array)) — no separate sizes shuffle.
-    # Arrays hold xxhash64(shingle), not the string: array_intersect
-    # on BIGINT runs the primitive codegen path (SCALING.md r7 —
-    # non-primitive elements intersect interpreted); Jaccard over
-    # hash sets equals Jaccard over string sets up to the
-    # minhash_verified collision stance (P ≈ n²·2⁻⁶⁵).
-    arrs = iter_checkpoint(
-        sh.groupBy("doc_id").agg(
-            F.collect_set(F.xxhash64("shingle")).alias("_sh")),
-        eager=False)
-    sizes = arrs.select("doc_id", F.size("_sh").cast("bigint").alias("_n"))
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     wdoc = W.partitionBy("doc_id")
     ranked = (sh.join(dfreq, "shingle")
@@ -177,35 +184,46 @@ def prefix_filter_pairs(docs: DataFrame,
                   - F.expr(f"({tau_num} * _n + {tau_den - 1})"
                            f" div {tau_den}") + 1)
     pref = (ranked.filter(F.col("_rn") <= prefix_len)
-            .select("doc_id", "shingle"))
+            .select("doc_id", "shingle", "_df", "_rn"))
     a = pref.alias("a")
     b = pref.alias("b")
+    # the pair dedup doubles as the positional-filter aggregation: the
+    # min struct orders by the global shingle order (_df, shingle), so
+    # _m carries the smallest shared prefix shingle's positions
     cand = (a.join(b, "shingle")
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
-    # size-ratio prune before the arrays move: J <= min/max, evaluated
-    # with the SAME divide form as the final filter (boundary-safe for
-    # any threshold — see minhash_verified's derivation)
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.min(F.struct(F.col("a._df").alias("d"),
+                                F.col("shingle").alias("s"),
+                                F.col("a._rn").alias("ia"),
+                                F.col("b._rn").alias("ib"))).alias("_m")))
+    # size-ratio prune (divide form — boundary-safe for any threshold,
+    # see minhash_verified) + positional prune, both on narrow ints
+    # before any shingle moves
     surv = (cand
             .join(sizes.select(F.col("doc_id").alias("doc_a"),
                                F.col("_n").alias("_na")), "doc_a")
             .join(sizes.select(F.col("doc_id").alias("doc_b"),
                                F.col("_n").alias("_nb")), "doc_b")
             .filter(F.least("_na", "_nb").cast("double")
-                    / F.greatest("_na", "_nb") >= F.lit(tau)))
-    va = arrs.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
-    vb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
-    with_common = (surv.join(va, "doc_a").join(vb, "doc_b")
-                   .select("doc_a", "doc_b",
-                           F.size(F.array_intersect("_sa", "_sb"))
-                            .cast("bigint").alias("n_common"),
-                           (F.col("_na") + F.col("_nb")).alias("_tot")))
+                    / F.greatest("_na", "_nb") >= F.lit(tau))
+            .filter((1 + F.least(F.col("_na") - F.col("_m.ia"),
+                                 F.col("_nb") - F.col("_m.ib")))
+                    * (tau_num + tau_den)
+                    >= tau_num * (F.col("_na") + F.col("_nb")))
+            .select("doc_a", "doc_b", "_na", "_nb"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    with_common = (surv.join(sha, "doc_a")
+                   .join(shb, ["doc_b", "shingle"])
+                   .groupBy("doc_a", "doc_b", "_na", "_nb")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
     return (with_common
             .select("doc_a", "doc_b", "n_common",
                     (F.col("n_common").cast("double")
-                     / (F.col("_tot") - F.col("n_common"))).alias("jaccard"))
+                     / (F.col("_na") + F.col("_nb") - F.col("n_common")))
+                    .alias("jaccard"))
             .filter(F.col("jaccard") >= tau))
 
 
@@ -281,14 +299,27 @@ def weighted_jaccard_pairs(docs: DataFrame,
                        .rowsBetween(W.currentRow, W.unboundedFollowing))))
     pref = (ordered
             .filter(F.col("_suf") * tau_den >= F.col("_wtot") * tau_num)
-            .select("doc_id", "shingle"))
+            .select("doc_id", "shingle", "_df", "_suf"))
     a = pref.alias("a")
     b = pref.alias("b")
+    # pair dedup doubles as the WEIGHTED positional-filter aggregation
+    # (PPJoin, Xiao et al. WWW'08 §3.2, weighted form — r8): the min
+    # struct orders by the global shingle order (_df, shingle), so _m
+    # carries the smallest shared prefix shingle's suffix weights.
+    # That shingle is provably the smallest COMMON shingle (a smaller
+    # common one would sit inside BOTH prefixes — the suffix-weight
+    # prefix rule — and rank before it), so the intersection weight
+    # I ≤ min(S_A(c*), S_B(c*)); J_w ≥ τ ⟺ I·(τn+τd) ≥ τn·(W_A+W_B),
+    # hence prune unless min(S_A,S_B)·(τn+τd) ≥ τn·(W_A+W_B) — pure
+    # 64-bit integer on micro-idf units, zero false negatives.
     cand = (a.join(b, "shingle")
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.min(F.struct(F.col("a._df").alias("d"),
+                                F.col("shingle").alias("s"),
+                                F.col("a._suf").alias("sa"),
+                                F.col("b._suf").alias("sb"))).alias("_m")))
     tots = iter_checkpoint(
         sw.groupBy("doc_id").agg(F.sum("_w").alias("_wt")),
         eager=False)
@@ -298,7 +329,11 @@ def weighted_jaccard_pairs(docs: DataFrame,
             .join(tots.select(F.col("doc_id").alias("doc_b"),
                               F.col("_wt").alias("_wb")), "doc_b")
             .filter(F.least("_wa", "_wb") * tau_den
-                    >= F.greatest("_wa", "_wb") * tau_num))
+                    >= F.greatest("_wa", "_wb") * tau_num)
+            .filter(F.least(F.col("_m.sa"), F.col("_m.sb"))
+                    * (tau_num + tau_den)
+                    >= tau_num * (F.col("_wa") + F.col("_wb")))
+            .select("doc_a", "doc_b", "_wa", "_wb"))
     swa = sw.select(F.col("doc_id").alias("doc_a"), "shingle", "_w")
     swb = sw.select(F.col("doc_id").alias("doc_b"), "shingle")
     scored = (surv.join(swa, "doc_a")
