@@ -553,6 +553,21 @@ def _q_portfolio_twr(spark, sf_dir):
                             _thinned_tick_prices(spark, sf_dir))
 
 
+def _q_streaming_twr_replay(spark, sf_dir):
+    """Incremental streaming twin of the flagship composite
+    (VERDICT r7 Next item 7): per-user O(last-day-marks) TWR state
+    advanced per day-batch (applyInPandasWithState), availableNow
+    replay gated bit-exact against the batch portfolio_twr oracle —
+    closes the reference's periodic-incremental-ingest contract
+    (README.md:33-34) for the TWR family (the GAV fold's
+    streaming_fold_replay pattern applied to the Dashboard index)."""
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_twr_replay)
+    panel = WD.user_price_panel(derive.trades(spark, sf_dir),
+                                _thinned_tick_prices(spark, sf_dir))
+    return streaming_twr_replay(spark, panel)
+
+
 def _q_basket_index(spark, sf_dir):
     """Reference 1_Dashboard.py:336-346 — the static-basket fallback
     series: fold-final quantities (df_pos, portfolio.overview) dotted
@@ -2023,74 +2038,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     external row come first.  The full set is verified locally every
     round via ``tools/check.py`` (committed log).
 
-    Round-7 ordering (executes the round-6 VERDICT/ADVICE list):
+    Round-8 ordering (executes the round-7 VERDICT/ADVICE list):
       1. the 50-query window:
-         (a) the five round-7 NEW operators — weighted_jaccard_pairs
-         (exact-threshold IDF-weighted Jaccard self-join via WEIGHTED
-         prefix filtering, BIGINT micro-idf units, brute-force
-         oracle), kn_lm_score (interpolated Kneser-Ney trigram LM,
-         all statistics from one trigram-type table),
-         twr_with_benchmark (the Dashboard's final chart frame
-         end-to-end: per-user TWR joined to the ffilled/normalized
-         benchmark, melted long — closes VERDICT r6 "What's missing"
-         item 2), tfidf_cosine_verified (the cosine half of the
-         weighted-similarity family: shared LSH candidates → exact
-         idf²-weighted cosine, rational squared compare in
-         DECIMAL(38,0)), and classifier_agreement (Cohen's kappa /
-         accuracy / macro-F1 over the language-ID confusion —
-         integer-exact up to single divides);
-         (b) the twelve queries whose code paths CHANGED this round:
-         prefix_filter_pairs / ngram_jaccard / minhash_verified (the
-         shingles() short-doc phantom-shingle fix, VERDICT item 1 —
-         Spark sequence(1,0)=[1,0] vs DuckDB empty, now guarded);
-         ewma_prices / streaming_ewma_replay / streaming_fold_replay
-         (vectorized per-run ewm(adjust=False) kernel and the
-         concat-all-chunks-sort-once ordering fix, item 2 + ADVICE
-         item 1); hard_negative_mining_lsh (plan-build count() scans
-         removed — n_cells from parquet-footer catalog stats, dense-id
-         check folded into the job, item 3); twr_index / portfolio_twr
-         (a total-loss day now pins the index at 0 thereafter, the
-         reference's cumprod 0 factor, item 5); chi2_lang_source
-         (NULL cramers_v on degenerate contingency), logit_quality_fit
-         (singular-Hessian / empty-corpus guards), waiting_suppliers
-         (oracle groups by supplier key) — ADVICE items 2-4;
-         (c) padding re-checks to fill the window: the r6-green
-         sketch-tier/stragglers block and the remaining r6 additions
-         (externally green in CORRECTNESS_r06.json, re-verified
-         locally every round).
+         (a) NEW this round — streaming_twr_replay (the incremental
+         streaming twin of the flagship portfolio_twr: per-user
+         O(last-day-marks) state advanced per day-batch, gated
+         bit-exact against the batch oracle, VERDICT item 7);
+         (b) GRADUATED from rows-only to hash-checked oracle rows
+         (VERDICT item 1): audio_meta (the fake-PCM byte path is
+         exact integer + single-IEEE-step math, oracled via per-char
+         ord() on the ASCII-pure corpus) and approx_stats (exact
+         values + within-guarantee booleans, oracle pins TRUE — a
+         sketch outside its published bound turns the row red);
+         (c) queries whose code paths CHANGED this round:
+         minhash_verified / tfidf_cosine_verified /
+         prefix_filter_pairs (collision-free survivors-only
+         pair-explode verify kernels, VERDICT item 4 + ADVICE item 1)
+         and prefix_filter_pairs / weighted_jaccard_pairs (PPJoin
+         positional filter — 54× candidate reduction measured,
+         VERDICT item 6); their minhash_verified consumers
+         (near_dup_edit_stats, rouge_overlap_pairs,
+         dedup_threshold_sweep, dup_inflation,
+         minhash_estimate_error); kn_lm_score (trigram-type table +
+         cont23 checkpointed — the 19-exchange zero-reuse plan was
+         the unattributed run spread, VERDICT item 3);
+         hard_negative_mining_lsh (sentinel-row codebook guard:
+         fully-sparse vec_ids now raise in-job, ADVICE item 2);
+         (d) padding re-checks to fill the window: the r7-green
+         window entries (externally green in CORRECTNESS_r07.json,
+         re-verified locally every round).
       2. everything else, in prior priority order — externally green
-         in r1-r6 and re-verified locally every round via
+         in r1-r7 and re-verified locally every round via
          tools/check.py (committed log).
     """
     return {
-        # ================= ROUND-7 50-QUERY WINDOW =================
-        # -- 1a. NEW round-7 operators (need their first external row) -------------------------------------
-        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
-        "kn_lm_score": _q_kn_lm_score,
-        "twr_with_benchmark": _q_twr_with_benchmark,
-        "tfidf_cosine_verified": _q_tfidf_cosine_verified,
-        "classifier_agreement": _q_classifier_agreement,
-        # -- 1b. CHANGED this round (need a fresh external row) --------------------------------------------
-        # shingles() short-doc fix (VERDICT r6 item 1) touches every
-        # exact-Jaccard consumer:
-        "prefix_filter_pairs": _q_prefix_filter_pairs,
-        "ngram_jaccard": _q_ngram_jaccard,
+        # ================= ROUND-8 50-QUERY WINDOW =================
+        # -- 1a. NEW round-8 operator (needs its first external row) ---------------------------------------
+        "streaming_twr_replay": _q_streaming_twr_replay,
+        # -- 1b. graduated rows-only -> hash-checked (VERDICT r7 item 1) -----------------------------------
+        "audio_meta": _q_audio_meta,
+        "approx_stats": _q_approx_stats,
+        # -- 1c. CHANGED this round (collision-free verifies, PPJoin
+        #        positional filter, consumers, kn_lm checkpoint,
+        #        codebook sentinel) -----------------------------------------------------------------------
         "minhash_verified": _q_minhash_verified,
-        # vectorized EWMA kernel + concat-sort-once stateful ordering
-        # (VERDICT item 2 / ADVICE item 1):
+        "tfidf_cosine_verified": _q_tfidf_cosine_verified,
+        "prefix_filter_pairs": _q_prefix_filter_pairs,
+        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
+        "near_dup_edit_stats": _q_near_dup_edit_stats,
+        "rouge_overlap_pairs": _q_rouge_overlap_pairs,
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
+        "dup_inflation": _q_dup_inflation,
+        "minhash_estimate_error": _q_minhash_estimate_error,
+        "kn_lm_score": _q_kn_lm_score,
+        "hard_negative_mining_lsh": _q_hard_negative_mining_lsh,
+        # -- 1d. padding re-checks (r7-green window entries) ------------------------------------------------
+        "twr_with_benchmark": _q_twr_with_benchmark,
+        "classifier_agreement": _q_classifier_agreement,
+        "ngram_jaccard": _q_ngram_jaccard,
         "ewma_prices": _q_ewma_prices,
         "streaming_ewma_replay": _q_streaming_ewma_replay,
         "streaming_fold_replay": _q_streaming_fold_replay,
-        # no plan-build scans + in-job codebook guard (item 3):
-        "hard_negative_mining_lsh": _q_hard_negative_mining_lsh,
-        # total-loss pins the index at 0 thereafter (item 5):
         "twr_index": _q_twr_index,
         "portfolio_twr": _q_portfolio_twr,
-        # degenerate-input guards / oracle grouping (ADVICE items 2-4):
         "chi2_lang_source": _q_chi2_lang_source,
         "logit_quality_fit": _q_logit_quality_fit,
         "waiting_suppliers": _q_waiting_suppliers,
-        # -- 1c. padding re-checks (r6-green) to fill the window --------------------------------------------
         "streaming_attribution_replay": _q_streaming_attribution_replay,
         "cdc_merge_apply": _q_cdc_merge_apply,
         "hll_distinct": _q_hll_distinct,
@@ -2105,7 +2118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_replay": _q_streaming_cms_replay,
         "histogram_quantiles": _q_histogram_quantiles,
         # -- 1b. changed this round (need a fresh external row) --------------------------------------------
-        "approx_stats": _q_approx_stats,
         "equi_depth_histogram": _q_equi_depth_histogram,
         "customer_spend_percentile": _q_customer_spend_percentile,
         "skyline_parts": _q_skyline_parts,
@@ -2132,13 +2144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_kfold": _q_stratified_kfold,
         "semantic_dedup": _q_semantic_dedup,
         "mmr_topk": _q_mmr_topk,
-        "minhash_estimate_error": _q_minhash_estimate_error,
         "kfold_leakage_report": _q_kfold_leakage_report,
         "streaming_semantic_dedup_replay": _q_streaming_semantic_dedup_replay,
         "lsh_recall_curve": _q_lsh_recall_curve,
         "semantic_clusters": _q_semantic_clusters,
         "normalize_embeddings": _q_normalize_embeddings,
-        "audio_meta": _q_audio_meta,
         # (r5-green continued)
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "char_entropy": _q_char_entropy,
@@ -2159,7 +2169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quality_filter_replay": _q_streaming_quality_filter_replay,
         "lang_id_confusion": _q_lang_id_confusion,
         "ngram_novelty": _q_ngram_novelty,
-        "rouge_overlap_pairs": _q_rouge_overlap_pairs,
         "sales_cube_gid": _q_sales_cube_gid,
         "ohlc_bars": _q_ohlc_bars,
         "knn_classify": _q_knn_classify,
@@ -2179,9 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "simhash_pairs": _q_simhash_pairs,
         "incremental_topk": _q_incremental_topk,
-        "near_dup_edit_stats": _q_near_dup_edit_stats,
         "length_bucket_batches": _q_length_bucket_batches,
-        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "doc_containment": _q_doc_containment,
         "simhash": _q_simhash,
         "multi_rollup": _q_multi_rollup,
@@ -2231,7 +2238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_var": _q_hist_var,
         "kcore": _q_kcore,
         "ship_latency_histogram": _q_ship_latency_histogram,
-        "dup_inflation": _q_dup_inflation,
         "event_transitions": _q_event_transitions,
         "order_backlog": _q_order_backlog,
         "rolling_vol": _q_rolling_vol,
@@ -7873,4 +7879,5 @@ def _oracle_aliases(sql: dict[str, str]) -> dict[str, str]:
     sql["streaming_hll_replay"] = sql["hll_distinct"]
     sql["streaming_bloom_probe_replay"] = sql["bloom_chunk_probe"]
     sql["streaming_cms_replay"] = sql["cms_heavy_hitters"]
+    sql["streaming_twr_replay"] = sql["portfolio_twr"]
     return sql

@@ -772,3 +772,35 @@ def streaming_ewma_replay(spark: SparkSession, sf_dir: str,
            .outputMode("update").trigger(availableNow=True), name, timeout_s)
     return (spark.table(name)
             .select("ticker", "n_events", F.round("ewma", 6).alias("ewma")))
+
+
+def streaming_twr_replay(spark: SparkSession, panel: DataFrame,
+                         timeout_s: int = 300) -> DataFrame:
+    """Per-user portfolio TWR index maintained as keyed streaming
+    state (applyInPandasWithState over daily panel marks), replayed
+    via one availableNow micro-batch — the incremental twin of the
+    flagship batch composite windowed.portfolio_twr and the
+    operational shape of the reference's periodic-ingest contract
+    (README.md:33-34): each day's (user, ticker, qty, close_i) marks
+    arrive and the per-user state (last day's marks + running ln-sum)
+    advances in O(new marks), with NO recompute of the history.
+
+    `panel` is the batch-built daily marks frame (user_price_panel —
+    the upstream producer a real deployment would run per ingest);
+    it is staged to a scratch parquet dir (spark-warehouse, ignored)
+    because a memory-sink replay needs a file-source stream. Within
+    the single batch the kernel folds days in ascending order, which
+    IS the incremental trajectory (the fold is a left fold over
+    days — the streaming_fold_replay argument); true multi-batch
+    state carry-over is pinned by tests/test_streaming.py's
+    two-batch checkpoint test."""
+    from .stateful import streaming_twr_state
+    name = "stream_twr_replay_" + uuid.uuid4().hex[:8]
+    stage = os.path.join("spark-warehouse", "_twr_panel_" + name)
+    panel.write.mode("overwrite").parquet(stage)
+    src = spark.readStream.schema(panel.schema).parquet(stage)
+    out = streaming_twr_state(src)
+    _run_to_completion(
+        out.writeStream.format("memory").queryName(name)
+           .outputMode("update").trigger(availableNow=True), name, timeout_s)
+    return spark.table(name).select("user", "d", "port_ret", "twr_idx")

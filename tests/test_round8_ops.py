@@ -171,3 +171,88 @@ def test_weighted_jaccard_positional_no_false_negatives(spark):
     assert (0, 2) in got                       # exact dup always survives
     assert all(r["w_jaccard"] >= 0.7 for r in rows)
     assert rows and all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+# --- streaming_twr_replay (VERDICT r7 item 7) ---------------------------------
+
+def test_streaming_twr_matches_batch_sf0001(spark):
+    """availableNow replay of the daily panel marks == batch
+    portfolio_twr, bit-for-bit (also gated externally: the oracle is
+    the portfolio_twr SQL verbatim)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from etl_portfolio_tracker_spark import derive
+    from etl_portfolio_tracker_spark.operators import windowed as WD
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_twr_replay)
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    tr, px = derive.trades(spark, sf), E._thinned_tick_prices(spark, sf)
+    panel = WD.user_price_panel(tr, px)
+    got = sorted(map(tuple, streaming_twr_replay(spark, panel).collect()))
+    want = sorted(map(tuple, WD.portfolio_twr(tr, px).collect()))
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_streaming_twr_two_batch_state_carryover(spark, tmp_path):
+    """TRUE incrementality: run the stream over the first half of the
+    days, then add the rest and resume from the checkpoint — the
+    union of the two batches' emissions must equal the single-shot
+    replay (state = last day's marks + running ln-sum carries
+    across batches)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        STATE_PARTITIONS, streaming_twr_replay)
+    from etl_portfolio_tracker_spark.streaming.stateful import (
+        streaming_twr_state)
+
+    rows = []
+    for day in range(8):
+        d = dt.date(2024, 1, 1) + dt.timedelta(days=day)
+        for tkr, base in (("AAA", 10.0), ("BBB", 20.0)):
+            rows.append(("u1", tkr, d, 5.0 + day % 3, base + 1.5 * day))
+        rows.append(("u2", "CCC", d, 2.0, 7.0 + day))
+    panel = spark.createDataFrame(
+        rows, "user string, ticker string, ts date, qty double,"
+              " close_i double")
+    single = sorted(map(tuple,
+                        streaming_twr_replay(spark, panel).collect()))
+
+    stage, cp = str(tmp_path / "stage"), str(tmp_path / "cp")
+    cut = dt.date(2024, 1, 5)
+    got: list = []
+
+    def sink(df, _bid):
+        got.extend(map(tuple,
+                       df.select("user", "d", "port_ret", "twr_idx")
+                         .collect()))
+
+    def run_once():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(STATE_PARTITIONS))
+        try:
+            src = spark.readStream.schema(panel.schema).parquet(stage)
+            q = (streaming_twr_state(src).writeStream
+                 .foreachBatch(sink)
+                 .option("checkpointLocation", cp)
+                 .outputMode("update").trigger(availableNow=True).start())
+            assert q.awaitTermination(180)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    panel.filter(F.col("ts") < F.lit(cut)).write.mode("append") \
+         .parquet(stage)
+    run_once()
+    n_first = len(got)
+    assert 0 < n_first < len(single)
+    panel.filter(F.col("ts") >= F.lit(cut)).write.mode("append") \
+         .parquet(stage)
+    run_once()
+    assert len(got) > n_first
+    assert sorted(got) == single

@@ -64,8 +64,14 @@ def main() -> None:
               flush=True)
     n_pairs = qs["weighted_jaccard_pairs"](spark, TMP).count()
     n_base = qs["weighted_jaccard_pairs"](spark, sf).count()
+    # ADVICE r7 item 3: the 10x union changes N from n to 10n, which
+    # shifts every idf by ~ln(10) — threshold-adjacent pairs may cross
+    # tau, so the count is APPROXIMATELY 10x base, not exactly. The
+    # exact invariant (identical per-copy pair sets) is checked by
+    # tools/scale_probe_r8.py's 100x probe.
     print(f"weighted pairs: base {n_base}, 10x {n_pairs} "
-          f"(10x base expected if structure preserved)", flush=True)
+          f"(~10x base expected; exact only per-copy — see "
+          f"scale_probe_r8)", flush=True)
 
     shutil.rmtree(TMP, ignore_errors=True)
 
