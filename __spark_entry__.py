@@ -553,6 +553,18 @@ def _q_portfolio_twr(spark, sf_dir):
                             _thinned_tick_prices(spark, sf_dir))
 
 
+def _q_zipf_fit(spark, sf_dir):
+    """Zipf exponent + fit quality over the corpus frequency head —
+    the per-snapshot drift metric (see text.zipf_fit)."""
+    return TX.zipf_fit(_docs(spark, sf_dir))
+
+
+def _q_source_js_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between per-source word
+    distributions (see text.source_js_divergence)."""
+    return TX.source_js_divergence(_docs(spark, sf_dir))
+
+
 def _q_streaming_twr_replay(spark, sf_dir):
     """Incremental streaming twin of the flagship composite
     (VERDICT r7 Next item 7): per-user O(last-day-marks) TWR state
@@ -2073,8 +2085,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ================= ROUND-8 50-QUERY WINDOW =================
-        # -- 1a. NEW round-8 operator (needs its first external row) ---------------------------------------
+        # -- 1a. NEW round-8 operators (need their first external row) -------------------------------------
         "streaming_twr_replay": _q_streaming_twr_replay,
+        "zipf_fit": _q_zipf_fit,
+        "source_js_divergence": _q_source_js_divergence,
         # -- 1b. graduated rows-only -> hash-checked (VERDICT r7 item 1) -----------------------------------
         "audio_meta": _q_audio_meta,
         "approx_stats": _q_approx_stats,
@@ -5882,6 +5896,106 @@ def _oracle_sql_base() -> dict[str, str]:
             CROSS JOIN (SELECT norm AS qnorm FROM norms WHERE vec_id = 0) qn
             ORDER BY cos_sim DESC, d.vec_id ASC
             LIMIT 5
+        """,
+        # mirrors text.zipf_fit: top-K frequency head (total order:
+        # cnt DESC, word ASC), ln through the DECIMAL(38,10) roundtrip
+        # before every sum/product (libm rule), source_ols_fit moment
+        # algebra on the 1-row aggregate.
+        "zipf_fit": f"""
+            WITH wc AS (
+                SELECT w, COUNT(*) AS cnt
+                FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+                      FROM documents)
+                WHERE w <> '' GROUP BY w
+            ),
+            head AS (SELECT w, cnt FROM wc
+                     ORDER BY cnt DESC, w LIMIT {TX.ZIPF_TOP_K}),
+            pts AS (
+                SELECT CAST(CAST(ln(CAST(row_number() OVER
+                           (ORDER BY cnt DESC, w) AS DOUBLE))
+                           AS DECIMAL(38,10)) AS DOUBLE) AS x,
+                       CAST(CAST(ln(CAST(cnt AS DOUBLE))
+                           AS DECIMAL(38,10)) AS DOUBLE) AS y
+                FROM head
+            ),
+            m AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(x*x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(y*y AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(x*y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+                FROM pts
+            )
+            SELECT CAST(n AS BIGINT) AS n_words,
+                   CASE WHEN n*sxx - sx*sx > 0 THEN
+                     ROUND((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) END AS slope,
+                   CASE WHEN n*sxx - sx*sx > 0 THEN
+                     ROUND((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n, 6)
+                   END AS intercept,
+                   CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+                     ROUND((n*sxy - sx*sy)*(n*sxy - sx*sy)
+                           /((n*sxx - sx*sx)*(n*syy - sy*sy)), 6)
+                   END AS r2
+            FROM m
+        """,
+        # mirrors text.source_js_divergence: shared-word terms use the
+        # INTEGER-ratio ln argument 2·c_a·N_b/(c_a·N_b + c_b·N_a),
+        # each ln roundtripped through DECIMAL(38,10); the exclusive
+        # mass is the closed-form (N − shared)·ln2/N — identical
+        # expression association on both engines.
+        "source_js_divergence": f"""
+            WITH wc AS (
+                SELECT source, w, COUNT(*) AS cnt
+                FROM (SELECT source,
+                             unnest(string_split({_NORM_SQL}, ' ')) AS w
+                      FROM documents)
+                WHERE w <> '' GROUP BY source, w
+            ),
+            tot AS (SELECT source, SUM(cnt) AS n_tok FROM wc GROUP BY source),
+            pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       a.cnt AS ca, b.cnt AS cb,
+                       ta.n_tok AS na, tb.n_tok AS nb
+                FROM wc a JOIN wc b USING (w)
+                JOIN tot ta ON ta.source = a.source
+                JOIN tot tb ON tb.source = b.source
+                WHERE a.source < b.source
+            ),
+            shared AS (
+                SELECT source_a, source_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared_words,
+                       SUM(CAST((CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))
+                           * CAST(CAST(ln(CAST(2*ca*nb AS DOUBLE)
+                                          /CAST(ca*nb + cb*na AS DOUBLE))
+                                  AS DECIMAL(38,10)) AS DOUBLE)
+                           AS DECIMAL(38,10))) AS sa,
+                       SUM(CAST((CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE))
+                           * CAST(CAST(ln(CAST(2*cb*na AS DOUBLE)
+                                          /CAST(ca*nb + cb*na AS DOUBLE))
+                                  AS DECIMAL(38,10)) AS DOUBLE)
+                           AS DECIMAL(38,10))) AS sb,
+                       SUM(ca) AS ma, SUM(cb) AS mb,
+                       ANY_VALUE(na) AS tta, ANY_VALUE(nb) AS ttb
+                FROM pairs GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT source_a, source_b, n_shared_words,
+                       0.5*(CAST(sa AS DOUBLE)
+                            + CAST(tta - ma AS DOUBLE)/CAST(tta AS DOUBLE)
+                              * CAST(CAST(ln(2.0) AS DECIMAL(38,10)) AS DOUBLE))
+                       + 0.5*(CAST(sb AS DOUBLE)
+                            + CAST(ttb - mb AS DOUBLE)/CAST(ttb AS DOUBLE)
+                              * CAST(CAST(ln(2.0) AS DECIMAL(38,10)) AS DOUBLE))
+                       AS jsd
+                FROM shared
+            )
+            SELECT source_a, source_b, n_shared_words,
+                   ROUND(jsd, 6) AS jsd,
+                   ROUND(jsd / CAST(CAST(ln(2.0) AS DECIMAL(38,10))
+                               AS DOUBLE), 6) AS jsd_norm
+            FROM j
+            ORDER BY source_a, source_b
         """,
         # Sketch guarantees as an engine-agnostic hash row (VERDICT r7
         # item 1): the oracle emits the EXACT values (bit-equal — exact

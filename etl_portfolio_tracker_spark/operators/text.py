@@ -1420,3 +1420,138 @@ def logit_quality_fit(docs: DataFrame) -> DataFrame:
                              / F.col("n_docs").cast("double")), 6)
                      .alias("mean_log_loss"),
                     F.col("n_docs").cast("long").alias("n_docs")))
+
+
+ZIPF_TOP_K = 1000
+
+
+def zipf_fit(docs: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
+    """Zipf's-law fit over the corpus word-frequency HEAD: OLS of
+    ln(count) on ln(rank) for the top-k words — slope ≈ −s (the Zipf
+    exponent, ~−1 for natural language), r² = how Zipfian the feed
+    is. Training pipelines track this per snapshot: a slope drifting
+    toward 0 means templated/boilerplate injection; r² collapsing
+    means synthetic or shuffled text.
+
+    Scale shape: word counts are one map-side-combined shuffle
+    (vocab-sized); the fit runs on the TOP-K head only, selected with
+    a global top-k (TakeOrderedAndProject — scale-safe), never a
+    vocab-wide rank window (a row_number over 10⁸ distinct words
+    would SinglePartition the vocabulary; Zipf behavior is a
+    head-of-distribution property anyway). Rank is then a window over
+    k = 1000 broadcast-sized rows. Moments are the source_ols_fit
+    sufficient-statistics shape: exact DECIMAL(38,10) sums of
+    roundtripped ln values (each libm output quantized through
+    decimal BEFORE any sum/product — the repo's libm rule), model
+    algebra on the 1-row aggregate.
+
+    Returns 1 row (n_words, slope, intercept, r2), rounded 6dp.
+    """
+    from pyspark.sql import Window as W
+    wc = (docs.select(F.explode(tokens_col()).alias("w"))
+          .filter(F.col("w") != "")
+          .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    head = wc.orderBy(F.desc("cnt"), F.asc("w")).limit(k)
+    rank = F.row_number().over(
+        W.partitionBy(F.lit(1)).orderBy(F.desc("cnt"), F.asc("w")))
+    # ln through the decimal roundtrip so both engines sum/multiply
+    # the IDENTICAL quantized doubles (libm last-ulp rule)
+    lx = (F.log(F.col("rank").cast("double"))
+          .cast(DEC).cast("double"))
+    ly = (F.log(F.col("cnt").cast("double"))
+          .cast(DEC).cast("double"))
+    pts = (head.withColumn("rank", rank)
+           .select(lx.alias("_x"), ly.alias("_y")))
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("_x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("_y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(DEC)).cast("double")
+         .alias("sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(DEC)).cast("double")
+         .alias("syy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(DEC)).cast("double")
+         .alias("sxy"))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / vx
+    return m.select(
+        F.col("n").cast("long").alias("n_words"),
+        F.when(vx > 0, F.round(slope, 6)).alias("slope"),
+        F.when(vx > 0, F.round((F.col("sy") - slope * F.col("sx"))
+                               / F.col("n"), 6)).alias("intercept"),
+        F.when((vx > 0) & (vy > 0),
+               F.round(cov * cov / (vx * vy), 6)).alias("r2"))
+
+
+def source_js_divergence(docs: DataFrame) -> DataFrame:
+    """Jensen–Shannon divergence between every pair of per-source
+    word distributions — the standard corpus-mixture drift metric
+    (symmetric, bounded by ln 2): JSD(P‖Q) = ½Σ P·ln(P/M) +
+    ½Σ Q·ln(Q/M), M = (P+Q)/2. Pipelines alert on a feed whose JSD
+    vs its historical self (or vs the blend) jumps.
+
+    Exactness: with P = c_a/N_a and Q = c_b/N_b the ln argument for a
+    SHARED word reduces to the integer ratio 2·c_a·N_b /
+    (c_a·N_b + c_b·N_a) — both engines divide the identical exact
+    integers (≤ 10⁹·10⁹ « 2⁶³, no overflow at any realistic per-word
+    count), take one libm ln, and roundtrip it through
+    DECIMAL(38,10); each term is prob · ln_arg (two exact-input IEEE
+    ops) decimal-summed. Words EXCLUSIVE to one source contribute
+    prob·ln 2 in closed form — Σ_exclusive c is the integer
+    N_a − Σ_shared c_a, so the whole exclusive mass costs one
+    subtraction instead of an anti-join.
+
+    Scale shape: word counts per (source, word) = one map-side-
+    combined shuffle; the pair join keys on word (vocab-sized rows,
+    |sources|² fan-out per word where sources is a handful); totals
+    broadcast. No all-pairs doc work — JSD is a distribution-level
+    statistic.
+
+    Returns (source_a, source_b, n_shared_words, jsd, jsd_norm)
+    ordered, jsd_norm = jsd/ln 2 ∈ [0, 1], rounded 6dp.
+    """
+    wc = (docs.select("source", F.explode(tokens_col()).alias("w"))
+          .filter(F.col("w") != "")
+          .groupBy("source", "w")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    tot = wc.groupBy("source").agg(F.sum("cnt").alias("n_tok"))
+    a = (wc.join(tot, "source")
+         .select(F.col("source").alias("source_a"), "w",
+                 F.col("cnt").alias("_ca"), F.col("n_tok").alias("_na")))
+    b = (wc.join(tot, "source")
+         .select(F.col("source").alias("source_b"), "w",
+                 F.col("cnt").alias("_cb"), F.col("n_tok").alias("_nb")))
+    ln2 = F.log(F.lit(2.0)).cast(DEC).cast("double")
+    arg_a = ((2 * F.col("_ca") * F.col("_nb")).cast("double")
+             / (F.col("_ca") * F.col("_nb")
+                + F.col("_cb") * F.col("_na")).cast("double"))
+    arg_b = ((2 * F.col("_cb") * F.col("_na")).cast("double")
+             / (F.col("_ca") * F.col("_nb")
+                + F.col("_cb") * F.col("_na")).cast("double"))
+    term_a = ((F.col("_ca").cast("double") / F.col("_na").cast("double"))
+              * F.log(arg_a).cast(DEC).cast("double"))
+    term_b = ((F.col("_cb").cast("double") / F.col("_nb").cast("double"))
+              * F.log(arg_b).cast(DEC).cast("double"))
+    shared = (a.join(b, "w")
+              .filter(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared_words"),
+                   F.sum(term_a.cast(DEC)).alias("_sa"),
+                   F.sum(term_b.cast(DEC)).alias("_sb"),
+                   F.sum("_ca").alias("_ma"),       # shared mass in a
+                   F.sum("_cb").alias("_mb"),       # shared mass in b
+                   F.first("_na").alias("_ta"),
+                   F.first("_nb").alias("_tb")))
+    excl_a = ((F.col("_ta") - F.col("_ma")).cast("double")
+              / F.col("_ta").cast("double")) * ln2
+    excl_b = ((F.col("_tb") - F.col("_mb")).cast("double")
+              / F.col("_tb").cast("double")) * ln2
+    jsd = 0.5 * (F.col("_sa").cast("double") + excl_a) \
+        + 0.5 * (F.col("_sb").cast("double") + excl_b)
+    return (shared.select(
+        "source_a", "source_b", "n_shared_words",
+        F.round(jsd, 6).alias("jsd"),
+        F.round(jsd / ln2, 6).alias("jsd_norm"))
+        .orderBy("source_a", "source_b"))

@@ -256,3 +256,45 @@ def test_streaming_twr_two_batch_state_carryover(spark, tmp_path):
     run_once()
     assert len(got) > n_first
     assert sorted(got) == single
+
+
+# --- zipf_fit / source_js_divergence ------------------------------------------
+
+def test_zipf_fit_on_zipfian_corpus(spark):
+    """A corpus drawn from an exact power-law frequency table must fit
+    with negative slope and near-1 r2."""
+    from etl_portfolio_tracker_spark.operators import text as TX
+
+    words = []
+    for rank in range(1, 40):
+        words += [f"w{rank:03d}"] * max(1, 4000 // rank)   # cnt ∝ 1/rank
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string")
+    r = TX.zipf_fit(docs).collect()[0]
+    assert r["n_words"] == 39
+    assert r["slope"] < -0.9
+    assert r["r2"] > 0.99
+
+
+def test_source_js_divergence_bounds(spark):
+    """JSD = 0 for identical distributions; = ln 2 (norm 1) for
+    disjoint vocabularies; in between otherwise."""
+    from etl_portfolio_tracker_spark.operators import text as TX
+
+    rows = [
+        (0, "alpha beta gamma alpha", "s1"),
+        (1, "alpha beta gamma alpha", "s2"),      # identical to s1
+        (2, "delta epsilon zeta eta", "s3"),      # disjoint from s1/s2
+        (3, "alpha beta delta zeta", "s4"),       # overlaps both
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in TX.source_js_divergence(docs).collect()}
+    assert out[("s1", "s2")]["jsd"] == 0.0
+    assert ("s1", "s3") not in out        # zero shared words -> no
+    # shared-join row; disjointness is the absent-row + the s1/s4
+    # partial overlap sitting strictly inside (0, ln 2):
+    mid = out[("s1", "s4")]
+    assert 0.0 < mid["jsd"] < 0.6931472
+    assert 0.0 < mid["jsd_norm"] < 1.0
