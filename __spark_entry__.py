@@ -565,6 +565,18 @@ def _q_source_js_divergence(spark, sf_dir):
     return TX.source_js_divergence(_docs(spark, sf_dir))
 
 
+def _q_qlm_search(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (see text.qlm_search) —
+    the probabilistic complement of bm25_search."""
+    return TX.qlm_search(_docs(spark, sf_dir))
+
+
+def _q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of the BM25 and query-likelihood lists
+    (see text.rrf_fusion)."""
+    return TX.rrf_fusion(_docs(spark, sf_dir))
+
+
 def _q_streaming_twr_replay(spark, sf_dir):
     """Incremental streaming twin of the flagship composite
     (VERDICT r7 Next item 7): per-user O(last-day-marks) TWR state
@@ -2089,6 +2101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_twr_replay": _q_streaming_twr_replay,
         "zipf_fit": _q_zipf_fit,
         "source_js_divergence": _q_source_js_divergence,
+        "qlm_search": _q_qlm_search,
+        "rrf_fusion": _q_rrf_fusion,
         # -- 1b. graduated rows-only -> hash-checked (VERDICT r7 item 1) -----------------------------------
         "audio_meta": _q_audio_meta,
         "approx_stats": _q_approx_stats,
@@ -6169,6 +6183,49 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY score DESC, doc_id ASC
             LIMIT {TX.BM25_TOPK}
         """,
+        # mirrors text.qlm_search: per-doc tf/dl row-local, one global
+        # (n_tok, cf_t) aggregate, ln of the exact integer ratio
+        # (tf·N + μ·cf) / (N·(dl+μ)) roundtripped through
+        # DECIMAL(38,10), fixed left-to-right term chain.
+        "qlm_search": f"""
+            WITH per AS (
+                SELECT doc_id,
+                       CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+                           AS dl,
+                       CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                x -> x = 'spark')) AS BIGINT) AS tf_spark,
+                       CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                x -> x = 'stream')) AS BIGINT) AS tf_stream,
+                       CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                x -> x = 'join')) AS BIGINT) AS tf_join
+                FROM documents
+            ),
+            g AS (
+                SELECT CAST(SUM(dl) AS BIGINT) AS n_tok,
+                       CAST(SUM(tf_spark) AS BIGINT) AS cf_spark,
+                       CAST(SUM(tf_stream) AS BIGINT) AS cf_stream,
+                       CAST(SUM(tf_join) AS BIGINT) AS cf_join
+                FROM per
+            )
+            SELECT doc_id, dl, tf_spark, tf_stream, tf_join,
+                   ROUND(
+                     CAST(CAST(ln(CAST(tf_spark*n_tok + 2000*cf_spark
+                                       AS DOUBLE)
+                                  / CAST(n_tok*(dl+2000) AS DOUBLE))
+                          AS DECIMAL(38,10)) AS DOUBLE)
+                   + CAST(CAST(ln(CAST(tf_stream*n_tok + 2000*cf_stream
+                                       AS DOUBLE)
+                                  / CAST(n_tok*(dl+2000) AS DOUBLE))
+                          AS DECIMAL(38,10)) AS DOUBLE)
+                   + CAST(CAST(ln(CAST(tf_join*n_tok + 2000*cf_join
+                                       AS DOUBLE)
+                                  / CAST(n_tok*(dl+2000) AS DOUBLE))
+                          AS DECIMAL(38,10)) AS DOUBLE)
+                   , 6) AS score
+            FROM per, g
+            ORDER BY score DESC, doc_id ASC
+            LIMIT {TX.BM25_TOPK}
+        """,
         "tfidf_top_terms": f"""
             WITH toks AS (
                 SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS term
@@ -7994,4 +8051,24 @@ def _oracle_aliases(sql: dict[str, str]) -> dict[str, str]:
     sql["streaming_bloom_probe_replay"] = sql["bloom_chunk_probe"]
     sql["streaming_cms_replay"] = sql["cms_heavy_hitters"]
     sql["streaming_twr_replay"] = sql["portfolio_twr"]
+    # Composition (not an alias): rrf_fusion ranks the two retrieval
+    # oracles verbatim as nested CTEs — one definition per ranker,
+    # zero drift between the standalone and fused gates.
+    sql["rrf_fusion"] = f"""
+        WITH bm AS ({sql["bm25_search"]}),
+        ql AS ({sql["qlm_search"]}),
+        bmr AS (SELECT doc_id, row_number() OVER
+                    (ORDER BY score DESC, doc_id ASC) AS rb FROM bm),
+        qlr AS (SELECT doc_id, row_number() OVER
+                    (ORDER BY score DESC, doc_id ASC) AS rq FROM ql),
+        f AS (SELECT doc_id, rb, rq,
+                     COALESCE(CAST(1 AS DOUBLE)/(60+rb), CAST(0 AS DOUBLE))
+                   + COALESCE(CAST(1 AS DOUBLE)/(60+rq), CAST(0 AS DOUBLE))
+                     AS rrf
+              FROM bmr FULL OUTER JOIN qlr USING (doc_id))
+        SELECT doc_id, CAST(rb AS BIGINT) AS bm25_rank,
+               CAST(rq AS BIGINT) AS qlm_rank,
+               ROUND(rrf, 6) AS rrf_score
+        FROM f ORDER BY rrf DESC, doc_id ASC LIMIT {TX.RRF_TOPK}
+    """
     return sql

@@ -1555,3 +1555,93 @@ def source_js_divergence(docs: DataFrame) -> DataFrame:
         F.round(jsd, 6).alias("jsd"),
         F.round(jsd / ln2, 6).alias("jsd_norm"))
         .orderBy("source_a", "source_b"))
+
+
+QLM_MU = 2000          # Dirichlet smoothing mass (Zhai & Lafferty '01)
+RRF_K = 60             # reciprocal-rank-fusion constant (Cormack '09)
+RRF_TOPK = 10
+
+
+def qlm_search(docs: DataFrame, query: tuple = BM25_QUERY,
+               mu: int = QLM_MU, k: int = BM25_TOPK) -> DataFrame:
+    """Query-likelihood language-model retrieval with Dirichlet
+    smoothing (Zhai & Lafferty SIGIR'01) — the second classic lexical
+    ranker next to bm25_search, and the probabilistic complement a
+    fusion stage wants:
+
+      score(d) = Σ_{t∈Q} ln( (c_td + μ·cf_t/N) / (dl + μ) )
+
+    Scale shape (bm25_search's): per-doc dl and per-term tf come
+    row-locally from the token array — no explode; cf_t and N reduce
+    in ONE global aggregate broadcast back; the score is a per-row
+    expression; top-k via TakeOrderedAndProject.
+
+    Determinism: with integer μ the ln argument reduces to the exact
+    integer ratio (c_td·N + μ·cf_t) / (N·(dl + μ)) (products ≤ ~10¹⁷
+    even at 100 TB-scale token counts — inside int64); each ln is
+    roundtripped through DECIMAL(38,10) (libm rule) and the Σ over
+    the fixed query tuple is a left-to-right chain of the identical
+    doubles on both engines. Rounded 6dp; order (score DESC, doc_id).
+    """
+    toks = F.col("_toks")
+    per = docs.select(
+        "doc_id",
+        tokens_col().alias("_toks")).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[F.size(F.filter(toks, (lambda qq: lambda t: t == F.lit(qq))(q)))
+           .cast("long").alias(f"tf_{q}") for q in query])
+    g = per.agg(
+        F.sum("dl").cast("long").alias("n_tok"),
+        *[F.sum(f"tf_{q}").cast("long").alias(f"cf_{q}") for q in query])
+    score = None
+    for q in query:
+        tf, cf = F.col(f"tf_{q}"), F.col(f"cf_{q}")
+        num = (tf * F.col("n_tok") + mu * cf).cast("double")
+        den = (F.col("n_tok") * (F.col("dl") + mu)).cast("double")
+        term = F.log(num / den).cast(DEC).cast("double")
+        score = term if score is None else score + term
+    return (per.crossJoin(F.broadcast(g))
+            .select("doc_id", "dl",
+                    *[f"tf_{q}" for q in query],
+                    F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
+def rrf_fusion(docs: DataFrame, query: tuple = BM25_QUERY,
+               rrf_k: int = RRF_K, k: int = RRF_TOPK) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR'09) of
+    the two lexical rankers — BM25 and Dirichlet query-likelihood —
+    the standard zero-tuning way to combine retrieval lists a data-
+    curation search stage uses:
+
+      rrf(d) = Σ_lists 1/(rrf_k + rank_list(d)),  missing list → 0
+
+    Determinism: both input lists carry ROUNDED scores with
+    (score DESC, doc_id ASC) total order, so ranks are identical
+    integers across engines; each 1/(60+r) is one exact-input IEEE
+    division and the fusion is a fixed two-term add; ties in rrf
+    break by doc_id. Ordering uses the UNROUNDED fusion value (bit-
+    identical), the emitted value is rounded 6dp.
+
+    Scale shape: both rankers are 1-row-aggregate + top-k plans; the
+    fusion ranks two k-row frames (trivial windows), full-outer-joins
+    them on doc_id, and cuts the head — model-sized end to end.
+    """
+    from pyspark.sql import Window as W
+    wb = W.partitionBy(F.lit(1)).orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = (bm25_search(docs, query=query)
+          .select("doc_id", F.row_number().over(wb).alias("_rb")))
+    ql = (qlm_search(docs, query=query)
+          .select("doc_id", F.row_number().over(wb).alias("_rq")))
+    rrf = (F.coalesce(F.lit(1.0) / (rrf_k + F.col("_rb")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (rrf_k + F.col("_rq")), F.lit(0.0)))
+    return (bm.join(ql, "doc_id", "full_outer")
+            .select("doc_id", "_rb", "_rq", rrf.alias("_rrf"))
+            .orderBy(F.desc("_rrf"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id",
+                    F.col("_rb").cast("long").alias("bm25_rank"),
+                    F.col("_rq").cast("long").alias("qlm_rank"),
+                    F.round("_rrf", 6).alias("rrf_score")))

@@ -298,3 +298,41 @@ def test_source_js_divergence_bounds(spark):
     mid = out[("s1", "s4")]
     assert 0.0 < mid["jsd"] < 0.6931472
     assert 0.0 < mid["jsd_norm"] < 1.0
+
+
+# --- qlm_search / rrf_fusion --------------------------------------------------
+
+def test_qlm_search_ranks_term_rich_docs(spark):
+    from etl_portfolio_tracker_spark.operators import text as TX
+
+    docs = spark.createDataFrame([
+        (0, "spark stream join spark stream join"),
+        (1, "spark data pipeline spark"),
+        (2, "completely unrelated words here only"),
+        (3, "join the stream of spark events join"),
+    ], "doc_id long, text string")
+    rows = TX.qlm_search(docs, k=4).collect()
+    order = [r["doc_id"] for r in rows]
+    assert order[0] in (0, 3)                 # query-dense docs lead
+    assert order[-1] == 2                     # no query terms -> last
+    assert all(rows[i]["score"] >= rows[i + 1]["score"]
+               for i in range(len(rows) - 1))
+
+
+def test_rrf_fusion_combines_lists(spark):
+    from etl_portfolio_tracker_spark.operators import text as TX
+
+    docs = spark.createDataFrame([
+        (i, "spark stream join " * (1 + i % 3) + "filler " * (i % 5))
+        for i in range(30)
+    ], "doc_id long, text string")
+    out = TX.rrf_fusion(docs).collect()
+    assert 0 < len(out) <= TX.RRF_TOPK
+    # fused score is the two-term reciprocal sum of the emitted ranks
+    for r in out:
+        want = sum(1.0 / (TX.RRF_K + x)
+                   for x in (r["bm25_rank"], r["qlm_rank"])
+                   if x is not None)
+        assert abs(r["rrf_score"] - want) < 1e-6
+    assert all(out[i]["rrf_score"] >= out[i + 1]["rrf_score"]
+               for i in range(len(out) - 1))
