@@ -1701,7 +1701,13 @@ def _q_stratified_kfold(spark, sf_dir):
 
 
 def _q_semantic_dedup(spark, sf_dir):
-    return SIM.semantic_dedup(_emb(spark, sf_dir))
+    # n_cells from catalog statistics (parquet footer, zero Spark
+    # jobs) and the dense-id validation inside the job — the
+    # hard_negative_mining_lsh r7 pattern, applied r8 (this wrapper
+    # previously paid TWO plan-build count() jobs per call)
+    n = table_num_rows(sf_dir, "embeddings")
+    return SIM.semantic_dedup(_emb(spark, sf_dir),
+                              n_cells=SIM.semantic_cells(n))
 
 
 def _q_mmr_topk(spark, sf_dir):
@@ -1731,7 +1737,11 @@ def _q_lsh_recall_curve(spark, sf_dir):
 
 
 def _q_semantic_clusters(spark, sf_dir):
-    return SIM.semantic_clusters(_emb(spark, sf_dir))
+    # catalog-stats sizing + in-job codebook guard (see
+    # _q_semantic_dedup)
+    n = table_num_rows(sf_dir, "embeddings")
+    return SIM.semantic_clusters(_emb(spark, sf_dir),
+                                 n_cells=SIM.semantic_cells(n))
 
 
 def _semantic_cells_sql(count_sql: str) -> str:

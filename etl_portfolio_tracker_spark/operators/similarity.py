@@ -918,21 +918,15 @@ def semantic_dedup(emb: DataFrame, n_cells: int | None = None,
     unrounded value on both engines).
     """
     if n_cells is None:
+        # last-resort sizing only: callers should pass n_cells from
+        # catalog statistics (io.table_num_rows — zero Spark jobs)
         n_cells = semantic_cells(emb.count())
-    cents = (emb.filter(F.col("vec_id") < n_cells)
-             .select(F.col("vec_id").cast("int").alias("_cid"),
-                     F.col("embedding").alias("_cvec")))
-    # the vec_id < n_cells codebook rule assumes dense 0-based ids; on
-    # a sparse-id corpus it would silently yield a short codebook and
-    # the assignment inner-join would DROP vectors — fail loudly
-    # instead (the count is an O(model) job over a pushed-down range
-    # scan, not a corpus pass)
-    n_cents = cents.count()
-    if n_cents != n_cells:
-        raise ValueError(
-            f"semantic_dedup codebook expects dense 0-based vec_ids: "
-            f"wanted {n_cells} centroids from vec_id < {n_cells}, "
-            f"found {n_cents}")
+    # r8: the dense-id validation moved INSIDE the consuming job
+    # (sentinel-guarded window count, _guarded_codebook) — the old
+    # separate cents.count() was a plan-build action before any work,
+    # the same class the r7 verdict removed from
+    # hard_negative_mining_lsh.
+    cents = _guarded_codebook(emb, n_cells, "semantic_dedup")
     cells = _semantic_cells_frame(emb, cents)
     earlier = (_semantic_cos_pairs(cells)
                .select(F.col("_vb").alias("vec_id"), F.col("_cos"))
@@ -1040,10 +1034,12 @@ def semantic_clusters(emb: DataFrame, n_cells: int | None = None,
     """
     from .dedup import min_label_components
     if n_cells is None:
+        # last-resort sizing only (see semantic_dedup)
         n_cells = semantic_cells(emb.count())
-    cents = (emb.filter(F.col("vec_id") < n_cells)
-             .select(F.col("vec_id").cast("int").alias("_cid"),
-                     F.col("embedding").alias("_cvec")))
+    # r8: guarded codebook — previously an unvalidated filter, so a
+    # sparse-id corpus silently got a short codebook; now the dense-id
+    # assert rides the consuming job (no plan-build action either)
+    cents = _guarded_codebook(emb, n_cells, "semantic_clusters")
     pairs = (_semantic_cos_pairs(_semantic_cells_frame(emb, cents))
              .filter(F.col("_cos") >= threshold)
              .select(F.col("_va").alias("doc_a"),
