@@ -2130,6 +2130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_error": _q_minhash_estimate_error,
         "kn_lm_score": _q_kn_lm_score,
         "hard_negative_mining_lsh": _q_hard_negative_mining_lsh,
+        # catalog-stats sizing + in-job codebook guard (r8):
+        "semantic_dedup": _q_semantic_dedup,
+        "semantic_clusters": _q_semantic_clusters,
         # -- 1d. padding re-checks (r7-green window entries) ------------------------------------------------
         "twr_with_benchmark": _q_twr_with_benchmark,
         "classifier_agreement": _q_classifier_agreement,
@@ -2180,12 +2183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dup_spans": _q_ngram_dup_spans,
         "doc_chunks": _q_doc_chunks,
         "stratified_kfold": _q_stratified_kfold,
-        "semantic_dedup": _q_semantic_dedup,
         "mmr_topk": _q_mmr_topk,
         "kfold_leakage_report": _q_kfold_leakage_report,
         "streaming_semantic_dedup_replay": _q_streaming_semantic_dedup_replay,
         "lsh_recall_curve": _q_lsh_recall_curve,
-        "semantic_clusters": _q_semantic_clusters,
         "normalize_embeddings": _q_normalize_embeddings,
         # (r5-green continued)
         "winnowing_fingerprints": _q_winnowing_fingerprints,
