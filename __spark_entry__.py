@@ -1214,8 +1214,9 @@ def _q_kmeans_step(spark, sf_dir):
 
 
 def _q_kmeans_train(spark, sf_dir):
-    # iterative (multi-step Lloyd) — not one-statement SQL; driver
-    # records the rows-only check, kmeans_step carries the exact oracle
+    # iterative (multi-step Lloyd) — oracle is the fully-unrolled
+    # per-iteration CTE chain (kmeans_step's oracle composed
+    # LLOYD_ITERS times); kmeans_step keeps the single-step twin
     return SIM.kmeans_train(_emb(spark, sf_dir))
 
 
