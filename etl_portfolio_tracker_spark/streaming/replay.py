@@ -796,7 +796,12 @@ def streaming_twr_replay(spark: SparkSession, panel: DataFrame,
     two-batch checkpoint test."""
     from .stateful import streaming_twr_state
     name = "stream_twr_replay_" + uuid.uuid4().hex[:8]
-    stage = os.path.join("spark-warehouse", "_twr_panel_" + name)
+    # anchor the scratch dir at the REPO's spark-warehouse (absolute):
+    # a CWD-relative path would land wherever the embedding process
+    # happens to run from
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    stage = os.path.join(repo, "spark-warehouse", "_twr_panel_" + name)
     panel.write.mode("overwrite").parquet(stage)
     src = spark.readStream.schema(panel.schema).parquet(stage)
     out = streaming_twr_state(src)
