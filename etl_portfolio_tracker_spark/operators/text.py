@@ -1512,10 +1512,17 @@ def source_js_divergence(docs: DataFrame) -> DataFrame:
     Returns (source_a, source_b, n_shared_words, jsd, jsd_norm)
     ordered, jsd_norm = jsd/ln 2 ∈ [0, 1], rounded 6dp.
     """
-    wc = (docs.select("source", F.explode(tokens_col()).alias("w"))
-          .filter(F.col("w") != "")
-          .groupBy("source", "w")
-          .agg(F.count(F.lit(1)).alias("cnt")))
+    from ..functions.checkpoints import iter_checkpoint
+    # materialize the (source, word) count table once: it feeds both
+    # pair sides AND the totals (4 lineage branches — the kn_lm_score
+    # lesson: Spark does not share subplans across DataFrame branches,
+    # so the fact-sized explode+shuffle would re-run per branch)
+    wc = iter_checkpoint(
+        docs.select("source", F.explode(tokens_col()).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("source", "w")
+            .agg(F.count(F.lit(1)).alias("cnt")),
+        eager=False)
     tot = wc.groupBy("source").agg(F.sum("cnt").alias("n_tok"))
     a = (wc.join(tot, "source")
          .select(F.col("source").alias("source_a"), "w",
