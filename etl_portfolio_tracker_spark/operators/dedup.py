@@ -539,10 +539,13 @@ def minhash_verified(docs: DataFrame,
         # materialized once: sizes AND arrays both consume it
         eager=False)
     # injectivity guard (1 row, broadcast): equal distinct counts over
-    # the restricted stream ⇒ hash Jaccard == string Jaccard EXACTLY
-    inj = (sh_r.agg(
-        F.countDistinct("shingle").alias("_ns"),
-        F.countDistinct(F.xxhash64("shingle")).alias("_nh")))
+    # the restricted VOCABULARY ⇒ hash Jaccard == string Jaccard
+    # EXACTLY. Distinct-first keeps the check one narrow shuffle of
+    # the vocab instead of a two-way Expand over the doc stream.
+    vocab = sh_r.select("shingle").distinct()
+    inj = vocab.agg(
+        F.count(F.lit(1)).alias("_ns"),
+        F.countDistinct(F.xxhash64("shingle")).alias("_nh"))
     inj_ok = F.assert_true(
         F.col("_ns") == F.col("_nh"),
         F.lit("minhash_verified: xxhash64 collision among candidate "
@@ -628,22 +631,35 @@ def tfidf_cosine_verified(docs: DataFrame,
     divide; sqrt is IEEE-754 correctly rounded in BOTH engines
     (unlike ln/exp), so no decimal laundering is needed.
 
-    Scale shape (r8 — the weighted_jaccard_pairs verify kernel,
-    collision-FREE): banded-LSH candidates bound the pair set, the
+    Scale shape: banded-LSH candidates bound the pair set, the
     norm-ratio prune (cos ≤ √(min/max) on |·|² — integer compare
     min·τ_den² ≥ max·τ_num²) discards pairs on a NARROW (doc_id, n2)
-    frame before any shingle moves, and the exact dot is a
-    SURVIVORS-ONLY pair-explode join: survivors ⋈ weighted shingle
-    rows of doc_a, inner join on (doc_b, shingle) keeps exactly the
-    common shingles, one pair-keyed Σw² gives the dot — string-keyed,
-    all codegen, no arrays, ZERO collision caveat. This replaces the
-    packed-long (hash44 << 20 | w) array_intersect fold whose 44-bit
-    in-doc merge stance ADVICE r7 item 1 flagged as asymmetric once
-    the Jaccard half went pair-explode — and the r7 measurement says
-    the explode form is also the cheaper one at equal survivor
-    counts (9.2→5.8 s). (History kept for the record: the packed-long
-    fold itself had replaced struct arrays, which array_intersect
-    evaluates INTERPRETED — measured 32×, 52 s → 1.6 s, SCALING.md.)
+    frame before any array moves, and the exact dot folds over
+    intersected PACKED-LONG arrays: each element is
+    (hash44 << 20) | w — the 44 high bits of xxhash64(shingle) and
+    the 20-bit weight (w < 2²⁰ for any corpus under e^104 docs;
+    hash44 magnitude < 2⁴³ so the pack can't overflow a signed
+    64-bit) — because array_intersect on BIGINT arrays runs the
+    specialized codegen path while struct arrays fall back to
+    interpreted comparisons (measured 32×: 52 s → 1.6 s, SCALING.md).
+    The r8 pair-explode variant (the weighted_jaccard_pairs kernel)
+    was MEASURED SLOWER HERE and reverted: the cosine norm-ratio
+    bound is τ² = 0.49 — far looser than Jaccard's min/max ≥ 0.7 —
+    so enough survivors reach the verify that exploding their
+    weighted shingle rows cost 17.6 s vs ~5 s for shipping each
+    doc's packed array once (canonical bench, sf0.1).
+
+    Since r8 the pack is DETERMINISTICALLY safe rather than
+    probabilistic (ADVICE r7 item 1 resolved without the explode
+    regression): a 1-row in-job guard asserts
+    count(distinct shingle) == count(distinct packed) over the
+    candidate-restricted weighted stream — injectivity of
+    shingle → (hash44 << 20 | w) on every set the verify touches —
+    so a 44-bit same-weight collision can only fail the job LOUDLY
+    (message says to salt the hash), never merge two shingles
+    silently. Collisions merge elements (raise cosine, shrink
+    norms), so an output row that would need the guard always
+    coexists with a firing guard.
     """
     cands = iter_checkpoint(
         (minhash_lsh_candidates(docs) if cands is None else cands)
@@ -661,27 +677,49 @@ def tfidf_cosine_verified(docs: DataFrame,
                     .cast("decimal(8,4)") * COS_W_SCALE)
                    .cast("bigint").alias("_w")))
     n = docs.sparkSession.sparkContext.defaultParallelism
-    sw = iter_checkpoint(
+    packed = (F.shiftright(F.xxhash64("shingle"), 20) * F.lit(1 << 20)
+              + F.col("_w"))
+    arrs = iter_checkpoint(
         sh.join(wts, "shingle")
           .join(cand_ids, "doc_id", "left_semi")
-          .repartition(n, "doc_id"),
-        # materialized once: norms AND both pair-join sides consume it
+          .repartition(n, "doc_id")
+          .groupBy("doc_id")
+          .agg(F.collect_set(packed.cast("bigint")).alias("_sw"),
+               F.sum(F.col("_w") * F.col("_w")).alias("_n2")),
         eager=False)
-    norms = sw.groupBy("doc_id").agg(
-        F.sum(F.col("_w") * F.col("_w")).alias("_n2"))
+    # injectivity guard (1 row, broadcast): shingle → (hash44|w) is a
+    # function of the DICTIONARY alone, so the check runs over wts
+    # (one row per distinct shingle — vocab-sized, never the doc
+    # stream): count(*) == count(distinct packed) ⇒ the mapping is
+    # injective on the whole vocabulary, hence on every verified set,
+    # and the packed-array dot equals the string-exact dot EXACTLY
+    inj = wts.agg(F.count(F.lit(1)).alias("_ns"),
+                  F.countDistinct(packed).alias("_nh"))
+    inj_ok = F.assert_true(
+        F.col("_ns") == F.col("_nh"),
+        F.lit("tfidf_cosine_verified: 44-bit same-weight collision "
+              "among candidate shingles — salt the hash and re-run"))
     surv = (cands
-            .join(norms.select(F.col("doc_id").alias("doc_a"),
-                               F.col("_n2").alias("_na2")), "doc_a")
-            .join(norms.select(F.col("doc_id").alias("doc_b"),
-                               F.col("_n2").alias("_nb2")), "doc_b")
+            .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                              F.col("_n2").alias("_na2")), "doc_a")
+            .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                              F.col("_n2").alias("_nb2")), "doc_b")
             .filter(F.least("_na2", "_nb2") * (tau_den * tau_den)
                     >= F.greatest("_na2", "_nb2") * (tau_num * tau_num)))
-    swa = sw.select(F.col("doc_id").alias("doc_a"), "shingle", "_w")
-    swb = sw.select(F.col("doc_id").alias("doc_b"), "shingle")
-    scored = (surv.join(swa, "doc_a")
-              .join(swb, ["doc_b", "shingle"])
-              .groupBy("doc_a", "doc_b", "_na2", "_nb2")
-              .agg(F.sum(F.col("_w") * F.col("_w")).alias("_dot")))
+    va = arrs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("_sw").alias("_sa"))
+    vb = arrs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("_sw").alias("_sb"))
+    m20 = F.lit((1 << 20) - 1)
+    dot = F.aggregate(
+        F.array_intersect("_sa", "_sb"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.bitwiseAND(m20) * x.bitwiseAND(m20))
+    scored = (surv.join(va, "doc_a").join(vb, "doc_b")
+              .crossJoin(F.broadcast(inj))
+              .filter(inj_ok.isNull())
+              .select("doc_a", "doc_b", "_na2", "_nb2",
+                      dot.alias("_dot")))
     lhs = ((F.col("_dot") * tau_den).cast("decimal(19,0)")
            * (F.col("_dot") * tau_den))
     rhs = ((F.col("_na2") * (tau_num * tau_num)).cast("decimal(19,0)")
