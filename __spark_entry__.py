@@ -2086,12 +2086,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          values + within-guarantee booleans, oracle pins TRUE — a
          sketch outside its published bound turns the row red);
          (c) queries whose code paths CHANGED this round:
-         minhash_verified / tfidf_cosine_verified /
-         prefix_filter_pairs (collision-free survivors-only
-         pair-explode verify kernels, VERDICT item 4 + ADVICE item 1)
-         and prefix_filter_pairs / weighted_jaccard_pairs (PPJoin
-         positional filter — 54× candidate reduction measured,
-         VERDICT item 6); their minhash_verified consumers
+         prefix_filter_pairs (collision-free pair-explode verify +
+         PPJoin positional filter — 54× candidate reduction measured)
+         and weighted_jaccard_pairs (weighted positional filter),
+         VERDICT items 4 + 6; minhash_verified /
+         tfidf_cosine_verified (packed-array kernels KEPT — the
+         explode form measured slower at their survivor counts — but
+         their probabilistic collision stances upgraded to
+         deterministic 1-row in-job injectivity guards over the
+         vocabulary / idf dictionary, VERDICT item 4 + ADVICE
+         item 1); their minhash_verified consumers
          (near_dup_edit_stats, rouge_overlap_pairs,
          dedup_threshold_sweep, dup_inflation,
          minhash_estimate_error); kn_lm_score (trigram-type table +
@@ -2099,6 +2103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          the unattributed run spread, VERDICT item 3);
          hard_negative_mining_lsh (sentinel-row codebook guard:
          fully-sparse vec_ids now raise in-job, ADVICE item 2);
+         semantic_dedup / semantic_clusters (catalog-stats sizing +
+         the same in-job guard — plan-build count() jobs removed);
          (d) padding re-checks to fill the window: the r7-green
          window entries (externally green in CORRECTNESS_r07.json,
          re-verified locally every round).
