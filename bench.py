@@ -68,8 +68,22 @@ def _calibrate(spark) -> dict:
     t0 = time.perf_counter()
     probe()
     jvm = time.perf_counter() - t0
+    # 32-task parallel leg (VERDICT r8 item 2): the single-task probe
+    # is blind to MULTI-core contention — the r8 canonical and driver
+    # runs were both "quiet" by it yet disagreed 2.7x on a 32-core
+    # query. A fixed 32-partition aggregation saturates every core at
+    # once, so its wall is the effective parallel throughput under
+    # whatever else the host runs; the band rule pins BOTH legs.
+    probe32 = lambda: (spark.range(0, 960_000_000, 1, 32)  # noqa: E731
+                       .selectExpr("sum(id % 9999) AS s")
+                       .collect())
+    probe32()
+    t0 = time.perf_counter()
+    probe32()
+    jvm32 = time.perf_counter() - t0
     return {"python_spin_sec": round(py, 3),
-            "spark_1task_sec": round(jvm, 3)}
+            "spark_1task_sec": round(jvm, 3),
+            "spark_32task_sec": round(jvm32, 3)}
 
 
 def main() -> None:
@@ -153,7 +167,9 @@ def main() -> None:
            "queries": line_qs, "sf": sf_val, "n_queries": len(timings),
            "other_sec": 0.0, "other_n": 0, "full": "BENCH_FULL.json",
            "cal": [cal_before["spark_1task_sec"],
-                   cal_after["spark_1task_sec"]]}
+                   cal_after["spark_1task_sec"],
+                   cal_before["spark_32task_sec"],
+                   cal_after["spark_32task_sec"]]}
     dumps = lambda: json.dumps(out, separators=(",", ":"))  # noqa: E731
     for name, t in ordered:
         line_qs[name] = t

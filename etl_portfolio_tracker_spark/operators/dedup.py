@@ -297,9 +297,19 @@ def weighted_jaccard_pairs(docs: DataFrame,
                .withColumn("_suf", F.sum("_w").over(
                    wdoc.orderBy(F.col("_df"), F.col("shingle"))
                        .rowsBetween(W.currentRow, W.unboundedFollowing))))
-    pref = (ordered
-            .filter(F.col("_suf") * tau_den >= F.col("_wtot") * tau_num)
-            .select("doc_id", "shingle", "_df", "_suf"))
+    # r9: checkpoint the ranked-prefix frame — it feeds BOTH sides of
+    # the self-join below, and DataFrame branches do not share
+    # subplans (the kn_lm_score lesson, SCALING.md r8): without this
+    # boundary the two suffix-weight windows run TWICE (measured: 14
+    # exchanges / 0 ReusedExchange / 4 Window nodes, 11.6-13.1 s at
+    # sf0.1; the AQE reuse lottery is what made the r8 bench swing
+    # 5.3-14.1 s on the same code). Materializing pref once makes the
+    # plan deterministic.
+    pref = iter_checkpoint(
+        ordered
+        .filter(F.col("_suf") * tau_den >= F.col("_wtot") * tau_num)
+        .select("doc_id", "shingle", "_df", "_suf"),
+        eager=False)
     a = pref.alias("a")
     b = pref.alias("b")
     # pair dedup doubles as the WEIGHTED positional-filter aggregation
