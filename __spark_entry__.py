@@ -941,9 +941,21 @@ def _curation(spark, sf_dir):
         clusters = DD.dedup_clusters(docs, band_keys=band_keys).persist()
         verdict = DD.corpus_prune(docs, clusters=clusters).persist()
         verified = DD.minhash_verified(docs, cands=cands).persist()
+        # persist the band-key index to disk as part of the one-time
+        # build (delta_dedup's step 3): curation_serve — the
+        # production steady-state — reads THIS artifact instead of
+        # recomputing the sha256 signature stage. Repo-anchored path
+        # (a CWD-relative one breaks when the embedding process runs
+        # elsewhere); deterministic per sf tag → overwritten per
+        # build, never an unbounded leak.
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        idx_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "spark-warehouse", f"_bandkey_index_{tag}")
+        band_keys.write.mode("overwrite").parquet(idx_path)
         st = {"band_keys": band_keys, "cands": cands,
               "clusters": clusters, "verdict": verdict,
-              "verified": verified}
+              "verified": verified, "index_path": idx_path}
         _CURATION_STATE[key] = st
     return st
 
@@ -978,6 +990,17 @@ def _q_contamination_check(spark, sf_dir):
 
 def _q_minhash_verified(spark, sf_dir):
     return _curation(spark, sf_dir)["verified"]
+
+
+def _q_curation_serve(spark, sf_dir):
+    """Persisted-index serving form of the curation spine (VERDICT r8
+    item 6): the band-key index parquet written by the one-time
+    `_curation` build is read FRESH from disk and drives the
+    candidate join + exact verify — the signature stage never
+    recomputes. Output is bit-identical to minhash_verified, so the
+    oracle SQL is the same string."""
+    idx_path = _curation(spark, sf_dir)["index_path"]
+    return DD.curation_serve(_docs(spark, sf_dir), idx_path)
 
 
 def _q_tfidf_cosine_verified(spark, sf_dir):
@@ -2113,23 +2136,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          tools/check.py (committed log).
     """
     return {
-        # ================= ROUND-8 50-QUERY WINDOW =================
-        # -- 1a. NEW round-8 operators (need their first external row) -------------------------------------
-        "streaming_twr_replay": _q_streaming_twr_replay,
-        "zipf_fit": _q_zipf_fit,
+        # ================= ROUND-9 50-QUERY WINDOW =================
+        # -- 1a. NEW round-9 operators (need their first external row) -------------------------------------
+        "curation_serve": _q_curation_serve,
+        # -- 1b. CHANGED round 9 (ADVICE lows + the weighted-prefix
+        #        checkpoint; outputs changed only for
+        #        source_js_divergence, which now emits disjoint
+        #        source pairs explicitly) ----------------------------------------------------------------
         "source_js_divergence": _q_source_js_divergence,
+        "minhash_verified": _q_minhash_verified,
+        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
+        "approx_stats": _q_approx_stats,
+        "streaming_twr_replay": _q_streaming_twr_replay,
+        # -- 1c. round-8 window entries (r8-green, re-verified locally) ------------------------------------
+        "zipf_fit": _q_zipf_fit,
         "qlm_search": _q_qlm_search,
         "rrf_fusion": _q_rrf_fusion,
-        # -- 1b. graduated rows-only -> hash-checked (VERDICT r7 item 1) -----------------------------------
         "audio_meta": _q_audio_meta,
-        "approx_stats": _q_approx_stats,
-        # -- 1c. CHANGED this round (collision-free verifies, PPJoin
-        #        positional filter, consumers, kn_lm checkpoint,
-        #        codebook sentinel) -----------------------------------------------------------------------
-        "minhash_verified": _q_minhash_verified,
         "tfidf_cosine_verified": _q_tfidf_cosine_verified,
         "prefix_filter_pairs": _q_prefix_filter_pairs,
-        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
         "near_dup_edit_stats": _q_near_dup_edit_stats,
         "rouge_overlap_pairs": _q_rouge_overlap_pairs,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
@@ -6021,12 +6046,20 @@ def _oracle_sql_base() -> dict[str, str]:
                               * CAST(CAST(ln(2.0) AS DECIMAL(38,10)) AS DOUBLE))
                        AS jsd
                 FROM shared
+            ),
+            allp AS (
+                SELECT ta.source AS source_a, tb.source AS source_b
+                FROM tot ta, tot tb WHERE ta.source < tb.source
             )
-            SELECT source_a, source_b, n_shared_words,
-                   ROUND(jsd, 6) AS jsd,
-                   ROUND(jsd / CAST(CAST(ln(2.0) AS DECIMAL(38,10))
-                               AS DOUBLE), 6) AS jsd_norm
-            FROM j
+            SELECT source_a, source_b,
+                   COALESCE(n_shared_words, 0) AS n_shared_words,
+                   COALESCE(ROUND(jsd, 6),
+                            ROUND(CAST(CAST(ln(2.0) AS DECIMAL(38,10))
+                                  AS DOUBLE), 6)) AS jsd,
+                   COALESCE(ROUND(jsd / CAST(CAST(ln(2.0)
+                                  AS DECIMAL(38,10)) AS DOUBLE), 6),
+                            1.0) AS jsd_norm
+            FROM allp LEFT JOIN j USING (source_a, source_b)
             ORDER BY source_a, source_b
         """,
         # Sketch guarantees as an engine-agnostic hash row (VERDICT r7
@@ -8069,6 +8102,10 @@ def _oracle_aliases(sql: dict[str, str]) -> dict[str, str]:
     sql["streaming_bloom_probe_replay"] = sql["bloom_chunk_probe"]
     sql["streaming_cms_replay"] = sql["cms_heavy_hitters"]
     sql["streaming_twr_replay"] = sql["portfolio_twr"]
+    # curation_serve reads the PERSISTED band-key index instead of
+    # recomputing the signature stage — the frame it serves is
+    # bit-identical to minhash_verified, so the oracle is the same SQL
+    sql["curation_serve"] = sql["minhash_verified"]
     # Composition (not an alias): rrf_fusion ranks the two retrieval
     # oracles verbatim as nested CTEs — one definition per ranker,
     # zero drift between the standalone and fused gates.

@@ -518,9 +518,12 @@ def minhash_verified(docs: DataFrame,
     count(distinct xxhash64(shingle)) over the candidate-restricted
     stream — injectivity on every set the verify touches — so a
     64-bit collision can only fail the job LOUDLY (message says to
-    salt the hash), never emit a wrong row. Collisions can only
-    merge set elements (inflate jaccard, shrink sizes), so an output
-    row that would need the guard is always present to evaluate it.
+    salt the hash), never emit OR SUPPRESS a wrong row: since r9 the
+    guard is evaluated on the candidate frame BEFORE the size-ratio
+    prune (ADVICE r8 — a collision shrinks hashed-set sizes, so a
+    post-prune guard could let a true pair be pruned with no output
+    row left to evaluate the assert), and an empty candidate frame
+    needs no guard because collisions cannot create LSH candidates.
     Candidates sharing zero shingles yield n_common = 0 → filtered
     by any useful threshold."""
     # one materialization of the LSH pipeline: candidates feed the id
@@ -579,7 +582,16 @@ def minhash_verified(docs: DataFrame,
     # planner re-derives the same output from the unpruned
     # formulation).
     sizes = arrs.select("doc_id", F.size("_sh").alias("_n"))
+    # the guard rides the CANDIDATE frame, before the size-ratio prune
+    # (ADVICE r8): sizes are computed from the HASHED sets, so a
+    # collision that shrank one doc's set size could prune a true pair
+    # before any output row exists to evaluate a post-prune assert —
+    # evaluated here, every candidate row checks it first (and an
+    # empty candidate frame needs no guard: collisions cannot create
+    # LSH candidates, they only affect the verify arithmetic).
     survivors = (cands
+                 .crossJoin(F.broadcast(inj))
+                 .filter(inj_ok.isNull())
                  .join(sizes.select(F.col("doc_id").alias("doc_a"),
                                     F.col("_n").alias("_na")), "doc_a")
                  .join(sizes.select(F.col("doc_id").alias("doc_b"),
@@ -595,8 +607,6 @@ def minhash_verified(docs: DataFrame,
     # intersect expression from the jaccard formula AND the filter
     # would re-evaluate the O(|a|+|b|) intersect per reference.
     with_common = (survivors.join(va, "doc_a").join(vb, "doc_b")
-                   .crossJoin(F.broadcast(inj))
-                   .filter(inj_ok.isNull())
                    .select("doc_a", "doc_b",
                            F.size(F.array_intersect("_sa", "_sb"))
                             .cast("bigint").alias("n_common"),
@@ -1468,6 +1478,30 @@ def delta_dedup(docs: DataFrame, mod: int = DELTA_MOD,
                     "first_match",
                     F.col("n_matches").isNull().alias("is_new"))
             .orderBy("doc_id"))
+
+
+def curation_serve(docs: DataFrame, index_path: str) -> DataFrame:
+    """Production STEADY-STATE of the curation spine (VERDICT r8 item
+    6): serve verified near-dup pairs from the PERSISTED band-key
+    index instead of recomputing the MinHash signature stage per
+    report. The nightly/ingest job materializes
+    `minhash_band_keys(docs)` to parquet (delta_dedup's step 3 — in
+    this repo, `_curation` in __spark_entry__.py writes it as part of
+    the one-time `_curation_build` line item); every downstream
+    consumer then pays only: one scan of the |docs|×B-row index
+    (partitioned on (band, band_key) — bucket-local candidate join,
+    SCALING.md r8 measured 1.7 s for the full 409k-candidate set at
+    sf0.1 from a fresh session) plus the candidate-bounded exact
+    verify. The sha256 shingle signature scan — the dominant cost of
+    the cold build — never runs on the serve path.
+
+    Output and oracle are IDENTICAL to minhash_verified (bit-exact:
+    the index is the same frame the in-session pipeline computes),
+    so the DuckDB twin is the same SQL."""
+    spark = docs.sparkSession
+    idx = spark.read.parquet(index_path)
+    cands = minhash_lsh_candidates(docs, band_keys=idx)
+    return minhash_verified(docs, cands=cands)
 
 
 SUBSTR_NGRAM = 8       # token n-gram width (the match unit)

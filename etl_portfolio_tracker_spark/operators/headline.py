@@ -93,7 +93,14 @@ def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 APPROX_RSD = 0.02        # HLL++ target relative standard deviation
-APPROX_RSD_TOL = 3.0     # accept |approx−exact| ≤ 3·rsd·exact (≈99.7%)
+# accept |approx−exact| ≤ 5·rsd·exact. The rsd is a PROBABILISTIC
+# bound, not a hard HLL++ guarantee (ADVICE r8): at 3·rsd a new
+# SF/corpus whose deterministic sketch lands in the ~0.3% tail would
+# permanently red the hash-checked row with no code bug. 5·rsd is the
+# band the original pre-graduation test used (~5.7·10⁻⁷ tail); a red
+# row here means retune this tolerance (or a genuine sketch bug), not
+# a query regression — tests/test_approx.py keeps the tight bounds.
+APPROX_RSD_TOL = 5.0
 APPROX_Q_ACC = 10_000    # percentile_approx accuracy (rank ε = 1/acc)
 APPROX_Q_TOL = 10.0      # accept rank error ≤ 10/acc = 0.001
 
@@ -106,7 +113,7 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine: exact distinct counts, interpolated percentile
     rounded 6dp — the stats_summary convention) plus booleans
     asserting each sketch landed inside its published guarantee
-    (HLL++ within 3·rsd; percentile_approx within rank ±10/accuracy,
+    (HLL++ within 5·rsd; percentile_approx within rank ±10/accuracy,
     checked against the exact quantiles at ranks q∓δ/q±δ).  The
     DuckDB oracle emits the same exact values and literal TRUEs — a
     sketch drifting outside its guarantee turns the row red.

@@ -1510,7 +1510,13 @@ def source_js_divergence(docs: DataFrame) -> DataFrame:
     statistic.
 
     Returns (source_a, source_b, n_shared_words, jsd, jsd_norm)
-    ordered, jsd_norm = jsd/ln 2 ∈ [0, 1], rounded 6dp.
+    ordered, jsd_norm = jsd/ln 2 ∈ [0, 1], rounded 6dp — one row for
+    EVERY unordered source pair (r9, ADVICE r8): pairs sharing zero
+    words — exactly the maximal-divergence feeds a drift alert cares
+    about — are emitted explicitly with n_shared_words = 0 and the
+    closed-form disjoint value jsd = ln 2 (jsd_norm = 1.0), via a
+    cross join of the (handful-sized) source list left-joined onto
+    the shared-word scores.
     """
     from ..functions.checkpoints import iter_checkpoint
     # materialize the (source, word) count table once: it feeds both
@@ -1557,11 +1563,24 @@ def source_js_divergence(docs: DataFrame) -> DataFrame:
               / F.col("_tb").cast("double")) * ln2
     jsd = 0.5 * (F.col("_sa").cast("double") + excl_a) \
         + 0.5 * (F.col("_sb").cast("double") + excl_b)
-    return (shared.select(
+    scored = shared.select(
         "source_a", "source_b", "n_shared_words",
         F.round(jsd, 6).alias("jsd"),
         F.round(jsd / ln2, 6).alias("jsd_norm"))
-        .orderBy("source_a", "source_b"))
+    srcs = tot.select("source")
+    allp = (srcs.select(F.col("source").alias("source_a"))
+            .crossJoin(F.broadcast(
+                srcs.select(F.col("source").alias("source_b"))))
+            .filter(F.col("source_a") < F.col("source_b")))
+    return (allp.join(scored, ["source_a", "source_b"], "left")
+            .select("source_a", "source_b",
+                    F.coalesce("n_shared_words",
+                               F.lit(0).cast("long"))
+                     .alias("n_shared_words"),
+                    F.coalesce("jsd", F.round(ln2, 6)).alias("jsd"),
+                    F.coalesce("jsd_norm", F.lit(1.0))
+                     .alias("jsd_norm"))
+            .orderBy("source_a", "source_b"))
 
 
 QLM_MU = 2000          # Dirichlet smoothing mass (Zhai & Lafferty '01)

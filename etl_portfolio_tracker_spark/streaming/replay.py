@@ -23,6 +23,7 @@ the final batch's rejections per key — single-file inputs only.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -802,10 +803,17 @@ def streaming_twr_replay(spark: SparkSession, panel: DataFrame,
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     stage = os.path.join(repo, "spark-warehouse", "_twr_panel_" + name)
-    panel.write.mode("overwrite").parquet(stage)
-    src = spark.readStream.schema(panel.schema).parquet(stage)
-    out = streaming_twr_state(src)
-    _run_to_completion(
-        out.writeStream.format("memory").queryName(name)
-           .outputMode("update").trigger(availableNow=True), name, timeout_s)
+    try:
+        panel.write.mode("overwrite").parquet(stage)
+        src = spark.readStream.schema(panel.schema).parquet(stage)
+        out = streaming_twr_state(src)
+        _run_to_completion(
+            out.writeStream.format("memory").queryName(name)
+               .outputMode("update").trigger(availableNow=True),
+            name, timeout_s)
+    finally:
+        # the memory sink holds the results once the availableNow
+        # batch completes — the scratch panel would otherwise leak one
+        # parquet dir per invocation (ADVICE r8)
+        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name).select("user", "d", "port_ret", "twr_idx")

@@ -1,0 +1,337 @@
+"""Round-9 tests (VERDICT r8 Next items 5, 6, 7 + ADVICE lows).
+
+- MINHASH_BUCKET_CAP drop semantics exercised cross-engine on a
+  corpus where the cap actually BINDS (item 5: the cap "never binds
+  at oracle scales", so its dropped-bucket behavior was
+  design-asserted only).
+- curation_serve: the persisted-index serving form must be bit-equal
+  to the in-session minhash_verified pipeline (item 6).
+- 3-batch streaming soaks with out-of-order arrivals for the
+  stateful family (item 7): the two-batch checkpoint tests pin state
+  carry-over; three batches + shuffled within-batch order exercise
+  resume-after-resume and the arrival-order contracts.
+- source_js_divergence now emits DISJOINT source pairs explicitly
+  (ADVICE low 2).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import pytest
+
+TESTDATA = "/root/testdata"
+
+
+# --- MINHASH_BUCKET_CAP binding semantics (VERDICT r8 item 5) -----------------
+
+def _cap_corpus():
+    """9 docs: ids 0-5 are byte-identical (every band bucket holds all
+    6 -> a cap of 3 BINDS and drops them), ids 6-7 are byte-identical
+    to each other (bucket size 2 <= cap -> kept), id 8 is unique."""
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different text about weighted set similarity join"
+    c = "a third unrelated document that matches nothing else at all"
+    return [(i, a) for i in range(6)] + [(6, b), (7, b)] + [(8, c)]
+
+
+def test_minhash_bucket_cap_binds_cross_engine(spark):
+    """The drop rule, evaluated where it BINDS, must agree between the
+    Spark operator and the DuckDB oracle formulation (same QUALIFY
+    cap), and the suppressed group must reappear when the cap does
+    not bind — proving the cap is what suppressed it."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+
+    rows = _cap_corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 3
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["n_bands"])
+        for r in DD.minhash_lsh_candidates(docs, bucket_cap=cap).collect())
+
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = (E._SHINGLES_SQL.replace("SELECT DISTINCT", "SELECT")
+           + E._BANDS_SQL.format(n_seeds=DD.MINHASH_SEEDS - 1,
+                                 band_rows=DD.LSH_BAND_ROWS)
+           + f"""
+        , kept AS (
+            SELECT band, band_key, doc_id FROM bands
+            QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {cap})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_bands
+        FROM kept a JOIN kept b USING (band, band_key)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2 ORDER BY 1, 2""")
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+
+    n_bands = DD.MINHASH_SEEDS // DD.LSH_BAND_ROWS
+    assert got == want == [(6, 7, n_bands)]   # the capped 6-clone
+    #                                           group emits NOTHING
+
+    # cap not binding -> the clone group's 15 pairs all reappear
+    uncapped = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_lsh_candidates(docs, bucket_cap=500).collect())
+    assert uncapped == sorted(
+        [(i, j) for i in range(6) for j in range(i + 1, 6)] + [(6, 7)])
+
+
+def test_minhash_verified_respects_cap(spark):
+    """End-to-end: minhash_verified built on capped candidates must
+    not emit the capped group's (identical, jaccard=1.0) pairs."""
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(_cap_corpus(), "doc_id long, text string")
+    cands = DD.minhash_lsh_candidates(docs, bucket_cap=3)
+    got = sorted((r["doc_a"], r["doc_b"], r["jaccard"])
+                 for r in DD.minhash_verified(docs, cands=cands).collect())
+    assert got == [(6, 7, 1.0)]
+
+
+# --- curation_serve (VERDICT r8 item 6) ---------------------------------------
+
+def test_curation_serve_matches_in_session_pipeline(spark, tmp_path):
+    """Serving from the persisted band-key index must be bit-equal to
+    the in-session minhash_verified pipeline."""
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import dedup as DD
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    docs = read_table(spark, sf, "documents")
+    idx = str(tmp_path / "bandkey_index")
+    DD.minhash_band_keys(docs).write.parquet(idx)
+    got = sorted(map(tuple, DD.curation_serve(docs, idx).collect()))
+    want = sorted(map(tuple, DD.minhash_verified(docs).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_curation_serve_registered_query(spark):
+    """The registered query must build the index via _curation and
+    serve the identical verified-pairs frame."""
+    import __spark_entry__ as E
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    got = sorted(map(tuple, E.queries()["curation_serve"](spark, sf).collect()))
+    want = sorted(map(tuple,
+                      E.queries()["minhash_verified"](spark, sf).collect()))
+    assert got == want and len(got) > 0
+
+
+# --- 3-batch streaming soaks (VERDICT r8 item 7) ------------------------------
+# Arrival-order contracts under test: WITHIN a batch, arbitrary order
+# (the kernels sort); ACROSS batches, the day-atomic daily-ingest
+# contract for TWR / (ts,id)-monotone ingest for the fold — the same
+# divergence-from-unbounded-batch rule SURVEY §2.12 documents. The
+# dedup-within soak sends true cross-batch LATE duplicates inside the
+# watermark, which the state must still drop.
+
+def _twr_panel_rows():
+    rows = []
+    for day in range(9):
+        d = dt.date(2024, 3, 1) + dt.timedelta(days=day)
+        for tkr, base in (("AAA", 10.0), ("BBB", 20.0)):
+            rows.append(("u1", tkr, d, 5.0 + day % 3, base + 1.5 * day))
+        rows.append(("u2", "CCC", d, 2.0, 7.0 + 0.5 * day))
+    return rows
+
+
+def test_streaming_twr_three_batch_soak(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        STATE_PARTITIONS, streaming_twr_replay)
+    from etl_portfolio_tracker_spark.streaming.stateful import (
+        streaming_twr_state)
+
+    schema = ("user string, ticker string, ts date, qty double,"
+              " close_i double")
+    rows = _twr_panel_rows()
+    panel = spark.createDataFrame(rows, schema)
+    single = sorted(map(tuple,
+                        streaming_twr_replay(spark, panel).collect()))
+
+    stage, cp = str(tmp_path / "stage"), str(tmp_path / "cp")
+    got: list = []
+
+    def sink(df, _bid):
+        got.extend(map(tuple,
+                       df.select("user", "d", "port_ret", "twr_idx")
+                         .collect()))
+
+    def run_once():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(STATE_PARTITIONS))
+        try:
+            src = spark.readStream.schema(panel.schema).parquet(stage)
+            q = (streaming_twr_state(src).writeStream
+                 .foreachBatch(sink)
+                 .option("checkpointLocation", cp)
+                 .outputMode("update").trigger(availableNow=True).start())
+            assert q.awaitTermination(180)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # three day-range batches; rows SHUFFLED within each batch (the
+    # kernel must sort), day-atomic across batches
+    cuts = [dt.date(2024, 3, 4), dt.date(2024, 3, 7)]
+    batches = [
+        [r for r in rows if r[2] < cuts[0]],
+        [r for r in rows if cuts[0] <= r[2] < cuts[1]],
+        [r for r in rows if r[2] >= cuts[1]],
+    ]
+    seen = 0
+    for i, b in enumerate(batches):
+        random.Random(i).shuffle(b)
+        spark.createDataFrame(b, schema).coalesce(1) \
+             .write.mode("append").parquet(stage)
+        run_once()
+        assert len(got) > seen, f"batch {i} emitted nothing"
+        seen = len(got)
+    assert sorted(got) == single
+
+
+def test_streaming_fold_three_batch_soak(spark, tmp_path):
+    """GAV-fold state across three resumes, within-batch arrival order
+    shuffled: final per-key state must equal the batch fold."""
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_tracker_spark.operators import fold as FO
+    from etl_portfolio_tracker_spark.streaming import stateful
+
+    schema = ("id long, user string, ticker string, ts timestamp, "
+              "side string, qty double, price double, fee double")
+    t0 = dt.datetime(2025, 2, 1)
+    trades = []
+    rng = random.Random(7)
+    i = 0
+    for day in range(9):
+        for user in ("u1", "u2"):
+            for tkr in ("T", "S"):
+                side = "BUY" if (day + i) % 3 else "SELL"
+                trades.append((i, user, tkr, t0 + dt.timedelta(days=day),
+                               side, float(1 + i % 4),
+                               100.0 + 3.0 * day + i % 5, 0.5))
+                i += 1
+
+    stage, cp, out = (str(tmp_path / "t"), str(tmp_path / "cp"),
+                      str(tmp_path / "out"))
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(stage)
+
+        def _sink(batch, bid):
+            batch.withColumn("bid", F.lit(bid)) \
+                 .write.mode("append").parquet(out)
+
+        q = (stateful.streaming_portfolio_state(src)
+             .writeStream.foreachBatch(_sink)
+             .outputMode("update")
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+
+    # three batches split on trade DAYS (monotone ingest), shuffled
+    # within each batch
+    spans = [(0, 3), (3, 6), (6, 9)]
+    for j, (lo, hi) in enumerate(spans):
+        b = [r for r in trades
+             if lo <= (r[3] - t0).days < hi]
+        random.Random(j).shuffle(b)
+        spark.createDataFrame(b, schema).coalesce(1) \
+             .write.mode("append").parquet(stage)
+        run_once()
+
+    final = {(r["user"], r["ticker"]): (r["qty"], r["avg_cost"],
+                                        r["realized"])
+             for r in (spark.read.parquet(out)
+                       .groupBy("user", "ticker")
+                       .agg(*[F.max_by(c, "bid").alias(c)
+                              for c in ("qty", "avg_cost", "realized")])
+                       ).collect()}
+    batch_df = spark.createDataFrame(trades, schema)
+    want = {(r["user"], r["ticker"]): (r["qty"], r["avg_cost"],
+                                       r["realized"])
+            for r in FO.portfolio_fold(batch_df).collect()}
+    for k, v in want.items():
+        assert final[k] == v, (k, final[k], v)
+
+
+def test_streaming_dedup_within_three_batch_late_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across three resumes: duplicate
+    keys re-arriving in LATER batches — out of order, but inside the
+    watermark — must still be dropped; fresh keys must pass."""
+    from pyspark.sql import functions as F
+
+    schema = "event_id long, ts timestamp"
+    t0 = dt.datetime(2025, 6, 10, 12, 0, 0)
+    stage, cp, out = (str(tmp_path / "ev"), str(tmp_path / "cp"),
+                      str(tmp_path / "out"))
+
+    def run_once():
+        # memory sink can't recover from a checkpoint → foreachBatch
+        src = spark.readStream.schema(schema).parquet(stage)
+
+        def _sink(batch, _bid):
+            batch.write.mode("append").parquet(out)
+
+        q = (src.withWatermark("ts", "7 days")
+             .dropDuplicatesWithinWatermark(["event_id"])
+             .writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+
+    batches = [
+        # batch 1: ids 1-3
+        [(1, t0), (2, t0 + dt.timedelta(hours=1)),
+         (3, t0 + dt.timedelta(hours=2))],
+        # batch 2: id 2 re-arrives LATE (earlier ts than first sight,
+        # still inside the 7-day watermark) + fresh id 4
+        [(2, t0 - dt.timedelta(hours=5)),
+         (4, t0 + dt.timedelta(days=1))],
+        # batch 3: ids 1 and 4 re-arrive again + fresh id 5
+        [(1, t0 + dt.timedelta(days=1, hours=3)),
+         (4, t0 + dt.timedelta(hours=20)),
+         (5, t0 + dt.timedelta(days=2))],
+    ]
+    for j, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1) \
+             .write.mode("append").parquet(stage)
+        run_once()
+    got = sorted(r["event_id"]
+                 for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]
+
+
+# --- source_js_divergence disjoint pairs (ADVICE r8 low 2) --------------------
+
+def test_source_js_disjoint_pairs_emitted(spark):
+    """Sources sharing zero words must appear with n_shared_words=0,
+    jsd=ln 2 (6dp), jsd_norm=1.0 — not be silently absent."""
+    import math
+
+    from etl_portfolio_tracker_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma", "s1"),
+         (1, "delta epsilon zeta", "s2"),
+         (2, "alpha delta", "s3")],
+        "doc_id long, text string, source string")
+    rows = {(r["source_a"], r["source_b"]): r
+            for r in TX.source_js_divergence(docs).collect()}
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    dis = rows[("s1", "s2")]
+    assert dis["n_shared_words"] == 0
+    assert dis["jsd"] == round(math.log(2.0), 6)
+    assert dis["jsd_norm"] == 1.0
+    assert rows[("s1", "s3")]["n_shared_words"] == 1
+    assert rows[("s2", "s3")]["n_shared_words"] == 1
