@@ -926,8 +926,14 @@ def semantic_dedup(emb: DataFrame, n_cells: int | None = None,
     # separate cents.count() was a plan-build action before any work,
     # the same class the r7 verdict removed from
     # hard_negative_mining_lsh.
+    from ..functions.checkpoints import iter_checkpoint
     cents = _guarded_codebook(emb, n_cells, "semantic_dedup")
-    cells = _semantic_cells_frame(emb, cents)
+    # r9: the assignment frame feeds BOTH pair-join sides and the
+    # final flag join — 3 lineage branches, and branches do not share
+    # subplans (the weighted_jaccard_pairs/kn_lm lesson): without the
+    # boundary the N×c crossJoin + argmax window ran up to 3×.
+    cells = iter_checkpoint(_semantic_cells_frame(emb, cents),
+                            eager=False)
     earlier = (_semantic_cos_pairs(cells)
                .select(F.col("_vb").alias("vec_id"), F.col("_cos"))
                .groupBy("vec_id")
@@ -1039,8 +1045,14 @@ def semantic_clusters(emb: DataFrame, n_cells: int | None = None,
     # r8: guarded codebook — previously an unvalidated filter, so a
     # sparse-id corpus silently got a short codebook; now the dense-id
     # assert rides the consuming job (no plan-build action either)
+    from ..functions.checkpoints import iter_checkpoint
     cents = _guarded_codebook(emb, n_cells, "semantic_clusters")
-    pairs = (_semantic_cos_pairs(_semantic_cells_frame(emb, cents))
+    # r9: checkpoint the assignment — it feeds both pair-join sides
+    # (see semantic_dedup; measured 4.08 s warm → the dominant phase
+    # of this operator's 7.9 s canonical line)
+    cells = iter_checkpoint(_semantic_cells_frame(emb, cents),
+                            eager=False)
+    pairs = (_semantic_cos_pairs(cells)
              .filter(F.col("_cos") >= threshold)
              .select(F.col("_va").alias("doc_a"),
                      F.col("_vb").alias("doc_b")))
