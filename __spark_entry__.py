@@ -315,6 +315,53 @@ def _logit_oracle_sql() -> str:
     return "WITH" + ",".join(parts) + body
 
 
+def _kcenter_oracle_sql() -> str:
+    """Unrolled greedy k-center chain mirroring
+    similarity.kcenter_coreset: per step, exact-unit decimal dots →
+    double, d² = n2_v + n2_c − 2·dot (same IEEE op tree as the Spark
+    expression), min over the chosen set, argmax with vec_id
+    tie-break — the kmeans_train/logit unrolled-CTE precedent."""
+    k = SIM.KCENTER_K
+    parts = ["""
+    WITH pe AS (
+        SELECT vec_id,
+               UNNEST(generate_series(1, LEN(embedding))) AS pos,
+               CAST(UNNEST(embedding) AS DOUBLE) AS val
+        FROM embeddings),
+    n2 AS (SELECT vec_id,
+                  CAST(SUM(CAST(val * val AS DECIMAL(38,10)))
+                       AS DOUBLE) AS n2
+           FROM pe GROUP BY 1),
+    s1 AS (SELECT MIN(vec_id) AS cid FROM pe),
+    cents1 AS (SELECT cid FROM s1)"""]
+    for j in range(2, k + 1):
+        parts.append(f""",
+    dots{j} AS (
+        SELECT a.vec_id, b.vec_id AS cid,
+               CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,10)))
+                    AS DOUBLE) AS dot
+        FROM pe a JOIN pe b USING (pos)
+        WHERE b.vec_id IN (SELECT cid FROM cents{j - 1})
+        GROUP BY 1, 2),
+    mind{j} AS (
+        SELECT d.vec_id, MIN(na.n2 + nb.n2 - 2 * d.dot) AS mind
+        FROM dots{j} d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN n2 nb ON nb.vec_id = d.cid
+        GROUP BY 1),
+    s{j} AS (SELECT vec_id AS cid, mind FROM mind{j}
+             ORDER BY mind DESC, vec_id ASC LIMIT 1),
+    cents{j} AS (SELECT cid FROM cents{j - 1}
+                 UNION ALL SELECT cid FROM s{j})""")
+    sel = ["SELECT CAST(1 AS BIGINT) AS rnd, cid AS vec_id, "
+           "CAST(NULL AS DOUBLE) AS min_sq_dist FROM s1"]
+    for j in range(2, k + 1):
+        sel.append(f"SELECT CAST({j} AS BIGINT), cid, ROUND(mind, 6) "
+                   f"FROM s{j}")
+    return ("".join(parts) + "\n    "
+            + "\n    UNION ALL ".join(sel) + "\n    ORDER BY rnd")
+
+
 _BANDS_SQL = """
             , seeded AS (
                 -- one-permutation hashing: seed s = 32-bit slice s of
@@ -990,6 +1037,33 @@ def _q_contamination_check(spark, sf_dir):
 
 def _q_minhash_verified(spark, sf_dir):
     return _curation(spark, sf_dir)["verified"]
+
+
+def _q_holt_winters(spark, sf_dir):
+    """Per-ticker Holt level+trend smoothing (alpha=0.5, beta=0.25) —
+    the trend-aware member of the EWMA family, same fold-kernel
+    physical shape; oracle is the literal recursive CTE."""
+    return WD.holt_winters(derive.tick_prices(spark, sf_dir))
+
+
+def _q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar part-pair link prediction over the order-part
+    bipartite graph — market_basket's co-count with 1/ln(basket
+    degree) common-neighbor weighting."""
+    return WH.adamic_adar(spark, sf_dir)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (hashed-unigram ln-ratio of the
+    'en' target slice vs the raw corpus) per document."""
+    return TX.dsir_weights(_docs(spark, sf_dir))
+
+
+def _q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset over the embeddings (farthest-point
+    traversal, k=8) — geometric diversity selection; oracle unrolls
+    the same greedy steps as chained CTEs."""
+    return SIM.kcenter_coreset(_emb(spark, sf_dir))
 
 
 def _q_curation_serve(spark, sf_dir):
@@ -2139,6 +2213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= ROUND-9 50-QUERY WINDOW =================
         # -- 1a. NEW round-9 operators (need their first external row) -------------------------------------
         "curation_serve": _q_curation_serve,
+        "dsir_weights": _q_dsir_weights,
+        "kcenter_coreset": _q_kcenter_coreset,
+        "adamic_adar": _q_adamic_adar,
+        "holt_winters": _q_holt_winters,
         # -- 1b. CHANGED round 9 (ADVICE lows + the weighted-prefix
         #        checkpoint; outputs changed only for
         #        source_js_divergence, which now emits disjoint
@@ -6062,6 +6140,106 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM allp LEFT JOIN j USING (source_a, source_b)
             ORDER BY source_a, source_b
         """,
+        # mirrors text.dsir_weights: exact INTEGER-ratio ln args
+        # (add-one smoothed target/raw hashed-bucket counts), each ln
+        # DECIMAL(38,10)-roundtripped, per-doc exact decimal sums;
+        # sha256 bucket ids are the minhash cross-engine convention.
+        "dsir_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(sha256(w), 1, 8)) AS BIGINT)
+                           % {TX.DSIR_BUCKETS} AS b
+                FROM (SELECT doc_id, lang,
+                             unnest(string_split({_NORM_SQL}, ' ')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            cr AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY 1),
+            ct AS (SELECT b, COUNT(*) AS ct FROM toks
+                   WHERE lang = '{TX.DSIR_TARGET_LANG}' GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS nr,
+                           SUM(CASE WHEN lang = '{TX.DSIR_TARGET_LANG}'
+                               THEN 1 ELSE 0 END) AS nt
+                    FROM toks),
+            model AS (
+                SELECT cr.b,
+                       CAST(ln(
+                           CAST((COALESCE(ct.ct, 0) + 1)
+                                * (tot.nr + {TX.DSIR_BUCKETS}) AS DOUBLE)
+                           / CAST((cr.cr + 1)
+                                  * (tot.nt + {TX.DSIR_BUCKETS}) AS DOUBLE))
+                        AS DECIMAL(38,10)) AS lnr
+                FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot
+            )
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(CAST(SUM(m.lnr) AS DOUBLE), 6) AS dsir_logweight
+            FROM toks t JOIN model m ON m.b = t.b
+            GROUP BY 1 ORDER BY 1
+        """,
+        # mirrors warehouse.adamic_adar: INTEGER ln arg (basket
+        # degree), DECIMAL-roundtripped, one double divide per term,
+        # exact decimal pair sums.
+        "adamic_adar": f"""
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            deg AS (SELECT l_orderkey, COUNT(*) AS d FROM lp
+                    GROUP BY 1 HAVING COUNT(*) >= 2),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       deg.d
+                FROM lp a JOIN lp b USING (l_orderkey)
+                JOIN deg USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey
+            )
+            SELECT part_a, part_b,
+                   CAST(COUNT(*) AS BIGINT) AS support,
+                   ROUND(CAST(SUM(CAST(
+                       1.0 / CAST(CAST(ln(CAST(d AS DOUBLE))
+                                  AS DECIMAL(38,10)) AS DOUBLE)
+                       AS DECIMAL(38,10))) AS DOUBLE), 6) AS aa_score
+            FROM pairs GROUP BY 1, 2
+            HAVING COUNT(*) >= {WH.BASKET_MIN_SUPPORT}
+            ORDER BY aa_score DESC, part_a, part_b
+        """,
+        # mirrors windowed.holt_winters: the literal coupled
+        # level/trend recursion, same IEEE op tree per step as the
+        # Python kernel (gains are exact binary fractions), round-6
+        # display (the ewma_prices precedent).
+        "holt_winters": f"""
+            WITH RECURSIVE tick_prices AS (
+                SELECT event_type AS ticker,
+                       CAST(ts AS DATE) AS ts,
+                       MIN(value) AS close
+                FROM events GROUP BY 1, 2
+            ),
+            px AS (
+                SELECT ticker, ts, close,
+                       ROW_NUMBER() OVER (PARTITION BY ticker
+                                          ORDER BY ts) AS rn
+                FROM tick_prices
+            ),
+            r(ticker, ts, close, rn, level, trend) AS (
+                SELECT ticker, ts, close, rn, close, CAST(0 AS DOUBLE)
+                FROM px WHERE rn = 1
+                UNION ALL
+                SELECT t.ticker, t.ts, t.close, t.rn, t.lnew,
+                       {WD.HOLT_BETA} * (t.lnew - t.lvl)
+                           + {1 - WD.HOLT_BETA} * t.trd
+                FROM (SELECT p.ticker, p.ts, p.close, p.rn,
+                             {WD.HOLT_ALPHA} * p.close
+                                 + {1 - WD.HOLT_ALPHA}
+                                   * (r.level + r.trend) AS lnew,
+                             r.level AS lvl, r.trend AS trd
+                      FROM px p JOIN r ON p.ticker = r.ticker
+                                      AND p.rn = r.rn + 1) t
+            )
+            SELECT ticker, ts, close,
+                   ROUND(level, 6) AS level,
+                   ROUND(trend, 6) AS trend,
+                   ROUND(level + trend, 6) AS forecast
+            FROM r
+        """,
+        "kcenter_coreset": _kcenter_oracle_sql(),
         # Sketch guarantees as an engine-agnostic hash row (VERDICT r7
         # item 1): the oracle emits the EXACT values (bit-equal — exact
         # distinct counts; interpolated percentile rounded 6dp, the

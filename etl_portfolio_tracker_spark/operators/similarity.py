@@ -247,6 +247,61 @@ def kmeans_train(emb: DataFrame, n_cells: int = N_IVF_CELLS,
     return result
 
 
+KCENTER_K = 8
+
+
+def kcenter_coreset(emb: DataFrame, k: int = KCENTER_K) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal — Gonzalez
+    1985; the classic 2-approximation): pick the min-vec_id seed,
+    then k−1 times pick the vector FARTHEST (max over vecs of min
+    squared L2 distance to the chosen set, ties to the lowest
+    vec_id). The standard geometric data-selection / diversity-
+    sampling primitive a training pipeline uses to pick a small
+    representative subset (coresets for k-means/active learning).
+
+    Scale shape: the kmeans_train pattern — per round ONE broadcast
+    of the j-row chosen set out, one shuffle-free map computing each
+    vector's min distance locally, one TakeOrdered(1) argmax back.
+    Driver state is O(k) ids; per-round traffic is model-sized,
+    never corpus-sized. k−1 linear scans total (the greedy is
+    inherently sequential in k). The (vec_id, embedding, |v|²) base
+    frame is checkpointed once — it feeds every round.
+
+    Exactness: d²(v,c) = |v|² + |c|² − 2·⟨v,c⟩ with each term the
+    module's exact-unit decimal dot (bit-identical cross-engine) and
+    the combination the SAME IEEE op tree (add, mul, sub) on both
+    engines; MIN/argmax compare unrounded bit-stable doubles, ties
+    break on vec_id. The DuckDB twin unrolls the same k−1 greedy
+    steps as chained CTEs (the kmeans_train/logit precedent).
+    Emitted min_sq_dist is round-6 display (NULL for the seed)."""
+    from ..functions.checkpoints import iter_checkpoint
+    spark = emb.sparkSession
+    base = iter_checkpoint(
+        _spread(emb).select(
+            "vec_id", "embedding",
+            F.expr(_dot_sql("embedding", "embedding")).alias("_n2")),
+        eager=False)
+    first = base.agg(F.min("vec_id")).collect()[0][0]
+    chosen: list = [(1, first, None)]
+    for rnd in range(2, k + 1):
+        cents = (base.filter(
+                     F.col("vec_id").isin([c[1] for c in chosen]))
+                 .select(F.col("embedding").alias("_cvec"),
+                         F.col("_n2").alias("_cn2")))
+        d2 = (F.col("_n2") + F.col("_cn2")
+              - 2 * F.expr(_dot_sql("embedding", "_cvec")))
+        win = (base.crossJoin(F.broadcast(cents))
+               .groupBy("vec_id").agg(F.min(d2).alias("_mind"))
+               .orderBy(F.desc("_mind"), F.asc("vec_id")).limit(1)
+               .collect()[0])
+        chosen.append((rnd, win["vec_id"], float(win["_mind"])))
+    return (spark.createDataFrame(
+                chosen, "rnd long, vec_id long, min_sq_dist double")
+            .select("rnd", "vec_id",
+                    F.round("min_sq_dist", 6).alias("min_sq_dist"))
+            .orderBy("rnd"))
+
+
 def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 5,
              n_cells: int = N_IVF_CELLS) -> DataFrame:
     """IVF-ANN search: restrict the exact cosine top-k to the query's

@@ -1583,6 +1583,75 @@ def source_js_divergence(docs: DataFrame) -> DataFrame:
             .orderBy("source_a", "source_b"))
 
 
+DSIR_BUCKETS = 4096    # hashed-feature dimensionality (Xie et al.)
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(docs: DataFrame, n_buckets: int = DSIR_BUCKETS,
+                 target_lang: str = DSIR_TARGET_LANG) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling — Xie et al., NeurIPS 2023): score every raw document
+    by how much its hashed-n-gram features look like a TARGET domain
+    (here the `target_lang` slice) versus the raw corpus, the
+    standard pretraining-data selection signal:
+
+      bucket(w) = sha256(w)[0:32 bits] mod B     (hashed unigrams)
+      w(doc)    = Σ_{tokens w} ln( p_tgt(b(w)) / p_raw(b(w)) )
+
+    with add-one smoothing: p(b) = (c(b)+1)/(N+B). A resampler then
+    keeps docs ∝ exp(w) — emitted here as the per-doc log-weight.
+
+    Scale shape: the token explode is ONE map-side-combined shuffle
+    into (bucket) counts; the bucket model (B rows: ln-ratio per
+    bucket) is broadcast back onto the token stream, so the scoring
+    pass is shuffle-free per token and aggregates per doc with
+    map-side combine. Model state is O(B), never corpus-sized — at
+    100 TB the only fact-sized exchanges are the two token
+    aggregations. The token frame is checkpointed (4 branches:
+    target counts, raw counts, totals, scoring — the r9 lesson).
+
+    Exactness: the ln argument is the exact INTEGER ratio
+    (c_t+1)·(N_raw+B) / ((c_r+1)·(N_tgt+B)) (both engines divide the
+    identical exact BIGINTs — products ≤ ~10¹⁴ at sf0.1, overflow at
+    ~10¹⁸ token-count·corpus products, far beyond any realistic
+    corpus's per-bucket counts); one libm ln, DECIMAL(38,10)
+    roundtrip, per-doc exact decimal sum, round 6 (the
+    source_js_divergence convention). sha256 bucket ids are
+    bit-identical cross-engine (the minhash convention).
+    """
+    from ..functions.checkpoints import iter_checkpoint
+    toks = iter_checkpoint(
+        docs.select("doc_id", "lang",
+                    F.explode(tokens_col()).alias("w"))
+            .filter(F.col("w") != "")
+            .select("doc_id", "lang",
+                    (F.conv(F.substring(F.sha2(F.col("w"), 256), 1, 8),
+                            16, 10).cast("bigint")
+                     % n_buckets).alias("b")),
+        eager=False)
+    cr = toks.groupBy("b").agg(F.count(F.lit(1)).alias("_cr"))
+    ct = (toks.filter(F.col("lang") == target_lang)
+          .groupBy("b").agg(F.count(F.lit(1)).alias("_ct")))
+    tot = (toks.agg(
+        F.count(F.lit(1)).alias("_nr"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
+         .alias("_nt")))
+    model = (cr.join(ct, "b", "left")
+             .crossJoin(F.broadcast(tot))
+             .select("b", F.log(
+                 ((F.coalesce(F.col("_ct"), F.lit(0)) + 1)
+                  * (F.col("_nr") + n_buckets)).cast("double")
+                 / ((F.col("_cr") + 1)
+                    * (F.col("_nt") + n_buckets)).cast("double"))
+                 .cast(DEC).alias("_lnr")))
+    return (toks.join(F.broadcast(model), "b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum("_lnr").cast("double"), 6)
+                  .alias("dsir_logweight"))
+            .orderBy("doc_id"))
+
+
 QLM_MU = 2000          # Dirichlet smoothing mass (Zhai & Lafferty '01)
 RRF_K = 60             # reciprocal-rank-fusion constant (Cormack '09)
 RRF_TOPK = 10

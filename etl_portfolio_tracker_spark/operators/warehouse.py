@@ -511,6 +511,56 @@ def market_basket(spark: SparkSession, sf_dir: str,
             .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b")))
 
 
+def adamic_adar(spark: SparkSession, sf_dir: str,
+                min_support: int = BASKET_MIN_SUPPORT) -> DataFrame:
+    """Adamic-Adar link prediction over the order-part bipartite
+    graph (Adamic & Adar 2003) — market_basket's co-count upgraded
+    with common-neighbor degree weighting: a co-occurrence inside a
+    small, focused order is stronger evidence than one inside a
+    mega-basket,
+
+      AA(i, j) = Σ_{orders o ⊇ {i,j}} 1 / ln |parts(o)|
+
+    (orders with one distinct part cannot co-occur, so every degree
+    in the sum is ≥ 2 and ln is strictly positive).
+
+    Scale shape: identical to market_basket — the self-join is
+    within-order (equi-key + a < b cut), pair volume Σ|basket|²
+    bounded by basket size; the degree frame is one map-side-combined
+    |orders|-row aggregate joined back on the order key; one pair
+    aggregate with map-side combine. The shared distinct
+    (order, part) frame is checkpointed — it feeds three branches
+    (both join sides + degrees) and branches do not share subplans
+    (the r9 weighted_jaccard/semantic_cells lesson).
+
+    Exactness: deg is an INTEGER ln argument (the repo's exact-ratio
+    rule), ln is DECIMAL(38,10)-roundtripped, the per-order term is
+    ONE double divide 1/ln(deg), and pair sums are exact decimal —
+    identical association on both engines; round 6 display.
+    """
+    from ..functions.checkpoints import iter_checkpoint
+    li = iter_checkpoint(
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct(),
+        eager=False)
+    deg = (li.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("_deg"))
+           .filter(F.col("_deg") >= 2))
+    term = (F.lit(1.0)
+            / F.log(F.col("_deg").cast("double")).cast(DEC).cast("double"))
+    a, b = li.alias("a"), li.alias("b")
+    return (a.join(b, "l_orderkey")
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .join(deg, "l_orderkey")
+            .groupBy(F.col("a.l_partkey").alias("part_a"),
+                     F.col("b.l_partkey").alias("part_b"))
+            .agg(F.count(F.lit(1)).alias("support"),
+                 F.round(F.sum(term.cast(DEC)).cast("double"), 6)
+                  .alias("aa_score"))
+            .filter(F.col("support") >= min_support)
+            .orderBy(F.desc("aa_score"), F.asc("part_a"), F.asc("part_b")))
+
+
 PARETO_TOP_K = 25
 
 

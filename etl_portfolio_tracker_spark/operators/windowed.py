@@ -469,3 +469,89 @@ def _ewma_schema():
         T.StructField("close", T.DoubleType()),
         T.StructField("ewma", T.DoubleType()),
     ])
+
+
+HOLT_ALPHA = 0.5   # 2^-1: level gain — alpha and 1-alpha exact
+HOLT_BETA = 0.25   # 2^-2: trend gain — beta and 1-beta exact
+
+
+def holt_winters(prices: DataFrame, alpha: float = HOLT_ALPHA,
+                 beta: float = HOLT_BETA) -> DataFrame:
+    """Per-ticker Holt double-exponential smoothing (level + trend) —
+    the trend-aware member of the EWMA family (Holt 1957; the
+    standard ops forecast for drifting series):
+
+      l_1 = x_1, b_1 = 0
+      l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+      b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+      forecast (one-step-ahead) = l_t + b_t
+
+    Physical shape: identical to ewma_prices (the W6 fold kernel's) —
+    ONE exchange keyed by ticker, sortWithinPartitions, mapInPandas
+    streaming Arrow batches through the sequential recursion with
+    (level, trend) state carried across batch boundaries. At 100 TB:
+    one shuffle, keys spread across executors, per-key scan is
+    inherently sequential because the recursion is.
+
+    Bit-exactness vs the DuckDB recursive-CTE oracle: α = 0.5 and
+    β = 0.25 (and their complements) are exact binary fractions, and
+    both engines evaluate the SAME IEEE op tree per step —
+    l' = (α·x) + ((1−α)·(l+b)), b' = (β·(l'−l)) + ((1−β)·b) — so
+    every intermediate state is bit-identical; ROUND(.,6) is the
+    display convention (ewma_prices precedent). The smoothing gains
+    stay column-free constants, so the whole recursion is three
+    correctly-rounded ops per state component per row."""
+    import numpy as np
+    import pandas as pd
+
+    def _holt_batches(batches):
+        cur = None
+        lv = tr = 0.0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                e = np.empty(0, dtype="float64")
+                yield pdf.assign(level=e, trend=e, forecast=e)
+                continue
+            t = pdf["ticker"].to_numpy()
+            x = pdf["close"].to_numpy(dtype="float64")
+            lvs = np.empty(n, dtype="float64")
+            trs = np.empty(n, dtype="float64")
+            for i in range(n):
+                if i == 0 and t[0] == cur:
+                    l_new = alpha * x[0] + (1 - alpha) * (lv + tr)
+                    trs[0] = beta * (l_new - lv) + (1 - beta) * tr
+                    lvs[0] = l_new
+                elif i == 0 or t[i] != t[i - 1]:
+                    lvs[i], trs[i] = x[i], 0.0
+                else:
+                    l_new = (alpha * x[i]
+                             + (1 - alpha) * (lvs[i - 1] + trs[i - 1]))
+                    trs[i] = (beta * (l_new - lvs[i - 1])
+                              + (1 - beta) * trs[i - 1])
+                    lvs[i] = l_new
+            cur = t[-1]
+            lv, tr = float(lvs[-1]), float(trs[-1])
+            yield pd.DataFrame({"ticker": t,
+                                "ts": pdf["ts"].to_numpy(),
+                                "close": x, "level": lvs, "trend": trs,
+                                "forecast": lvs + trs})
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("ticker", T.StringType()),
+        T.StructField("ts", T.DateType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("forecast", T.DoubleType()),
+    ])
+    return (prices
+            .select("ticker", "ts", "close")
+            .repartition("ticker")
+            .sortWithinPartitions("ticker", "ts")
+            .mapInPandas(_holt_batches, schema=schema)
+            .select("ticker", "ts", "close",
+                    F.round("level", 6).alias("level"),
+                    F.round("trend", 6).alias("trend"),
+                    F.round("forecast", 6).alias("forecast")))

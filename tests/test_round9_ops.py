@@ -335,3 +335,85 @@ def test_source_js_disjoint_pairs_emitted(spark):
     assert dis["jsd_norm"] == 1.0
     assert rows[("s1", "s3")]["n_shared_words"] == 1
     assert rows[("s2", "s3")]["n_shared_words"] == 1
+
+
+# --- new round-9 operators -----------------------------------------------------
+
+def test_holt_winters_matches_reference_recursion(spark):
+    from etl_portfolio_tracker_spark.operators import windowed as WD
+
+    xs = [10.0, 12.0, 11.0, 15.0, 14.5, 18.0]
+    rows = [("T", dt.date(2024, 1, 1) + dt.timedelta(days=i), x)
+            for i, x in enumerate(xs)]
+    got = {r["ts"]: r for r in WD.holt_winters(
+        spark.createDataFrame(rows, "ticker string, ts date, close double")
+    ).collect()}
+    l, b = xs[0], 0.0
+    for i, x in enumerate(xs):
+        if i:
+            ln = 0.5 * x + 0.5 * (l + b)
+            b = 0.25 * (ln - l) + 0.75 * b
+            l = ln
+        r = got[dt.date(2024, 1, 1) + dt.timedelta(days=i)]
+        assert r["level"] == round(l, 6) or abs(r["level"] - l) < 5e-7
+        assert abs(r["trend"] - b) < 5e-7
+        assert abs(r["forecast"] - (l + b)) < 5e-7
+
+
+def test_adamic_adar_known_graph(spark, monkeypatch, tmp_path):
+    """Two orders: o1={1,2}, o2={1,2,3}. AA(1,2) = 1/ln2 + 1/ln3,
+    AA(1,3) = AA(2,3) = 1/ln3; support threshold 1 keeps all."""
+    import math
+
+    from etl_portfolio_tracker_spark.operators import warehouse as WH
+
+    li = [(1, 1), (1, 2), (2, 1), (2, 2), (2, 3)]
+    spark.createDataFrame(li, "l_orderkey long, l_partkey long") \
+         .write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {(r["part_a"], r["part_b"]): (r["support"], r["aa_score"])
+           for r in WH.adamic_adar(spark, str(tmp_path),
+                                   min_support=1).collect()}
+    assert got[(1, 2)][0] == 2
+    assert abs(got[(1, 2)][1]
+               - (1 / math.log(2) + 1 / math.log(3))) < 2e-6
+    assert abs(got[(1, 3)][1] - 1 / math.log(3)) < 2e-6
+    assert got[(1, 3)][0] == got[(2, 3)][0] == 1
+
+
+def test_dsir_weights_prefer_target_lang(spark):
+    """Docs written in the target slice's vocabulary must score higher
+    than docs from a disjoint vocabulary."""
+    from etl_portfolio_tracker_spark.operators import text as TX
+
+    en = "the cat sat on the mat with the hat"
+    zh = "wu li hua xue sheng wu di li shu xue"
+    docs = spark.createDataFrame(
+        [(i, en, "en", "s", 1) for i in range(4)]
+        + [(10 + i, zh, "zh", "s", 1) for i in range(4)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    w = {r["doc_id"]: r["dsir_logweight"]
+         for r in TX.dsir_weights(docs).collect()}
+    assert w[0] > w[10]
+    assert all(w[i] == w[0] for i in range(4))
+    assert all(w[10 + i] == w[10] for i in range(4))
+
+
+def test_kcenter_coreset_greedy_on_plane(spark):
+    """2D points where the farthest-point order is hand-checkable:
+    seed = min id (origin), then the far corner, then the remaining
+    extremes."""
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+
+    pts = {0: [0.0, 0.0], 1: [10.0, 10.0], 2: [10.0, 0.0],
+           3: [0.0, 10.0], 4: [5.0, 5.0], 5: [1.0, 1.0]}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts.items()],
+        "vec_id long, embedding array<float>")
+    rows = SIM.kcenter_coreset(emb, k=4).collect()
+    order = [r["vec_id"] for r in rows]
+    assert order[0] == 0 and rows[0]["min_sq_dist"] is None
+    assert order[1] == 1 and rows[1]["min_sq_dist"] == 200.0
+    # after {0,1}: pts 2 and 3 both at 100 from the set → lowest id
+    assert order[2] == 2 and rows[2]["min_sq_dist"] == 100.0
+    assert order[3] == 3 and rows[3]["min_sq_dist"] == 100.0
