@@ -1046,6 +1046,15 @@ def _q_holt_winters(spark, sf_dir):
     return WD.holt_winters(derive.tick_prices(spark, sf_dir))
 
 
+def _q_streaming_holt_replay(spark, sf_dir):
+    """Holt level+trend as keyed per-ticker streaming state — emits
+    the batch holt_winters frame bit-exactly, so the oracle is the
+    recursive-CTE SQL verbatim (streaming_twr_replay precedent)."""
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_holt_replay)
+    return streaming_holt_replay(spark, derive.tick_prices(spark, sf_dir))
+
+
 def _q_adamic_adar(spark, sf_dir):
     """Adamic-Adar part-pair link prediction over the order-part
     bipartite graph — market_basket's co-count with 1/ln(basket
@@ -2217,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_coreset": _q_kcenter_coreset,
         "adamic_adar": _q_adamic_adar,
         "holt_winters": _q_holt_winters,
+        "streaming_holt_replay": _q_streaming_holt_replay,
         # -- 1b. CHANGED round 9 (ADVICE lows + the weighted-prefix
         #        checkpoint; outputs changed only for
         #        source_js_divergence, which now emits disjoint
@@ -8284,6 +8294,7 @@ def _oracle_aliases(sql: dict[str, str]) -> dict[str, str]:
     # recomputing the signature stage — the frame it serves is
     # bit-identical to minhash_verified, so the oracle is the same SQL
     sql["curation_serve"] = sql["minhash_verified"]
+    sql["streaming_holt_replay"] = sql["holt_winters"]
     # Composition (not an alias): rrf_fusion ranks the two retrieval
     # oracles verbatim as nested CTEs — one definition per ranker,
     # zero drift between the standalone and fused gates.

@@ -775,6 +775,38 @@ def streaming_ewma_replay(spark: SparkSession, sf_dir: str,
             .select("ticker", "n_events", F.round("ewma", 6).alias("ewma")))
 
 
+def streaming_holt_replay(spark: SparkSession, prices: DataFrame,
+                          timeout_s: int = 300) -> DataFrame:
+    """Per-ticker Holt level+trend smoothing maintained as keyed
+    streaming state (applyInPandasWithState over daily closes),
+    replayed via one availableNow micro-batch — the incremental twin
+    of windowed.holt_winters, emitting the IDENTICAL
+    (ticker, ts, close, level, trend, forecast) frame so the oracle
+    is the batch recursive-CTE SQL verbatim (the
+    streaming_twr_replay precedent). `prices` is the batch-built
+    (ticker, ts, close) frame, staged to a scratch parquet dir
+    (cleaned in finally) because a memory-sink replay needs a
+    file-source stream."""
+    from .stateful import streaming_holt_state
+    name = "stream_holt_replay_" + uuid.uuid4().hex[:8]
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    stage = os.path.join(repo, "spark-warehouse", "_holt_panel_" + name)
+    prices = prices.select("ticker", "ts", "close")
+    try:
+        prices.write.mode("overwrite").parquet(stage)
+        src = spark.readStream.schema(prices.schema).parquet(stage)
+        out = streaming_holt_state(src)
+        _run_to_completion(
+            out.writeStream.format("memory").queryName(name)
+               .outputMode("update").trigger(availableNow=True),
+            name, timeout_s)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(name).select("ticker", "ts", "close", "level",
+                                    "trend", "forecast")
+
+
 def streaming_twr_replay(spark: SparkSession, panel: DataFrame,
                          timeout_s: int = 300) -> DataFrame:
     """Per-user portfolio TWR index maintained as keyed streaming

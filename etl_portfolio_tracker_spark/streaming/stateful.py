@@ -221,6 +221,78 @@ def streaming_ewma_state(events_stream: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+# --- streaming Holt level+trend smoothing (windowed.holt_winters as
+#     keyed per-ticker streaming state — r9; the trend-aware member
+#     of the incremental smoothing family next to _ewma_with_state) --
+
+HOLT_STATE_SCHEMA = T.StructType([
+    T.StructField("level", T.DoubleType()),
+    T.StructField("trend", T.DoubleType()),
+    T.StructField("seeded", T.BooleanType()),
+])
+
+HOLT_OUT_SCHEMA = T.StructType([
+    T.StructField("ticker", T.StringType()),
+    T.StructField("ts", T.DateType()),
+    T.StructField("close", T.DoubleType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("trend", T.DoubleType()),
+    T.StructField("forecast", T.DoubleType()),
+])
+
+
+def _holt_with_state(key, pdfs: Iterable[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-ticker Holt recursion (alpha=1/2, beta=1/4 — exact binary
+    fractions) over daily close marks: l' = α·x + (1−α)·(l+b),
+    b' = β·(l'−l) + (1−β)·b, forecast = l'+b'. State = (level,
+    trend); a new day-batch costs O(days in the batch) with NO
+    recompute of history. Bit-exact vs windowed.holt_winters: the
+    same IEEE op tree per step, rounding only on emit
+    (_spark_round, the repo's Spark-round mirror). Day-atomic,
+    day-ascending batches assumed (the _twr_with_state contract)."""
+    alpha, beta = 0.5, 0.25
+    if state.exists:
+        lv, tr, seeded = state.get
+    else:
+        lv, tr, seeded = 0.0, 0.0, False
+    rows: dict[str, list] = {"ticker": [], "ts": [], "close": [],
+                             "level": [], "trend": [], "forecast": []}
+    parts = [p for p in pdfs if len(p)]
+    if parts:
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values("ts", kind="mergesort"))
+        for ts, x in zip(pdf["ts"].values, pdf["close"].values):
+            x = float(x)
+            if not seeded:
+                lv, tr, seeded = x, 0.0, True
+            else:
+                l_new = alpha * x + (1 - alpha) * (lv + tr)
+                tr = beta * (l_new - lv) + (1 - beta) * tr
+                lv = l_new
+            rows["ticker"].append(key[0])
+            rows["ts"].append(ts)
+            rows["close"].append(x)
+            rows["level"].append(_spark_round(lv, "0.000001"))
+            rows["trend"].append(_spark_round(tr, "0.000001"))
+            rows["forecast"].append(_spark_round(lv + tr, "0.000001"))
+    state.update((lv, tr, seeded))
+    yield pd.DataFrame(rows)
+
+
+def streaming_holt_state(panel_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained per-ticker Holt level/trend over a
+    stream of (ticker, ts, close) daily marks."""
+    return (panel_stream
+            .groupBy("ticker")
+            .applyInPandasWithState(
+                _holt_with_state,
+                outputStructType=HOLT_OUT_SCHEMA,
+                stateStructType=HOLT_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 # --- streaming portfolio TWR (windowed.portfolio_twr as keyed
 #     per-user streaming state — the incremental form of the
 #     reference's periodic-ingest contract, README.md:33-34) ----------

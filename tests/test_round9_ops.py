@@ -417,3 +417,49 @@ def test_kcenter_coreset_greedy_on_plane(spark):
     # after {0,1}: pts 2 and 3 both at 100 from the set → lowest id
     assert order[2] == 2 and rows[2]["min_sq_dist"] == 100.0
     assert order[3] == 3 and rows[3]["min_sq_dist"] == 100.0
+
+
+def test_streaming_holt_three_batch_soak(spark, tmp_path):
+    """Holt keyed state across three resumes must reproduce the batch
+    recursion exactly (day-atomic batches, shuffled within batch)."""
+    from pyspark.sql import functions as F
+
+    from etl_portfolio_tracker_spark.operators import windowed as WD
+    from etl_portfolio_tracker_spark.streaming.stateful import (
+        streaming_holt_state)
+
+    schema = "ticker string, ts date, close double"
+    rows = [(t, dt.date(2024, 5, 1) + dt.timedelta(days=i),
+             10.0 * (k + 1) + 1.5 * i + (i % 3))
+            for k, t in enumerate(("AAA", "BBB"))
+            for i, _ in enumerate(range(9))]
+    single = sorted(map(tuple, WD.holt_winters(
+        spark.createDataFrame(rows, schema)).collect()))
+
+    stage, cp = str(tmp_path / "px"), str(tmp_path / "cp")
+    got: list = []
+
+    def sink(df, _bid):
+        got.extend(map(tuple, df.collect()))
+
+    def run_once():
+        src = spark.readStream.schema(
+            spark.createDataFrame(rows, schema).schema).parquet(stage)
+        q = (streaming_holt_state(src).writeStream
+             .foreachBatch(sink)
+             .option("checkpointLocation", cp)
+             .outputMode("update").trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+
+    cuts = [dt.date(2024, 5, 4), dt.date(2024, 5, 7)]
+    batches = [
+        [r for r in rows if r[1] < cuts[0]],
+        [r for r in rows if cuts[0] <= r[1] < cuts[1]],
+        [r for r in rows if r[1] >= cuts[1]],
+    ]
+    for j, b in enumerate(batches):
+        random.Random(j).shuffle(b)
+        spark.createDataFrame(b, schema).coalesce(1) \
+             .write.mode("append").parquet(stage)
+        run_once()
+    assert sorted(got) == single
