@@ -2179,43 +2179,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     external row come first.  The full set is verified locally every
     round via ``tools/check.py`` (committed log).
 
-    Round-8 ordering (executes the round-7 VERDICT/ADVICE list):
+    Round-9 ordering (executes the round-8 VERDICT/ADVICE list):
       1. the 50-query window:
-         (a) NEW this round — streaming_twr_replay (the incremental
-         streaming twin of the flagship portfolio_twr: per-user
-         O(last-day-marks) state advanced per day-batch, gated
-         bit-exact against the batch oracle, VERDICT item 7);
-         (b) GRADUATED from rows-only to hash-checked oracle rows
-         (VERDICT item 1): audio_meta (the fake-PCM byte path is
-         exact integer + single-IEEE-step math, oracled via per-char
-         ord() on the ASCII-pure corpus) and approx_stats (exact
-         values + within-guarantee booleans, oracle pins TRUE — a
-         sketch outside its published bound turns the row red);
-         (c) queries whose code paths CHANGED this round:
-         prefix_filter_pairs (collision-free pair-explode verify +
-         PPJoin positional filter — 54× candidate reduction measured)
-         and weighted_jaccard_pairs (weighted positional filter),
-         VERDICT items 4 + 6; minhash_verified /
-         tfidf_cosine_verified (packed-array kernels KEPT — the
-         explode form measured slower at their survivor counts — but
-         their probabilistic collision stances upgraded to
-         deterministic 1-row in-job injectivity guards over the
-         vocabulary / idf dictionary, VERDICT item 4 + ADVICE
-         item 1); their minhash_verified consumers
-         (near_dup_edit_stats, rouge_overlap_pairs,
-         dedup_threshold_sweep, dup_inflation,
-         minhash_estimate_error); kn_lm_score (trigram-type table +
-         cont23 checkpointed — the 19-exchange zero-reuse plan was
-         the unattributed run spread, VERDICT item 3);
-         hard_negative_mining_lsh (sentinel-row codebook guard:
-         fully-sparse vec_ids now raise in-job, ADVICE item 2);
-         semantic_dedup / semantic_clusters (catalog-stats sizing +
-         the same in-job guard — plan-build count() jobs removed);
-         (d) padding re-checks to fill the window: the r7-green
-         window entries (externally green in CORRECTNESS_r07.json,
+         (a) NEW this round — curation_serve (the persisted band-key
+         index serving form, VERDICT item 6; oracle = the
+         minhash_verified SQL verbatim), dsir_weights (DSIR
+         importance resampling log-weights, hashed-unigram ln-ratio
+         target-vs-raw), kcenter_coreset (greedy farthest-point
+         selection, unrolled-CTE oracle), adamic_adar
+         (degree-weighted co-occurrence link prediction),
+         holt_winters (level+trend smoothing, recursive-CTE oracle)
+         and streaming_holt_replay (its keyed-state streaming twin,
+         oracle = the batch SQL verbatim);
+         (b) CHANGED this round per the ADVICE lows + the
+         weighted-prefix checkpoint: source_js_divergence (now emits
+         DISJOINT source pairs explicitly — the only output-contract
+         change), minhash_verified (injectivity guard evaluated
+         before the size-ratio prune), weighted_jaccard_pairs (the
+         ranked-prefix frame is checkpointed — the 2.7x
+         quiet-certified spread attributed to a duplicated
+         double-window subplan, VERDICT item 1), approx_stats
+         (5-rsd guarantee band, ADVICE item 4), streaming_twr_replay
+         (scratch-panel cleanup, ADVICE item 1);
+         (c) CHANGED r9, second wave — multi-consumer frames
+         materialized (branches do not share subplans; measured
+         0 ReusedExchange at each site): semantic_dedup /
+         semantic_clusters (cell-assignment frame, VERDICT item 4),
+         market_basket (basket distinct), minhash_lsh /
+         embedding_near_dup (capped band-bucket frames),
+         prefix_filter_pairs (ranked-prefix frame);
+         (d) padding re-checks to fill the window: the r8-green
+         window entries (externally green in CORRECTNESS_r08.json,
          re-verified locally every round).
       2. everything else, in prior priority order — externally green
-         in r1-r7 and re-verified locally every round via
+         in r1-r8 and re-verified locally every round via
          tools/check.py (committed log).
     """
     return {
@@ -2250,9 +2247,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_error": _q_minhash_estimate_error,
         "kn_lm_score": _q_kn_lm_score,
         "hard_negative_mining_lsh": _q_hard_negative_mining_lsh,
-        # catalog-stats sizing + in-job codebook guard (r8):
+        # CHANGED r9: checkpointed multi-consumer frames (cell
+        # assignment; capped band-bucket frames; basket distinct):
         "semantic_dedup": _q_semantic_dedup,
         "semantic_clusters": _q_semantic_clusters,
+        "market_basket": _q_market_basket,
+        "minhash_lsh": _q_minhash_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
         # -- 1d. padding re-checks (r7-green window entries) ------------------------------------------------
         "twr_with_benchmark": _q_twr_with_benchmark,
         "classifier_agreement": _q_classifier_agreement,
@@ -2364,7 +2365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cum_drift": _q_cum_drift,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "profile_table": _q_profile_table,
-        "market_basket": _q_market_basket,
         "revenue_pareto": _q_revenue_pareto,
         "snapshot_diff": _q_snapshot_diff,
         "high_volume_part_suppliers": _q_high_volume_part_suppliers,
@@ -2454,7 +2454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "realized_pnl": _q_realized_pnl,
         "overview_full": _q_overview_full,
         "lsh_buckets": _q_lsh_buckets,
-        "embedding_near_dup": _q_embedding_near_dup,
         "frame_sample": _q_frame_sample,
         "embedding_near_dup_verified": _q_embedding_near_dup_verified,
         "pii_scrub": _q_pii_scrub,
@@ -2495,7 +2494,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "exact_dedup": _q_exact_dedup,
-        "minhash_lsh": _q_minhash_lsh,
         "cosine_topk": _q_cosine_topk,
         "multimodal_meta": _q_multimodal_meta,
         "dedup_clusters": _q_dedup_clusters,

@@ -183,8 +183,15 @@ def prefix_filter_pairs(docs: DataFrame,
     prefix_len = (F.col("_n")
                   - F.expr(f"({tau_num} * _n + {tau_den - 1})"
                            f" div {tau_den}") + 1)
-    pref = (ranked.filter(F.col("_rn") <= prefix_len)
-            .select("doc_id", "shingle", "_df", "_rn"))
+    # r9: checkpoint the ranked-prefix frame — both self-join sides
+    # consume it, and branches do not share subplans (the
+    # weighted_jaccard_pairs fix, same plan shape: without this the
+    # df-join + two windows run twice, deterministically or not per
+    # the AQE reuse lottery)
+    pref = iter_checkpoint(
+        ranked.filter(F.col("_rn") <= prefix_len)
+              .select("doc_id", "shingle", "_df", "_rn"),
+        eager=False)
     a = pref.alias("a")
     b = pref.alias("b")
     # the pair dedup doubles as the positional-filter aggregation: the
@@ -480,9 +487,16 @@ def minhash_lsh_candidates(docs: DataFrame,
           else band_keys).repartition(n, "band", "band_key")
     # cap window runs on the co-partitioned frame — no extra exchange
     w = Window.partitionBy("band", "band_key")
-    bk = (bk.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= bucket_cap)
-            .drop("_bsz"))
+    # r9: materialize the capped frame — it feeds both self-join
+    # sides, and the claimed exchange reuse is an AQE lottery
+    # (measured 0 ReusedExchange / 4 Window nodes: the cap window ran
+    # twice). |docs|×B narrow rows — cheap at any scale, and the
+    # checkpoint preserves the (band, band_key) partitioning.
+    bk = iter_checkpoint(
+        bk.withColumn("_bsz", F.count("*").over(w))
+          .filter(F.col("_bsz") <= bucket_cap)
+          .drop("_bsz"),
+        eager=False)
     a = bk.alias("a")
     b = bk.alias("b")
     return (a.join(b, ["band", "band_key"])

@@ -425,13 +425,18 @@ def embedding_near_dup_pairs(
     bk = (_spread(emb)
           .select("vec_id", F.explode(entries).alias("_bb"))
           .select("vec_id", "_bb.band", "_bb.bucket"))
-    # Cap via a count window on (band, bucket): ONE exchange that the
-    # self-join then reuses (same partitioning key) — cheaper than a
-    # groupBy-sizes + join back, which scans bk twice.
+    # Cap via a count window on (band, bucket), then MATERIALIZE (r9):
+    # the "self-join reuses the exchange" claim was an AQE lottery —
+    # measured 4 Window nodes / at best 1 ReusedExchange, i.e. the cap
+    # window ran twice. The checkpointed frame is |vecs|×bands narrow
+    # rows and preserves the (band, bucket) partitioning.
+    from ..functions.checkpoints import iter_checkpoint
     w = Window.partitionBy("band", "bucket")
-    bk = (bk.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= bucket_cap)
-            .drop("_bsz"))
+    bk = iter_checkpoint(
+        bk.withColumn("_bsz", F.count("*").over(w))
+          .filter(F.col("_bsz") <= bucket_cap)
+          .drop("_bsz"),
+        eager=False)
     a, b = bk.alias("a"), bk.alias("b")
     return (a.join(b, ["band", "bucket"])
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))

@@ -499,8 +499,14 @@ def market_basket(spark: SparkSession, sf_dir: str,
     same bucket-cap reasoning as the LSH pair stages applies to
     pathological mega-baskets. One shuffle on the order key, one pair
     aggregate with map-side combine."""
-    li = (read_table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
+    from ..functions.checkpoints import iter_checkpoint
+    # r9: materialize the distinct basket frame once — it feeds both
+    # self-join sides and branches do not share subplans (measured:
+    # 0 ReusedExchange, the scan+distinct shuffle ran twice)
+    li = iter_checkpoint(
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct(),
+        eager=False)
     a, b = li.alias("a"), li.alias("b")
     return (a.join(b, "l_orderkey")
             .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))

@@ -298,10 +298,16 @@ def test_ngram_dup_spans_gram_keys_are_hashes(spark):
 
 
 def test_semantic_dedup_centroid_filter_pushed(spark):
-    # the first-c centroid read must push vec_id < c to the scan
-    from etl_portfolio_tracker_spark.io import read_table
+    # the first-c centroid read must push vec_id < c to the scan.
+    # r9: semantic_dedup checkpoints the assignment frame (its final
+    # plan is an ExistingRDD scan), so the audit runs on the
+    # assignment SUBPLAN — the plan the checkpoint job executes.
+    from etl_portfolio_tracker_spark.io import read_table, table_num_rows
     from etl_portfolio_tracker_spark.operators import similarity as SIM
-    q = SIM.semantic_dedup(read_table(spark, SF, "embeddings"))
+    emb = read_table(spark, SF, "embeddings")
+    c = SIM.semantic_cells(table_num_rows(SF, "embeddings"))
+    q = SIM._semantic_cells_frame(
+        emb, SIM._guarded_codebook(emb, c, "plan_audit"))
     assert any("vec_id" in f for f in pushed_filters(q))
 
 
