@@ -117,7 +117,10 @@ def main() -> None:
     t0 = time.time()
     try:
         for frame in E._curation(spark, sf_dir).values():
-            frame.count()
+            # the state dict also carries the persisted band-key
+            # index PATH (r9, curation_serve) — only count frames
+            if hasattr(frame, "count") and not isinstance(frame, str):
+                frame.count()
         timings["_curation_build"] = time.time() - t0
     except Exception as ex:  # pragma: no cover
         print(f"bench error _curation_build: {ex!r}"[:300], file=sys.stderr)

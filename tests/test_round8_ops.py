@@ -292,9 +292,13 @@ def test_source_js_divergence_bounds(spark):
     out = {(r["source_a"], r["source_b"]): r
            for r in TX.source_js_divergence(docs).collect()}
     assert out[("s1", "s2")]["jsd"] == 0.0
-    assert ("s1", "s3") not in out        # zero shared words -> no
-    # shared-join row; disjointness is the absent-row + the s1/s4
-    # partial overlap sitting strictly inside (0, ln 2):
+    # r9 contract change (ADVICE r8 low 2): zero-shared-word pairs
+    # are now EMITTED explicitly at the disjoint maximum instead of
+    # silently absent
+    dis = out[("s1", "s3")]
+    assert dis["n_shared_words"] == 0
+    assert dis["jsd"] == 0.693147 and dis["jsd_norm"] == 1.0
+    # the s1/s4 partial overlap sits strictly inside (0, ln 2):
     mid = out[("s1", "s4")]
     assert 0.0 < mid["jsd"] < 0.6931472
     assert 0.0 < mid["jsd_norm"] < 1.0
