@@ -1055,6 +1055,15 @@ def _q_streaming_holt_replay(spark, sf_dir):
     return streaming_holt_replay(spark, derive.tick_prices(spark, sf_dir))
 
 
+def _q_streaming_dsir_replay(spark, sf_dir):
+    """DSIR delta scoring as a stream-static join: nightly bucket
+    model from the corpus slice, streamed delta docs scored per
+    micro-batch with the closed-form unseen-bucket default."""
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_dsir_replay)
+    return streaming_dsir_replay(spark, sf_dir)
+
+
 def _q_adamic_adar(spark, sf_dir):
     """Adamic-Adar part-pair link prediction over the order-part
     bipartite graph — market_basket's co-count with 1/ln(basket
@@ -2224,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": _q_adamic_adar,
         "holt_winters": _q_holt_winters,
         "streaming_holt_replay": _q_streaming_holt_replay,
+        "streaming_dsir_replay": _q_streaming_dsir_replay,
         # -- 1b. CHANGED round 9 (ADVICE lows + the weighted-prefix
         #        checkpoint; outputs changed only for
         #        source_js_divergence, which now emits disjoint
@@ -6182,6 +6192,51 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                    ROUND(CAST(SUM(m.lnr) AS DOUBLE), 6) AS dsir_logweight
             FROM toks t JOIN model m ON m.b = t.b
+            GROUP BY 1 ORDER BY 1
+        """,
+        # mirrors streaming.streaming_dsir_replay: the corpus slice
+        # builds the model, the delta slice is scored against it,
+        # unseen buckets take the closed-form smoothed default.
+        "streaming_dsir_replay": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(sha256(w), 1, 8)) AS BIGINT)
+                           % {TX.DSIR_BUCKETS} AS b
+                FROM (SELECT doc_id, lang,
+                             unnest(string_split({_NORM_SQL}, ' ')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            ctoks AS (SELECT * FROM toks WHERE doc_id % 10 <> 9),
+            dtoks AS (SELECT * FROM toks WHERE doc_id % 10 = 9),
+            cr AS (SELECT b, COUNT(*) AS cr FROM ctoks GROUP BY 1),
+            ct AS (SELECT b, COUNT(*) AS ct FROM ctoks
+                   WHERE lang = '{TX.DSIR_TARGET_LANG}' GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS nr,
+                           SUM(CASE WHEN lang = '{TX.DSIR_TARGET_LANG}'
+                               THEN 1 ELSE 0 END) AS nt
+                    FROM ctoks),
+            model AS (
+                SELECT cr.b,
+                       CAST(ln(
+                           CAST((COALESCE(ct.ct, 0) + 1)
+                                * (tot.nr + {TX.DSIR_BUCKETS}) AS DOUBLE)
+                           / CAST((cr.cr + 1)
+                                  * (tot.nt + {TX.DSIR_BUCKETS}) AS DOUBLE))
+                        AS DECIMAL(38,10)) AS lnr
+                FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot
+            ),
+            dflt AS (
+                SELECT CAST(ln(
+                           CAST(nr + {TX.DSIR_BUCKETS} AS DOUBLE)
+                           / CAST(nt + {TX.DSIR_BUCKETS} AS DOUBLE))
+                        AS DECIMAL(38,10)) AS d
+                FROM tot
+            )
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(CAST(SUM(COALESCE(m.lnr, dflt.d)) AS DOUBLE), 6)
+                       AS dsir_logweight
+            FROM dtoks t LEFT JOIN model m ON m.b = t.b CROSS JOIN dflt
             GROUP BY 1 ORDER BY 1
         """,
         # mirrors warehouse.adamic_adar: INTEGER ln arg (basket

@@ -1587,6 +1587,49 @@ DSIR_BUCKETS = 4096    # hashed-feature dimensionality (Xie et al.)
 DSIR_TARGET_LANG = "en"
 
 
+def dsir_tokens(docs: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(doc_id, lang, b): hashed-unigram bucket stream, checkpointed
+    — it feeds the model counts AND the scoring pass (the r9
+    multi-consumer rule). sha256 buckets are bit-identical
+    cross-engine (the minhash convention)."""
+    from ..functions.checkpoints import iter_checkpoint
+    return iter_checkpoint(
+        docs.select("doc_id", "lang",
+                    F.explode(tokens_col()).alias("w"))
+            .filter(F.col("w") != "")
+            .select("doc_id", "lang",
+                    (F.conv(F.substring(F.sha2(F.col("w"), 256), 1, 8),
+                            16, 10).cast("bigint")
+                     % n_buckets).alias("b")),
+        eager=False)
+
+
+def dsir_model(toks: DataFrame, n_buckets: int = DSIR_BUCKETS,
+               target_lang: str = DSIR_TARGET_LANG):
+    """The DSIR bucket model from a token stream: (b, _lnr) with
+    add-one-smoothed ln(p_tgt/p_raw) per occurring bucket, plus the
+    1-row totals frame whose closed-form DEFAULT
+    ln((N_raw+B)/(N_tgt+B)) scores buckets the model never saw
+    (c_t = c_r = 0) — needed when scoring DELTA documents against a
+    corpus-built model. Returns (model, totals)."""
+    cr = toks.groupBy("b").agg(F.count(F.lit(1)).alias("_cr"))
+    ct = (toks.filter(F.col("lang") == target_lang)
+          .groupBy("b").agg(F.count(F.lit(1)).alias("_ct")))
+    tot = (toks.agg(
+        F.count(F.lit(1)).alias("_nr"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
+         .alias("_nt")))
+    model = (cr.join(ct, "b", "left")
+             .crossJoin(F.broadcast(tot))
+             .select("b", F.log(
+                 ((F.coalesce(F.col("_ct"), F.lit(0)) + 1)
+                  * (F.col("_nr") + n_buckets)).cast("double")
+                 / ((F.col("_cr") + 1)
+                    * (F.col("_nt") + n_buckets)).cast("double"))
+                 .cast(DEC).alias("_lnr")))
+    return model, tot
+
+
 def dsir_weights(docs: DataFrame, n_buckets: int = DSIR_BUCKETS,
                  target_lang: str = DSIR_TARGET_LANG) -> DataFrame:
     """DSIR importance weights (Data Selection via Importance
@@ -1619,31 +1662,8 @@ def dsir_weights(docs: DataFrame, n_buckets: int = DSIR_BUCKETS,
     source_js_divergence convention). sha256 bucket ids are
     bit-identical cross-engine (the minhash convention).
     """
-    from ..functions.checkpoints import iter_checkpoint
-    toks = iter_checkpoint(
-        docs.select("doc_id", "lang",
-                    F.explode(tokens_col()).alias("w"))
-            .filter(F.col("w") != "")
-            .select("doc_id", "lang",
-                    (F.conv(F.substring(F.sha2(F.col("w"), 256), 1, 8),
-                            16, 10).cast("bigint")
-                     % n_buckets).alias("b")),
-        eager=False)
-    cr = toks.groupBy("b").agg(F.count(F.lit(1)).alias("_cr"))
-    ct = (toks.filter(F.col("lang") == target_lang)
-          .groupBy("b").agg(F.count(F.lit(1)).alias("_ct")))
-    tot = (toks.agg(
-        F.count(F.lit(1)).alias("_nr"),
-        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
-         .alias("_nt")))
-    model = (cr.join(ct, "b", "left")
-             .crossJoin(F.broadcast(tot))
-             .select("b", F.log(
-                 ((F.coalesce(F.col("_ct"), F.lit(0)) + 1)
-                  * (F.col("_nr") + n_buckets)).cast("double")
-                 / ((F.col("_cr") + 1)
-                    * (F.col("_nt") + n_buckets)).cast("double"))
-                 .cast(DEC).alias("_lnr")))
+    toks = dsir_tokens(docs, n_buckets)
+    model, _ = dsir_model(toks, n_buckets, target_lang)
     return (toks.join(F.broadcast(model), "b")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),

@@ -368,6 +368,73 @@ def streaming_delta_dedup_replay(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def streaming_dsir_replay(spark: SparkSession, sf_dir: str,
+                          mod: int = 10, rem: int = 9,
+                          timeout_s: int = 300) -> DataFrame:
+    """Stream-static DSIR scoring — the incremental form of
+    text.dsir_weights and the operational data-selection shape: the
+    bucket model (add-one-smoothed ln(p_target/p_raw) per hashed
+    unigram bucket) is built NIGHTLY from the already-ingested CORPUS
+    (the doc_id % mod != rem slice — a persisted B-row table in
+    production), and newly crawled documents arrive as a STREAM (the
+    % mod == rem slice, availableNow) whose tokens join the broadcast
+    model per micro-batch. Buckets the corpus never saw fall back to
+    the closed-form default ln((N_raw+B)/(N_tgt+B)) (c_t = c_r = 0 in
+    the smoothed ratio) — delta vocabulary is exactly where that
+    branch matters.
+
+    No stream-stream state: the only streaming aggregation is the
+    per-doc term sum (docs never span micro-batches — a doc is one
+    row that explodes within its batch). At 100 TB the model is O(B)
+    broadcast and the stream side is a shuffle-free map + one keyed
+    sum per batch.
+
+    Exactness: the same integer-ratio ln args, DECIMAL(38,10)
+    roundtrips, and exact decimal sums as the batch op; the oracle is
+    the corpus/delta split spelled out in SQL. Returns
+    (doc_id, n_tokens, dsir_logweight) for the delta docs.
+    """
+    from pyspark.sql import functions as F
+
+    from ..derive import DEC
+    from ..io import read_table
+    from ..operators.text import (DSIR_BUCKETS, DSIR_TARGET_LANG,
+                                  dsir_model, dsir_tokens, tokens_col)
+
+    name = "stream_dsir_" + uuid.uuid4().hex[:8]
+    corpus_toks = dsir_tokens(
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % mod != rem))
+    model, tot = dsir_model(corpus_toks)
+    dflt = tot.select(
+        F.log((F.col("_nr") + DSIR_BUCKETS).cast("double")
+              / (F.col("_nt") + DSIR_BUCKETS).cast("double"))
+         .cast(DEC).alias("_dflt"))
+    delta = (spark.readStream.schema(schemas.DOCUMENTS)
+             .option("pathGlobFilter", "documents.parquet")
+             .parquet(sf_dir)
+             .filter(F.col("doc_id") % mod == rem))
+    toks = (delta.select("doc_id", F.explode(tokens_col()).alias("w"))
+            .filter(F.col("w") != "")
+            .select("doc_id",
+                    (F.conv(F.substring(F.sha2(F.col("w"), 256), 1, 8),
+                            16, 10).cast("bigint")
+                     % DSIR_BUCKETS).alias("b")))
+    out = (toks.join(F.broadcast(model), "b", "left")
+           .crossJoin(F.broadcast(dflt))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.round(F.sum(F.coalesce(F.col("_lnr"),
+                                         F.col("_dflt")))
+                        .cast("double"), 6).alias("dsir_logweight")))
+    _run_to_completion(
+        out.writeStream.format("memory").queryName(name)
+           .outputMode("update").trigger(availableNow=True), name, timeout_s)
+    return (spark.table(name)
+            .select("doc_id", "n_tokens", "dsir_logweight")
+            .orderBy("doc_id"))
+
+
 def streaming_semantic_dedup_replay(spark: SparkSession, sf_dir: str,
                                     mod: int = 10, rem: int = 9,
                                     timeout_s: int = 300) -> DataFrame:

@@ -463,3 +463,38 @@ def test_streaming_holt_three_batch_soak(spark, tmp_path):
              .write.mode("append").parquet(stage)
         run_once()
     assert sorted(got) == single
+
+
+def test_streaming_dsir_unseen_bucket_default(spark, tmp_path):
+    """A delta doc whose vocabulary the corpus never saw must score
+    n_tokens · ln((N_raw+B)/(N_tgt+B)) — the closed-form smoothed
+    default (c_t = c_r = 0), not drop its tokens."""
+    import math
+
+    from etl_portfolio_tracker_spark.operators.text import DSIR_BUCKETS
+    from etl_portfolio_tracker_spark.streaming.replay import (
+        streaming_dsir_replay)
+
+    corpus_text = "the cat sat on the mat"          # 6 tokens
+    rows = ([(i, corpus_text, "en", "s", 1) for i in range(4)]
+            + [(4, corpus_text, "de", "s", 1)]      # 24 en + 6 de
+            + [(9, "zzzq xxxj qqqv", "de", "s", 1)])  # delta, unseen
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    # one FILE named documents.parquet (the testdata layout the
+    # replay's pathGlobFilter expects), not a Spark output directory
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": [r[2] for r in rows],
+        "source": [r[3] for r in rows],
+        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           streaming_dsir_replay(spark, str(tmp_path)).collect()}
+    assert set(out) == {9}
+    r = out[9]
+    assert r["n_tokens"] == 3
+    nr, nt = 30, 24
+    want = 3 * math.log((nr + DSIR_BUCKETS) / (nt + DSIR_BUCKETS))
+    assert abs(r["dsir_logweight"] - want) < 3e-6
