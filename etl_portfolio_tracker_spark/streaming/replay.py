@@ -410,10 +410,21 @@ def streaming_dsir_replay(spark: SparkSession, sf_dir: str,
         F.log((F.col("_nr") + DSIR_BUCKETS).cast("double")
               / (F.col("_nt") + DSIR_BUCKETS).cast("double"))
          .cast(DEC).alias("_dflt"))
-    delta = (spark.readStream.schema(schemas.DOCUMENTS)
-             .option("pathGlobFilter", "documents.parquet")
-             .parquet(sf_dir)
-             .filter(F.col("doc_id") % mod == rem))
+    # layout-aware source (r9b probe finding): pathGlobFilter matches
+    # LEAF file names only, so a documents.parquet DIRECTORY
+    # (Spark-written probe/test layouts) silently yields an EMPTY
+    # stream under the flat-file glob — while the file source's
+    # basePath must be a directory, so the direct path fails on the
+    # flat-file testdata layout. Pick per layout (local-path check;
+    # a cluster deployment points at its real directory).
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(p):
+        src = spark.readStream.schema(schemas.DOCUMENTS).parquet(p)
+    else:
+        src = (spark.readStream.schema(schemas.DOCUMENTS)
+               .option("pathGlobFilter", "documents.parquet")
+               .parquet(sf_dir))
+    delta = src.filter(F.col("doc_id") % mod == rem)
     toks = (delta.select("doc_id", F.explode(tokens_col()).alias("w"))
             .filter(F.col("w") != "")
             .select("doc_id",

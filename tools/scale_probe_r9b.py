@@ -101,7 +101,8 @@ def main() -> None:
     from etl_portfolio_tracker_spark.operators import similarity as SIM
     qs = E.queries()
 
-    for q in ("dsir_weights", "holt_winters", "streaming_holt_replay"):
+    for q in ("dsir_weights", "streaming_dsir_replay", "holt_winters",
+              "streaming_holt_replay"):
         t1 = bench(f"{q} 1x", lambda q=q: qs[q](spark, sf))
         t2 = bench(f"{q} 10x", lambda q=q: qs[q](spark, TMP), runs=1)
         print(f"{q}: growth {t2 / t1:.1f}x wall for 10x", flush=True)
