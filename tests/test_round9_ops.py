@@ -498,3 +498,32 @@ def test_streaming_dsir_unseen_bucket_default(spark, tmp_path):
     nr, nt = 30, 24
     want = 3 * math.log((nr + DSIR_BUCKETS) / (nt + DSIR_BUCKETS))
     assert abs(r["dsir_logweight"] - want) < 3e-6
+
+
+def test_kcenter_distances_non_increasing(spark):
+    """Greedy farthest-point: the selected max-min distance is
+    non-increasing as the chosen set grows (textbook invariant)."""
+    from etl_portfolio_tracker_spark.io import read_table
+    from etl_portfolio_tracker_spark.operators import similarity as SIM
+
+    emb = read_table(spark, os.path.join(TESTDATA, "sf0.001"),
+                     "embeddings")
+    rows = SIM.kcenter_coreset(emb, k=6).collect()
+    dists = [r["min_sq_dist"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert len({r["vec_id"] for r in rows}) == 6
+
+
+def test_adamic_adar_support_matches_market_basket(spark):
+    """adamic_adar's support column is market_basket's co-count —
+    the two operators must agree on every common pair."""
+    import __spark_entry__ as E
+
+    sf = os.path.join(TESTDATA, "sf0.001")
+    aa = {(r["part_a"], r["part_b"]): r["support"]
+          for r in E.queries()["adamic_adar"](spark, sf).collect()}
+    mb = {(r["part_a"], r["part_b"]): r["support"]
+          for r in E.queries()["market_basket"](spark, sf).collect()}
+    assert set(aa) == set(mb) and len(aa) > 0
+    for k in aa:
+        assert aa[k] == mb[k]
