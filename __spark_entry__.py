@@ -1055,6 +1055,14 @@ def _q_streaming_holt_replay(spark, sf_dir):
     return streaming_holt_replay(spark, derive.tick_prices(spark, sf_dir))
 
 
+def _q_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization of the quality score —
+    two-pass distributed ranks (no single-task window), global-
+    distribution linear interpolation; quality_quantile_cut's
+    value-mapping complement."""
+    return TX.quantile_normalize(_docs(spark, sf_dir))
+
+
 def _q_streaming_dsir_replay(spark, sf_dir):
     """DSIR delta scoring as a stream-static join: nightly bucket
     model from the corpus slice, streamed delta docs scored per
@@ -2234,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": _q_holt_winters,
         "streaming_holt_replay": _q_streaming_holt_replay,
         "streaming_dsir_replay": _q_streaming_dsir_replay,
+        "quantile_normalize": _q_quantile_normalize,
         # -- 1b. CHANGED round 9 (ADVICE lows + the weighted-prefix
         #        checkpoint; outputs changed only for
         #        source_js_divergence, which now emits disjoint
@@ -6193,6 +6202,72 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(CAST(SUM(m.lnr) AS DOUBLE), 6) AS dsir_logweight
             FROM toks t JOIN model m ON m.b = t.b
             GROUP BY 1 ORDER BY 1
+        """,
+        # mirrors text.quantile_normalize: RANK()-tied within-source
+        # percent rank (explicit (rk-1)/(ns-1) arithmetic), global
+        # sorted index, and the identical interpolation op tree
+        # v_lo + frac * (v_hi - v_lo).
+        "quantile_normalize": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       COALESCE(CASE WHEN n_tokens > 0
+                                THEN CAST(n_stopwords AS DOUBLE) / n_tokens
+                                END, 0.0) * 0.5
+                       + COALESCE(CASE WHEN n_chars > 0
+                                  THEN CAST(n_alpha AS DOUBLE) / n_chars
+                                  END, 0.0) * 0.5 AS quality
+                FROM (
+                    SELECT doc_id,
+                           LEN(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+                           LEN(list_filter(string_split({_NORM_SQL}, ' '),
+                               x -> list_contains({_STOPWORDS_SQL}, x)))
+                               AS n_stopwords,
+                           LENGTH(regexp_replace(text, '[^A-Za-z]', '',
+                                                 'g')) AS n_alpha,
+                           LENGTH(text) AS n_chars
+                    FROM documents
+                )
+            ),
+            b AS (
+                SELECT d.doc_id, d.source, q.quality
+                FROM documents d JOIN q USING (doc_id)
+            ),
+            r AS (
+                SELECT doc_id, source, quality,
+                       RANK() OVER (PARTITION BY source
+                                    ORDER BY quality) AS rk,
+                       COUNT(*) OVER (PARTITION BY source) AS ns
+                FROM b
+            ),
+            g AS (
+                SELECT quality AS gv,
+                       ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS idx
+                FROM b
+            ),
+            n AS (SELECT COUNT(*) AS nn FROM b),
+            y AS (
+                SELECT doc_id, source, quality, pr,
+                       CAST(FLOOR(pos) AS BIGINT) AS lo,
+                       pos - FLOOR(pos) AS frac
+                FROM (
+                    SELECT r.doc_id, r.source, r.quality, pr,
+                           pr * (n.nn - 1) AS pos
+                    FROM (SELECT *,
+                                 CASE WHEN ns > 1
+                                 THEN CAST(rk - 1 AS DOUBLE)
+                                      / CAST(ns - 1 AS DOUBLE)
+                                 ELSE 0.0 END AS pr
+                          FROM r) r CROSS JOIN n
+                )
+            )
+            SELECT y.doc_id, y.source, y.quality,
+                   ROUND(pr, 6) AS src_rank_pct,
+                   ROUND(glo.gv + frac * (COALESCE(ghi.gv, glo.gv)
+                                          - glo.gv), 6) AS quality_qn
+            FROM y
+            JOIN g glo ON glo.idx = y.lo + 1
+            LEFT JOIN g ghi ON ghi.idx = y.lo + 2
+            ORDER BY y.doc_id
         """,
         # mirrors streaming.streaming_dsir_replay: the corpus slice
         # builds the model, the delta slice is scored against it,

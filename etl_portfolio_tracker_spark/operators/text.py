@@ -1583,6 +1583,84 @@ def source_js_divergence(docs: DataFrame) -> DataFrame:
             .orderBy("source_a", "source_b"))
 
 
+def quantile_normalize(docs: DataFrame) -> DataFrame:
+    """Cross-source quantile normalization of the quality score — the
+    calibration step before a GLOBAL quality threshold: each source's
+    scores are mapped onto the corpus-wide score distribution so one
+    cut keeps the same per-source fraction regardless of how lenient
+    each source's raw scorer runs (the microarray quantile-norm
+    recipe applied to corpus curation):
+
+      r   = (rank_s − 1)/(n_s − 1)   within-source percent rank
+                                     (RANK ties; 0 for 1-doc sources)
+      pos = r · (N − 1);  lo = ⌊pos⌋;  frac = pos − lo
+      qn  = v[lo] + frac · (v[lo+1] − v[lo])   linear interpolation
+            over the GLOBAL sorted score array v
+
+    Scale shape: NO global or per-source single-task window — both
+    the within-source row numbers and the global sorted index come
+    from packing.ranged_cumsum (the two-pass distributed prefix sum:
+    range-partition, partition-local window, broadcast offsets), so
+    every stage is bounded by partition size, not source/corpus size.
+    Tie-collapse to RANK is a (source, score)-keyed min aggregate;
+    the interpolation is two idx-keyed joins against the global
+    index frame. The shared base frame is checkpointed (3 branches).
+
+    Exactness: r is one double divide of exact integers; pos/frac/qn
+    are the SAME IEEE op tree on both engines (mul, floor, sub,
+    fused as v_lo + frac·(v_hi − v_lo)); the quality score itself is
+    the established exact-ratio arithmetic of quality_score. Emitted
+    r and qn are round-6 display of unrounded internals.
+
+    Returns (doc_id, source, quality, src_rank_pct, quality_qn)
+    ordered by doc_id."""
+    from ..functions.checkpoints import iter_checkpoint
+    from .packing import ranged_cumsum
+    base = iter_checkpoint(
+        docs.select("doc_id", "source")
+            .join(quality_score(docs).select("doc_id", "quality"),
+                  "doc_id")
+            .withColumn("_one", F.lit(1)),
+        eager=False)
+    rn = iter_checkpoint(
+        ranged_cumsum(base, "_one", ["quality", "doc_id"],
+                      group_cols=["source"]),
+        eager=False)
+    rank = (rn.groupBy("source", "quality")
+            .agg(F.min("_cum").alias("_rk")))
+    ns = base.groupBy("source").agg(F.count(F.lit(1)).alias("_ns"))
+    glob = (ranged_cumsum(base.select("doc_id", "quality", "_one"),
+                          "_one", ["quality", "doc_id"])
+            .select(F.col("_cum").alias("_idx"),
+                    F.col("quality").alias("_gv")))
+    nn = base.agg(F.count(F.lit(1)).alias("_nn"))
+    r = F.when(F.col("_ns") > 1,
+               (F.col("_rk") - 1).cast("double")
+               / (F.col("_ns") - 1).cast("double")).otherwise(0.0)
+    scored = (rn.join(rank, ["source", "quality"])
+              .join(F.broadcast(ns), "source")
+              .crossJoin(F.broadcast(nn))
+              .withColumn("_r", r)
+              .withColumn("_pos", F.col("_r") * (F.col("_nn") - 1))
+              .withColumn("_lo", F.floor("_pos").cast("bigint"))
+              .withColumn("_frac", F.col("_pos") - F.floor("_pos")))
+    glo = glob.select(F.col("_idx").alias("_ilo"),
+                      F.col("_gv").alias("_vlo"))
+    ghi = glob.select(F.col("_idx").alias("_ihi"),
+                      F.col("_gv").alias("_vhi"))
+    return (scored
+            .join(glo, scored._lo + 1 == glo._ilo)
+            .join(ghi, scored._lo + 2 == ghi._ihi, "left")
+            .select("doc_id", "source", "quality",
+                    F.round("_r", 6).alias("src_rank_pct"),
+                    F.round(F.col("_vlo")
+                            + F.col("_frac")
+                            * (F.coalesce("_vhi", "_vlo")
+                               - F.col("_vlo")), 6)
+                     .alias("quality_qn"))
+            .orderBy("doc_id"))
+
+
 DSIR_BUCKETS = 4096    # hashed-feature dimensionality (Xie et al.)
 DSIR_TARGET_LANG = "en"
 

@@ -527,3 +527,33 @@ def test_adamic_adar_support_matches_market_basket(spark):
     assert set(aa) == set(mb) and len(aa) > 0
     for k in aa:
         assert aa[k] == mb[k]
+
+
+def test_quantile_normalize_endpoints_and_alignment(spark):
+    """Source-extreme docs map to the global distribution's extremes
+    (r=0 -> global min, r=1 -> global max), and equal within-source
+    ranks map to equal normalized values across sources."""
+    from etl_portfolio_tracker_spark.operators import text as TX
+
+    # sA: short words (low alpha ratio spread), sB: same texts plus
+    # padding chars -> shifted raw quality, same rank structure
+    texts_a = ["aa bb", "aa bb cc", "aa bb cc dd", "aa bb cc dd ee"]
+    texts_b = [t + " zzzz" for t in texts_a]
+    rows = ([(i, t, "en", "sA", 1) for i, t in enumerate(texts_a)]
+            + [(10 + i, t, "en", "sB", 1)
+               for i, t in enumerate(texts_b)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = {r["doc_id"]: r for r in TX.quantile_normalize(docs).collect()}
+    qs = sorted(r["quality"] for r in out.values())
+    a = sorted((r["src_rank_pct"], r["quality_qn"])
+               for r in out.values() if r["source"] == "sA")
+    b = sorted((r["src_rank_pct"], r["quality_qn"])
+               for r in out.values() if r["source"] == "sB")
+    # same rank structure -> identical normalized curves
+    assert [x[0] for x in a] == [x[0] for x in b]
+    assert [x[1] for x in a] == [x[1] for x in b]
+    assert a[0][0] == 0.0 and a[-1][0] == 1.0
+    assert a[0][1] == round(qs[0], 6)     # r=0 -> global min
+    assert a[-1][1] == round(qs[-1], 6)   # r=1 -> global max
