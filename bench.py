@@ -126,8 +126,24 @@ def main() -> None:
         print(f"bench error _curation_build: {ex!r}"[:300], file=sys.stderr)
         timings["_curation_build"] = -1.0
 
-    for name, fn in qs.items():
+    # Periodic MID-RUN calibration leg (r9 finding: two
+    # endpoint-quiet runs of the same code differed by a uniform
+    # +55 s smear — background load DURING the suite is invisible to
+    # probes taken only at the ends). Every 30th query, one 32-task
+    # probe (~0.3 s quiet, pre-warmed by cal_before) records the
+    # host's effective parallel throughput AT THAT POINT of the run;
+    # a loaded stretch shows up as elevated samples bracketing the
+    # inflated queries, making intra-run weather mechanically
+    # attributable. ~9 samples ≈ +3 s total cost.
+    probe32 = lambda: (spark.range(0, 960_000_000, 1, 32)  # noqa: E731
+                       .selectExpr("sum(id % 9999) AS s").collect())
+    cal_mid: list[list] = []
+    for i, (name, fn) in enumerate(qs.items()):
         timings[name] = time_one(name, fn)
+        if i % 30 == 29:
+            t0 = time.perf_counter()
+            probe32()
+            cal_mid.append([i + 1, round(time.perf_counter() - t0, 3)])
     ok = sorted(t for t in timings.values() if t >= 0)
     if ok:
         median = ok[len(ok) // 2]
@@ -151,7 +167,8 @@ def main() -> None:
     full = {"metric": "total_query_wall_time", "value": total,
             "unit": "sec", "queries": timings, "sf": sf_val,
             "calibration_before": cal_before,
-            "calibration_after": cal_after}
+            "calibration_after": cal_after,
+            "calibration_midrun": cal_mid}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_FULL.json"), "w") as fh:

@@ -39,6 +39,19 @@ def main() -> int:
                 ok = False
             else:
                 print(f"ok   {when}.{leg}: {v} <= {lim}")
+    mid = d.get("calibration_midrun")
+    if mid is None:
+        print("warn calibration_midrun: missing (pre-r9b artifact)")
+    else:
+        bad = [(i, v) for i, v in mid
+               if v > BAND["spark_32task_sec"]]
+        if bad:
+            print(f"FAIL calibration_midrun: {len(bad)}/{len(mid)} "
+                  f"samples above {BAND['spark_32task_sec']}: {bad}")
+            ok = False
+        else:
+            print(f"ok   calibration_midrun: {len(mid)} samples all "
+                  f"<= {BAND['spark_32task_sec']}")
     n_err = sum(1 for t in d.get("queries", {}).values() if t < 0)
     if n_err:
         print(f"FAIL {n_err} queries recorded errors (t = -1)")
