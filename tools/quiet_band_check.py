@@ -43,15 +43,23 @@ def main() -> int:
     if mid is None:
         print("warn calibration_midrun: missing (pre-r9b artifact)")
     else:
+        # absolute ceiling AND a relative rule: the first instrumented
+        # run showed samples of 0.29-0.58 s vs a 0.15-0.20 s quiet
+        # floor — band-passing yet ~2x loaded. Every sample must stay
+        # within 2x the run's own BEST sample (the run's quiet floor),
+        # so a sustained half-loaded run cannot self-certify.
+        floor = min(v for _, v in mid)
         bad = [(i, v) for i, v in mid
-               if v > BAND["spark_32task_sec"]]
+               if v > BAND["spark_32task_sec"] or v > 2 * floor]
         if bad:
             print(f"FAIL calibration_midrun: {len(bad)}/{len(mid)} "
-                  f"samples above {BAND['spark_32task_sec']}: {bad}")
+                  f"samples above min({BAND['spark_32task_sec']}, "
+                  f"2x floor {floor}): {bad}")
             ok = False
         else:
-            print(f"ok   calibration_midrun: {len(mid)} samples all "
-                  f"<= {BAND['spark_32task_sec']}")
+            print(f"ok   calibration_midrun: {len(mid)} samples, "
+                  f"floor {floor}, all <= 2x floor and <= "
+                  f"{BAND['spark_32task_sec']}")
     n_err = sum(1 for t in d.get("queries", {}).values() if t < 0)
     if n_err:
         print(f"FAIL {n_err} queries recorded errors (t = -1)")
