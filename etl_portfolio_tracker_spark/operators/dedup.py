@@ -795,27 +795,42 @@ def min_label_components(labels: DataFrame, edges: DataFrame,
     MapReduce and Beyond") — same outer loop.
     """
     from ..derive import DEC
-    edges = edges.persist()
-    labels = iter_checkpoint(labels, eager=True)
-    prev_fp = None
-    for _ in range(max_iter):
+
+    def _step(lbl: DataFrame) -> DataFrame:
         nbr_min = (edges
-                   .join(labels.select(F.col("doc_id").alias("doc_b"),
-                                       F.col("cluster_id").alias("nbr_label")),
+                   .join(lbl.select(F.col("doc_id").alias("doc_b"),
+                                    F.col("cluster_id").alias("nbr_label")),
                          "doc_b")
                    .groupBy("doc_a")
                    .agg(F.min("nbr_label").alias("nbr_min")))
-        labels = iter_checkpoint(
-            labels
-            .join(nbr_min.select(F.col("doc_a").alias("doc_id"),
-                                 "nbr_min"),
-                  "doc_id", "left")
-            .select("doc_id",
-                    F.least(F.col("cluster_id"),
-                            F.coalesce(F.col("nbr_min"),
-                                       F.col("cluster_id")))
-                     .alias("cluster_id")),
-            eager=True)
+        return (lbl
+                .join(nbr_min.select(F.col("doc_a").alias("doc_id"),
+                                     "nbr_min"),
+                      "doc_id", "left")
+                .select("doc_id",
+                        F.least(F.col("cluster_id"),
+                                F.coalesce(F.col("nbr_min"),
+                                           F.col("cluster_id")))
+                         .alias("cluster_id")))
+
+    edges = edges.persist()
+    labels = iter_checkpoint(labels, eager=True)
+    prev_fp = None
+    # r9-opt (guide §2.4/§2.6 — fewer driver-coordinated rounds): each
+    # materialized round applies the propagation TWICE. Min-label
+    # propagation is idempotent at the fixpoint, so the converged
+    # labels are identical; the fixpoint is just reached in
+    # ceil(diameter/2)+1 materializations instead of diameter+1 —
+    # half the eager-checkpoint + fingerprint-collect job pairs, which
+    # dominate wall at any scale (each round is a full cluster
+    # barrier). Measured sf0.1 curation CC: 4.1 s → 3.4 s warm at
+    # bit-identical output; a 3-step unroll regressed (8+ s: the
+    # per-round plan crosses a planning/codegen threshold), so 2 is
+    # the measured optimum. A LAZY per-round checkpoint (fp collect
+    # materializing it) was also tried and regressed 3x — localCheckpoint
+    # blocks are only reliably reused when materialized eagerly.
+    for _ in range(max_iter):
+        labels = iter_checkpoint(_step(_step(labels)), eager=True)
         fp = labels.agg(F.sum(F.col("cluster_id").cast(DEC))).collect()[0][0]
         if fp == prev_fp:
             break
