@@ -981,13 +981,21 @@ def _curation(spark, sf_dir):
     key = (app, sf_dir)
     st = _CURATION_STATE.get(key)
     if st is None:
+        # r9-opt (guide §2.6 — overlap independent jobs): the build
+        # DAG is band_keys → {index write, cands, clusters} →
+        # {verdict (needs clusters), verified (needs cands)}. The
+        # serial build left most of the cluster idle during each
+        # stage's tail; materializing the independent stages from a
+        # small thread pool backfills executors with the next stage's
+        # tasks (Spark schedules concurrent jobs FIFO — exactly the
+        # back-fill behaviour wanted). Frames and their contents are
+        # IDENTICAL to the serial build (same plans, same persists);
+        # only the materialization order overlaps. Measured sf0.1:
+        # ~17-24 s serial build → ~11-13 s.
+        from concurrent.futures import ThreadPoolExecutor
         docs = _docs(spark, sf_dir)
         band_keys = DD.minhash_band_keys(docs).persist()
-        cands = DD.minhash_lsh_candidates(
-            docs, band_keys=band_keys).persist()
-        clusters = DD.dedup_clusters(docs, band_keys=band_keys).persist()
-        verdict = DD.corpus_prune(docs, clusters=clusters).persist()
-        verified = DD.minhash_verified(docs, cands=cands).persist()
+        band_keys.count()  # materialize once; every stage reads it
         # persist the band-key index to disk as part of the one-time
         # build (delta_dedup's step 3): curation_serve — the
         # production steady-state — reads THIS artifact instead of
@@ -999,7 +1007,27 @@ def _curation(spark, sf_dir):
         idx_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "spark-warehouse", f"_bandkey_index_{tag}")
-        band_keys.write.mode("overwrite").parquet(idx_path)
+        cands = DD.minhash_lsh_candidates(
+            docs, band_keys=band_keys).persist()
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_write = pool.submit(
+                lambda: band_keys.write.mode("overwrite")
+                                 .parquet(idx_path))
+            f_cands = pool.submit(cands.count)
+            # dedup_clusters' construct is itself a driver-coordinated
+            # CC loop (eager per-round jobs) — run it in the pool so
+            # its rounds overlap the candidate-pair aggregation.
+            f_clusters = pool.submit(
+                lambda: DD.dedup_clusters(
+                    docs, band_keys=band_keys).persist())
+            clusters = f_clusters.result()
+            f_cl = pool.submit(clusters.count)
+            verdict = DD.corpus_prune(docs, clusters=clusters).persist()
+            f_verd = pool.submit(verdict.count)
+            verified = DD.minhash_verified(docs, cands=cands).persist()
+            f_verif = pool.submit(verified.count)
+            for f in (f_write, f_cands, f_cl, f_verd, f_verif):
+                f.result()  # propagate any build failure loudly
         st = {"band_keys": band_keys, "cands": cands,
               "clusters": clusters, "verdict": verdict,
               "verified": verified, "index_path": idx_path}
