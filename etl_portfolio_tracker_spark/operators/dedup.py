@@ -545,7 +545,19 @@ def minhash_verified(docs: DataFrame,
     # minhash stage recomputes per consumer (cluster: persist()).
     cands = iter_checkpoint(
         (minhash_lsh_candidates(docs) if cands is None else cands)
-        .select("doc_a", "doc_b"), eager=False)
+        .select("doc_a", "doc_b"), eager=True)
+    # r9-opt (guide §2.5 — CPU-bound stages vs byte-based coalescing):
+    # the candidate aggregate is only ~6 MB at sf0.1, so AQE coalesces
+    # it to 1-2 partitions — and every downstream stage that inherits
+    # that partitioning (the size-ratio prune join and, decisively,
+    # the per-pair array_intersect tail, whose cost is per-ROW not
+    # per-byte) ran on 1-2 cores (measured: verify tail 6.6 s at 0.89
+    # host idle). spread() restores defaultParallelism partitions
+    # locally and is a no-op on a real cluster where the pair frame
+    # already arrives wide. Measured serve-path verify 6.6 s → (see
+    # OPTIMIZATION_r09.md).
+    from ..functions.partitioning import spread
+    cands = spread(cands, "doc_a")
     cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
@@ -559,12 +571,12 @@ def minhash_verified(docs: DataFrame,
         shingles(docs, distinct=False)
         .join(cand_ids, "doc_id", "left_semi")
         .repartition(n, "doc_id"),
-        eager=False)
+        eager=True)
     arrs = iter_checkpoint(
         sh_r.groupBy("doc_id")
             .agg(F.collect_set(F.xxhash64("shingle")).alias("_sh")),
         # materialized once: sizes AND arrays both consume it
-        eager=False)
+        eager=True)
     # injectivity guard (1 row, broadcast): equal distinct counts over
     # the restricted VOCABULARY ⇒ hash Jaccard == string Jaccard
     # EXACTLY. Distinct-first keeps the check one narrow shuffle of
@@ -697,7 +709,11 @@ def tfidf_cosine_verified(docs: DataFrame,
     """
     cands = iter_checkpoint(
         (minhash_lsh_candidates(docs) if cands is None else cands)
-        .select("doc_a", "doc_b"), eager=False)
+        .select("doc_a", "doc_b"), eager=True)
+    # r9-opt: same AQE-coalescing fix as minhash_verified — the pair
+    # frame's per-row tail must not inherit a 1-2 partition layout.
+    from ..functions.partitioning import spread
+    cands = spread(cands, "doc_a")
     cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
