@@ -39,8 +39,23 @@ def table_num_rows(sf_dir: str, name: str) -> int:
     return pq.read_metadata(p).num_rows
 
 
+_READ_TABLE_CACHE: dict = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of a harness table; filters/projections push down.
+
+    r9-opt (guide §6 — file listing / relation reuse): the resolved
+    DataFrame is memoized per (applicationId, sf_dir, table). Every
+    `spark.read.parquet` constructs a fresh relation — footer read for
+    schema inference plus a fresh file index — all driver-side,
+    serialized, and identical per (session, path); across a 270-query
+    suite that re-resolution was ~0.3-0.7 s PER QUERY (measured: a
+    14-query warehouse batch dropped 24.8 → 18.7 s from this cache
+    alone). This is plan-level reuse only — the scan still reads
+    parquet on every execution (no data is cached); it is exactly the
+    resolve-once behaviour a catalog table gives at 100 TB. Entries
+    from stopped sessions are evicted by applicationId.
 
     `events.ts` may be stored two ways depending on the writer:
       - TIMESTAMP(MICROS, NTZ) — Spark reads it natively as
@@ -52,6 +67,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Branch on the dtype Spark actually reads — never assume the
     physical encoding.
     """
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    hit = _READ_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for stale in [k for k in _READ_TABLE_CACHE if k[0] != app]:
+        _READ_TABLE_CACHE.pop(stale, None)
+    df = _read_table_fresh(spark, sf_dir, name)
+    _READ_TABLE_CACHE[key] = df
+    return df
+
+
+def _read_table_fresh(spark: SparkSession, sf_dir: str,
+                      name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
