@@ -1041,11 +1041,17 @@ def _curation(spark, sf_dir):
             f_clusters = pool.submit(
                 lambda: DD.dedup_clusters(
                     docs, band_keys=band_keys).persist())
+            # verified depends only on cands — construct and
+            # materialize it WHILE the clusters CC loop still runs
+            # (the construct itself runs the kernel's eager
+            # checkpoint jobs, so it belongs in the pool too)
+            f_vframe = pool.submit(
+                lambda: DD.minhash_verified(docs, cands=cands).persist())
             clusters = f_clusters.result()
             f_cl = pool.submit(clusters.count)
             verdict = DD.corpus_prune(docs, clusters=clusters).persist()
             f_verd = pool.submit(verdict.count)
-            verified = DD.minhash_verified(docs, cands=cands).persist()
+            verified = f_vframe.result()
             f_verif = pool.submit(verified.count)
             for f in (f_write, f_cands, f_cl, f_verd, f_verif):
                 f.result()  # propagate any build failure loudly
