@@ -171,7 +171,7 @@ def prefix_filter_pairs(docs: DataFrame,
     tau = tau_num / tau_den  # one exact int->double divide per engine
     # distinct (doc_id, shingle) feeds FOUR consumers (df counts,
     # prefix ranking, both verify sides) — materialize once
-    sh = iter_checkpoint(shingles(docs, k=k), eager=False)
+    sh = iter_checkpoint(shingles(docs, k=k), eager=True)
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -191,7 +191,7 @@ def prefix_filter_pairs(docs: DataFrame,
     pref = iter_checkpoint(
         ranked.filter(F.col("_rn") <= prefix_len)
               .select("doc_id", "shingle", "_df", "_rn"),
-        eager=False)
+        eager=True)
     a = pref.alias("a")
     b = pref.alias("b")
     # the pair dedup doubles as the positional-filter aggregation: the
@@ -284,7 +284,7 @@ def weighted_jaccard_pairs(docs: DataFrame,
     cost 32× vs primitive longs); with ~6k survivors the explode is
     ~2M narrow rows — cheaper than shipping both docs' arrays.
     """
-    sh = iter_checkpoint(shingles(docs, k=k), eager=False)
+    sh = iter_checkpoint(shingles(docs, k=k), eager=True)
     nd = docs.agg(F.count(F.lit(1)).alias("_nd"))
     wts = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
            .crossJoin(F.broadcast(nd))
@@ -297,7 +297,7 @@ def weighted_jaccard_pairs(docs: DataFrame,
                           / F.col("_df").cast("double"))
                     .cast("decimal(12,10)") * 10_000_000_000)
                    .cast("bigint").alias("_w")))
-    sw = iter_checkpoint(sh.join(wts, "shingle"), eager=False)
+    sw = iter_checkpoint(sh.join(wts, "shingle"), eager=True)
     wdoc = W.partitionBy("doc_id")
     ordered = (sw
                .withColumn("_wtot", F.sum("_w").over(wdoc))
@@ -316,7 +316,7 @@ def weighted_jaccard_pairs(docs: DataFrame,
         ordered
         .filter(F.col("_suf") * tau_den >= F.col("_wtot") * tau_num)
         .select("doc_id", "shingle", "_df", "_suf"),
-        eager=False)
+        eager=True)
     a = pref.alias("a")
     b = pref.alias("b")
     # pair dedup doubles as the WEIGHTED positional-filter aggregation
@@ -339,7 +339,7 @@ def weighted_jaccard_pairs(docs: DataFrame,
                                 F.col("b._suf").alias("sb"))).alias("_m")))
     tots = iter_checkpoint(
         sw.groupBy("doc_id").agg(F.sum("_w").alias("_wt")),
-        eager=False)
+        eager=True)
     surv = (cand
             .join(tots.select(F.col("doc_id").alias("doc_a"),
                               F.col("_wt").alias("_wa")), "doc_a")
@@ -496,7 +496,7 @@ def minhash_lsh_candidates(docs: DataFrame,
         bk.withColumn("_bsz", F.count("*").over(w))
           .filter(F.col("_bsz") <= bucket_cap)
           .drop("_bsz"),
-        eager=False)
+        eager=True)
     a = bk.alias("a")
     b = bk.alias("b")
     return (a.join(b, ["band", "band_key"])
@@ -717,11 +717,34 @@ def tfidf_cosine_verified(docs: DataFrame,
     cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
-    sh = iter_checkpoint(shingles(docs), eager=False)
+    sh = shingles(docs)
     nd = docs.agg(F.count(F.lit(1)).alias("_nd"))
-    wts = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-           .crossJoin(F.broadcast(nd))
-           .select("shingle",
+    # r10-opt (guide §2.3/§2.4 — shuffle the stream once, drop the
+    # vocab re-join): the r9 kernel shuffled the distinct
+    # (doc, shingle) stream TWICE by the shingle string — once for
+    # the df-count groupBy and once more through the sh⋈wts join —
+    # and its lazy checkpoints re-ran those stages per consumer
+    # inside the one action (first-call decomposition: arrs alone
+    # 4.9 s, full first call 13.8 s at sf0.1). ONE per-shingle
+    # aggregate now computes the document frequency AND carries the
+    # candidate posting list; candidate membership attaches map-side
+    # from a broadcast of the distinct candidate endpoints (bounded
+    # by the LSH band bucket caps — the same O(pairs) frame every
+    # verify tail already materializes). collect_list skips NULLs,
+    # so only candidate docs enter posting lists; exploding them and
+    # re-aggregating per doc rebuilds exactly the old per-doc packed
+    # sets (sets are order-insensitive, Σw² is over the same distinct
+    # shingles). Checkpoints are EAGER: per_sh feeds wts/inj/arrs.
+    per_sh = iter_checkpoint(
+        sh.join(F.broadcast(cand_ids.withColumn("_c", F.lit(1))),
+                "doc_id", "left")
+          .groupBy("shingle")
+          .agg(F.count(F.lit(1)).alias("_df"),
+               F.collect_list(F.when(F.col("_c") == 1, F.col("doc_id")))
+                .alias("_docs")),
+        eager=True)
+    wts = (per_sh.crossJoin(F.broadcast(nd))
+           .select("shingle", "_docs",
                    (F.log((F.col("_nd") + 1).cast("double")
                           / F.col("_df").cast("double"))
                     .cast("decimal(8,4)") * COS_W_SCALE)
@@ -730,13 +753,13 @@ def tfidf_cosine_verified(docs: DataFrame,
     packed = (F.shiftright(F.xxhash64("shingle"), 20) * F.lit(1 << 20)
               + F.col("_w"))
     arrs = iter_checkpoint(
-        sh.join(wts, "shingle")
-          .join(cand_ids, "doc_id", "left_semi")
-          .repartition(n, "doc_id")
-          .groupBy("doc_id")
-          .agg(F.collect_set(packed.cast("bigint")).alias("_sw"),
-               F.sum(F.col("_w") * F.col("_w")).alias("_n2")),
-        eager=False)
+        wts.select(F.explode("_docs").alias("doc_id"),
+                   packed.cast("bigint").alias("_pk"), "_w")
+           .repartition(n, "doc_id")
+           .groupBy("doc_id")
+           .agg(F.collect_set("_pk").alias("_sw"),
+                F.sum(F.col("_w") * F.col("_w")).alias("_n2")),
+        eager=True)
     # injectivity guard (1 row, broadcast): shingle → (hash44|w) is a
     # function of the DICTIONARY alone, so the check runs over wts
     # (one row per distinct shingle — vocab-sized, never the doc
@@ -1057,8 +1080,30 @@ def canonical_docs(docs: DataFrame,
         (F.row_number().over(w_rank) == 1).alias("kept"))
 
 
+def prune_exact_stage(docs: DataFrame) -> DataFrame:
+    """corpus_prune's exact-dup stage verdict, (doc_id, _exact_keep) —
+    exposed so the shared curation build can materialize it WHILE the
+    clusters CC loop runs (r10, guide §2.6; it does not depend on
+    clusters). corpus_prune derives it itself when not supplied."""
+    from .text import fingerprint
+    fp = fingerprint(docs).select("doc_id", "fingerprint")
+    w_fp = W.partitionBy("fingerprint").orderBy("doc_id")
+    return fp.select(
+        "doc_id", (F.row_number().over(w_fp) == 1).alias("_exact_keep"))
+
+
+def prune_quality_stage(docs: DataFrame) -> DataFrame:
+    """corpus_prune's quality stage verdict, (doc_id, _q_keep) — see
+    prune_exact_stage."""
+    from .text import gopher_filter
+    return gopher_filter(docs).select(
+        "doc_id", F.col("keep").alias("_q_keep"))
+
+
 def corpus_prune(docs: DataFrame,
-                 clusters: DataFrame | None = None) -> DataFrame:
+                 clusters: DataFrame | None = None,
+                 exact: DataFrame | None = None,
+                 qual: DataFrame | None = None) -> DataFrame:
     """End-to-end corpus curation verdict — the composition a
     training-data pipeline actually ships: exact dedup (canonical-form
     fingerprint, first doc_id wins) → near-dup dedup (cluster
@@ -1071,18 +1116,15 @@ def corpus_prune(docs: DataFrame,
     clustering is the star-contracted CC, gopher is a pure map) and
     combined with one three-way join on doc_id — at 100 TB each stage
     is separately cacheable/checkpointable, which is exactly how a
-    multi-stage curation DAG is operated. `clusters` — optional
-    precomputed dedup_clusters result (see curation_pipeline)."""
-    from .text import fingerprint, gopher_filter
-    fp = fingerprint(docs).select("doc_id", "fingerprint")
-    w_fp = W.partitionBy("fingerprint").orderBy("doc_id")
-    exact = fp.select(
-        "doc_id", (F.row_number().over(w_fp) == 1).alias("_exact_keep"))
+    multi-stage curation DAG is operated. `clusters` / `exact` /
+    `qual` — optional precomputed stage frames (see curation_pipeline
+    and the shared `_curation` build, which overlaps the two
+    clusters-independent stages with the CC loop)."""
+    exact = prune_exact_stage(docs) if exact is None else exact
     near = canonical_docs(docs, clusters=clusters).select(
         "doc_id", "cluster_id", "cluster_size",
         F.col("kept").alias("_near_keep"))
-    qual = gopher_filter(docs).select(
-        "doc_id", F.col("keep").alias("_q_keep"))
+    qual = prune_quality_stage(docs) if qual is None else qual
     reason = (F.when(~F.col("_exact_keep"), F.lit("exact_dup"))
                .when(~F.col("_near_keep"), F.lit("near_dup"))
                .when(~F.col("_q_keep"), F.lit("quality"))
@@ -1154,17 +1196,21 @@ def pagerank(docs: DataFrame, n_iter: int = PAGERANK_ITERS,
                      F.col("doc_b").alias("dst"))
         .unionByName(cands.select(F.col("doc_b").alias("src"),
                                   F.col("doc_a").alias("dst"))),
-        eager=False)   # one LSH materialization
+        eager=True)   # one LSH materialization
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # degree is loop-INVARIANT: join it into the edge list once and
     # checkpoint, so each runtime iteration is one join + one
     # aggregation over the materialized weighted edges instead of
-    # re-deriving edges ⋈ deg (and the LSH pipeline behind it) —
-    # explain() still shows the full lineage because the checkpoint
-    # is lazy, but post-materialization the per-iteration work halves
+    # re-deriving edges ⋈ deg (and the LSH pipeline behind it).
+    # r10: EAGER — the 10-iteration plan references this frame once
+    # per round, and a lazy localCheckpoint re-ran its subplan per
+    # consumer inside the one final action (quiet interleaved A/B
+    # min 5.19 s lazy vs 4.00 s eager at sf0.1; same pattern measured
+    # on kcore 3.92→3.49, prefix_filter 5.36→4.38, weighted_jaccard
+    # 6.36→5.60)
     edges_w = iter_checkpoint(
         edges.join(deg, "src").select("src", "dst", "deg"),
-        eager=False)
+        eager=True)
     total = docs.agg(F.count(F.lit(1)).alias("_n"))
     base = (docs.select("doc_id").crossJoin(F.broadcast(total)))
     ranks = base.select("doc_id", "_n",
@@ -1215,7 +1261,7 @@ def triangle_stats(docs: DataFrame,
         (minhash_lsh_candidates(docs) if cands is None else cands)
         .filter(F.col("n_bands") >= min_bands)
         .select("doc_a", "doc_b"),
-        eager=False)      # one LSH materialization
+        eager=True)      # one LSH materialization
     deg = (e.select(F.col("doc_a").alias("v"))
            .unionByName(e.select(F.col("doc_b").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
@@ -1347,7 +1393,7 @@ def kcore(docs: DataFrame, k: int = KCORE_K,
         cands.unionByName(
             cands.select(F.col("doc_b").alias("doc_a"),
                          F.col("doc_a").alias("doc_b"))),
-        eager=False)
+        eager=True)
     for _ in range(rounds):
         deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
         alive = deg.filter(F.col("deg") >= k).select("doc_a")
@@ -1356,7 +1402,7 @@ def kcore(docs: DataFrame, k: int = KCORE_K,
             .join(alive, "doc_a", "left_semi")
             .join(alive.select(F.col("doc_a").alias("doc_b")),
                   "doc_b", "left_semi"),
-            eager=False)
+            eager=True)
     return (edges.groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.count(F.lit(1)).cast("long").alias("degree"))
             .filter(F.col("degree") >= k)
@@ -1496,7 +1542,7 @@ def delta_dedup(docs: DataFrame, mod: int = DELTA_MOD,
     # delta branches would otherwise each re-run the sha256 shingle
     # scan (in production they are separate inputs — the persisted
     # index and the new batch — so neither recompute exists at all)
-    bk = (iter_checkpoint(minhash_band_keys(docs), eager=False)
+    bk = (iter_checkpoint(minhash_band_keys(docs), eager=True)
           if band_keys is None else band_keys)
     corpus = bk.filter(F.col("doc_id") % mod != rem)
     delta = bk.filter(F.col("doc_id") % mod == rem)
