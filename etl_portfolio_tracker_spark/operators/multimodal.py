@@ -630,21 +630,31 @@ def text_to_images(docs: DataFrame) -> DataFrame:
     side = PHASH_SIDE
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = side * side
+        # r10-opt (guide §4.2 — vectorize inside the Python boundary):
+        # the stride-sample was a 1024-iteration per-ROW Python loop
+        # (~5M interpreter ops per 5k docs); one fancy-index per row
+        # computes the identical bytes. np.repeat(.., 3) IS the
+        # gray-RGB stack: P6 payload bytes are pixel-major RGB.
+        base = np.arange(m, dtype=np.int64)
+        hdr = b"P6\n%d %d\n255\n" % (side, side)
+        pad = hdr + bytes([PHASH_PAD]) * (m * 3)
         for pdf in it:
             payloads = []
             for t in pdf["_canon"]:
                 b = t.encode("ascii")
-                n, m = len(b), side * side
+                n = len(b)
                 # stride-sample the WHOLE text across the raster:
                 # pixel i = byte floor(i·n/m), so the image reflects
                 # the full document (a prefix raster would hash text
                 # LENGTH, not content) and small edits only perturb
                 # pixels near the edit's sampled positions
-                samp = (bytes(b[(i * n) // m] for i in range(m)) if n
-                        else bytes([PHASH_PAD]) * m)
-                px = np.frombuffer(samp, dtype=np.uint8).reshape(side,
-                                                                 side)
-                payloads.append(_encode_ppm(np.stack([px] * 3, axis=-1)))
+                if n:
+                    samp = np.frombuffer(b, dtype=np.uint8)[
+                        (base * n) // m]
+                    payloads.append(hdr + np.repeat(samp, 3).tobytes())
+                else:
+                    payloads.append(pad)
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "media": payloads,
                                 "mime": "image/x-portable-pixmap"})
@@ -680,8 +690,12 @@ def decode_luma(media: DataFrame) -> DataFrame:
                 ids.append(mid)
                 hs.append(px.shape[0])
                 ws.append(px.shape[1])
+                # r10-opt (§4.2): keep the luma vector as an int32
+                # numpy array — same values (≤255 fits int32), but
+                # Arrow list conversion skips 1024 boxed Python ints
+                # per row
                 lus.append((px.astype(np.int64).sum(axis=2) // 3)
-                           .ravel().tolist())
+                           .ravel().astype(np.int32))
             yield pd.DataFrame({"media_id": ids, "width": ws,
                                 "height": hs, "luma": lus})
     return media.mapInPandas(_batches, schema=LUMA_SCHEMA)
@@ -757,7 +771,7 @@ def image_phash_pairs(docs: DataFrame,
     # the hash frame feeds THREE consumers (band keys + both verify
     # sides); checkpoint it so the mapInPandas codec chain runs once —
     # at scale this is the persisted phash index, not a recompute
-    ph = iter_checkpoint(image_phash(text_to_images(docs)), eager=False)
+    ph = iter_checkpoint(image_phash(text_to_images(docs)), eager=True)
     keys = ph.select(
         "media_id",
         F.explode(F.array(*[
