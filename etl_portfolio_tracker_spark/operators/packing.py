@@ -256,7 +256,7 @@ def ranged_cumsum(df: DataFrame, value_col: str, order_cols: list,
                .rowsBetween(W.unboundedPreceding, W.currentRow))
     local = iter_checkpoint(
         ranged.withColumn("_lcum", F.sum(value_col).over(w_local)),
-        eager=False)
+        eager=True)
     totals = local.groupBy("_pid", *g).agg(F.sum(value_col).alias("_ptot"))
     w_off = (W.partitionBy(*g).orderBy("_pid")
              .rowsBetween(W.unboundedPreceding, W.currentRow))
@@ -297,7 +297,7 @@ def ranged_prefix_max(df: DataFrame, value_col: str,
                .rowsBetween(W.unboundedPreceding, -1))
     local = iter_checkpoint(
         ranged.withColumn("_lmax", F.max(value_col).over(w_local)),
-        eager=False)
+        eager=True)
     totals = local.groupBy("_pid").agg(F.max(value_col).alias("_ptot"))
     w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(

@@ -280,7 +280,7 @@ def kcenter_coreset(emb: DataFrame, k: int = KCENTER_K) -> DataFrame:
         _spread(emb).select(
             "vec_id", "embedding",
             F.expr(_dot_sql("embedding", "embedding")).alias("_n2")),
-        eager=False)
+        eager=True)
     first = base.agg(F.min("vec_id")).collect()[0][0]
     chosen: list = [(1, first, None)]
     for rnd in range(2, k + 1):
@@ -436,7 +436,7 @@ def embedding_near_dup_pairs(
         bk.withColumn("_bsz", F.count("*").over(w))
           .filter(F.col("_bsz") <= bucket_cap)
           .drop("_bsz"),
-        eager=False)
+        eager=True)
     a, b = bk.alias("a"), bk.alias("b")
     return (a.join(b, ["band", "bucket"])
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -993,7 +993,7 @@ def semantic_dedup(emb: DataFrame, n_cells: int | None = None,
     # subplans (the weighted_jaccard_pairs/kn_lm lesson): without the
     # boundary the N×c crossJoin + argmax window ran up to 3×.
     cells = iter_checkpoint(_semantic_cells_frame(emb, cents),
-                            eager=False)
+                            eager=True)
     earlier = (_semantic_cos_pairs(cells)
                .select(F.col("_vb").alias("vec_id"), F.col("_cos"))
                .groupBy("vec_id")
@@ -1111,7 +1111,7 @@ def semantic_clusters(emb: DataFrame, n_cells: int | None = None,
     # (see semantic_dedup; measured 4.08 s warm → the dominant phase
     # of this operator's 7.9 s canonical line)
     cells = iter_checkpoint(_semantic_cells_frame(emb, cents),
-                            eager=False)
+                            eager=True)
     pairs = (_semantic_cos_pairs(cells)
              .filter(F.col("_cos") >= threshold)
              .select(F.col("_va").alias("doc_a"),
@@ -1621,7 +1621,7 @@ def knn_classify(emb: DataFrame, k: int = KNN_K,
     from ..functions.checkpoints import iter_checkpoint
     top = iter_checkpoint(
         pairs.withColumn("_rn", F.row_number().over(wk))
-        .filter(F.col("_rn") <= k), eager=False)
+        .filter(F.col("_rn") <= k), eager=True)
     votes = top.groupBy("_qv", "_ql", "_cl").agg(
         F.count(F.lit(1)).cast("long").alias("_nv"))
     wv = W.partitionBy("_qv").orderBy(F.desc("_nv"), F.asc("_cl"))

@@ -254,7 +254,7 @@ def contamination_check(docs: DataFrame, n: int = 5,
     base = iter_checkpoint(
         docs.select("doc_id", tokens_col().alias("_toks"))
         .select("doc_id", F.array_distinct(ngrams).alias("_ngrams")),
-        eager=False)
+        eager=True)
     probe = (base.filter(F.col("doc_id") % probe_mod == 0)
              .select(F.explode("_ngrams").alias("ngram")).distinct())
     train = base.filter(F.col("doc_id") % probe_mod != 0)
@@ -403,7 +403,7 @@ def kn_lm_score(docs: DataFrame) -> DataFrame:
     tc = iter_checkpoint(
         tri.groupBy("w1", "w2", "w3").agg(
             F.count(F.lit(1)).alias("c123")),
-        eager=False)
+        eager=True)
     # model-sized statistics, all off the trigram-type table:
     pre = tc.groupBy("w1", "w2").agg(          # c(w1w2·), N1+(w1w2·)
         F.sum("c123").alias("c12"),
@@ -411,7 +411,7 @@ def kn_lm_score(docs: DataFrame) -> DataFrame:
     cont23 = iter_checkpoint(                  # N1+(·w2w3) — 3 consumers
         tc.groupBy("w2", "w3").agg(            # (uni, nbt, model join)
             F.count(F.lit(1)).alias("ccont")),
-        eager=False)
+        eager=True)
     mid = tc.groupBy("w2").agg(                # N1+(·w2·), N1+(w2·)
         F.count(F.lit(1)).alias("sumcont2"),
         F.countDistinct("w3").alias("n1pmid2"))
@@ -1528,7 +1528,7 @@ def source_js_divergence(docs: DataFrame) -> DataFrame:
             .filter(F.col("w") != "")
             .groupBy("source", "w")
             .agg(F.count(F.lit(1)).alias("cnt")),
-        eager=False)
+        eager=True)
     tot = wc.groupBy("source").agg(F.sum("cnt").alias("n_tok"))
     a = (wc.join(tot, "source")
          .select(F.col("source").alias("source_a"), "w",
@@ -1621,11 +1621,11 @@ def quantile_normalize(docs: DataFrame) -> DataFrame:
             .join(quality_score(docs).select("doc_id", "quality"),
                   "doc_id")
             .withColumn("_one", F.lit(1)),
-        eager=False)
+        eager=True)
     rn = iter_checkpoint(
         ranged_cumsum(base, "_one", ["quality", "doc_id"],
                       group_cols=["source"]),
-        eager=False)
+        eager=True)
     rank = (rn.groupBy("source", "quality")
             .agg(F.min("_cum").alias("_rk")))
     ns = base.groupBy("source").agg(F.count(F.lit(1)).alias("_ns"))
@@ -1679,7 +1679,7 @@ def dsir_tokens(docs: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
                     (F.conv(F.substring(F.sha2(F.col("w"), 256), 1, 8),
                             16, 10).cast("bigint")
                      % n_buckets).alias("b")),
-        eager=False)
+        eager=True)
 
 
 def dsir_model(toks: DataFrame, n_buckets: int = DSIR_BUCKETS,
