@@ -167,7 +167,16 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equal), sample stddev and correlation (rounded 6dp: Welford
     accumulation order differs across engines at ~1e-12), exact
     decimal mean."""
-    li = read_table(spark, sf_dir, "lineitem")
+    # r10-opt (guide §2.5, the region_rollup precedent): percentile's
+    # partial aggregate BUFFERS every value (heavy per row, unlike the
+    # count/sum aggs the r9 lineitem-spread A/B rejected), and the
+    # harness fact is ONE parquet split — unspread, the buffer build
+    # ran on one core. Project to the three consumed columns first
+    # (§2.3) so the spread exchange ships 3 of 16 columns; no-op on a
+    # cluster with real splits.
+    from ..functions.partitioning import spread
+    li = spread(read_table(spark, sf_dir, "lineitem")
+                .select("l_returnflag", "l_extendedprice", "l_quantity"))
     # One percentile buffer for all three quantiles (array form) —
     # three scalar percentile() aggs each keep their own copy of the
     # group's values; the array form sorts once (2× faster measured).
@@ -375,7 +384,13 @@ def qty_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     that shape is what IVF/LSH use elsewhere in this engine.)"""
     bands = spark.createDataFrame(
         QTY_BANDS, "band_id long, band string, lo double, hi double")
-    li = read_table(spark, sf_dir, "lineitem")
+    # r10-opt (guide §2.5): the BroadcastNestedLoopJoin probes the
+    # band table per ROW and feeds a decimal partial agg — heavy
+    # per-row work pinned to the fact's single local split; project
+    # to the 3 consumed columns and spread (no-op on real splits).
+    from ..functions.partitioning import spread
+    li = spread(read_table(spark, sf_dir, "lineitem")
+                .select("l_quantity", "l_extendedprice", "l_discount"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(F.broadcast(bands),
                     (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi))

@@ -493,25 +493,25 @@ def market_basket(spark: SparkSession, sf_dir: str,
     order with support ≥ threshold — the co-purchase signal behind
     "frequently bought together".
 
-    Scale shape: the self-join is WITHIN-ORDER (equi-key on
-    l_orderkey + a < b cut), so pair volume is Σ|basket|² — bounded
-    by basket size (single digits here), never corpus-quadratic; the
-    same bucket-cap reasoning as the LSH pair stages applies to
-    pathological mega-baskets. One shuffle on the order key, one pair
-    aggregate with map-side combine."""
-    from ..functions.checkpoints import iter_checkpoint
-    # r9: materialize the distinct basket frame once — it feeds both
-    # self-join sides and branches do not share subplans (measured:
-    # 0 ReusedExchange, the scan+distinct shuffle ran twice)
-    li = iter_checkpoint(
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct(),
-        eager=False)
-    a, b = li.alias("a"), li.alias("b")
-    return (a.join(b, "l_orderkey")
-            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-            .groupBy(F.col("a.l_partkey").alias("part_a"),
-                     F.col("b.l_partkey").alias("part_b"))
+    Scale shape (r10 rewrite, guide §2.4 — remove shuffles outright):
+    ONE groupBy(l_orderkey) collects each basket's distinct parts as
+    a sorted array (collect_set dedups, so the upstream distinct
+    shuffle is gone too) and the a < b pairs are generated IN-ROW
+    from the sorted array — the r9 form's within-order self-join
+    (a second shuffle of the distinct frame plus a checkpoint job)
+    produced exactly these rows. Pair volume is still Σ|basket|²,
+    bounded by basket size; the pair aggregate keeps its map-side
+    combine. Plan: 4 → 2 data exchanges (basket key + pair key)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("_ps")))
+    pairs = F.explode(F.expr(
+        "flatten(transform(_ps, (x, i) -> "
+        "transform(slice(_ps, i + 2, size(_ps) - i - 1), "
+        "y -> named_struct('part_a', x, 'part_b', y))))"))
+    return (baskets.select(pairs.alias("_p"))
+            .select("_p.part_a", "_p.part_b")
+            .groupBy("part_a", "part_b")
             .agg(F.count(F.lit(1)).alias("support"))
             .filter(F.col("support") >= min_support)
             .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b")))
@@ -530,39 +530,35 @@ def adamic_adar(spark: SparkSession, sf_dir: str,
     (orders with one distinct part cannot co-occur, so every degree
     in the sum is ≥ 2 and ln is strictly positive).
 
-    Scale shape: identical to market_basket — the self-join is
-    within-order (equi-key + a < b cut), pair volume Σ|basket|²
-    bounded by basket size; the degree frame is one map-side-combined
-    |orders|-row aggregate joined back on the order key; one pair
-    aggregate with map-side combine. The shared distinct
-    (order, part) frame is checkpointed — it feeds three branches
-    (both join sides + degrees) and branches do not share subplans
-    (the r9 weighted_jaccard/semantic_cells lesson).
+    Scale shape (r10 rewrite, guide §2.4 — remove shuffles outright):
+    identical to market_basket — ONE groupBy(l_orderkey) collects the
+    sorted distinct basket array, the degree is size(array) in-row
+    (the r9 form's separate degree aggregate + join back is gone),
+    and the a < b pairs are generated in-row from the sorted array
+    instead of a within-order self-join of a checkpointed distinct
+    frame. Pair volume Σ|basket|² bounded by basket size; one pair
+    aggregate with map-side combine. Plan: 6 → 2 data exchanges.
 
     Exactness: deg is an INTEGER ln argument (the repo's exact-ratio
     rule), ln is DECIMAL(38,10)-roundtripped, the per-order term is
-    ONE double divide 1/ln(deg), and pair sums are exact decimal —
+    ONE double divide 1/ln(deg) — the identical expression on the
+    identical pair multiset, and pair sums are exact decimal —
     identical association on both engines; round 6 display.
     """
-    from ..functions.checkpoints import iter_checkpoint
-    li = iter_checkpoint(
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct(),
-        eager=False)
-    deg = (li.groupBy("l_orderkey")
-           .agg(F.count(F.lit(1)).alias("_deg"))
-           .filter(F.col("_deg") >= 2))
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("_ps")))
+    pairs = F.explode(F.expr(
+        "flatten(transform(_ps, (x, i) -> "
+        "transform(slice(_ps, i + 2, size(_ps) - i - 1), "
+        "y -> named_struct('part_a', x, 'part_b', y))))"))
     term = (F.lit(1.0)
             / F.log(F.col("_deg").cast("double")).cast(DEC).cast("double"))
-    a, b = li.alias("a"), li.alias("b")
-    return (a.join(b, "l_orderkey")
-            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-            .join(deg, "l_orderkey")
-            .groupBy(F.col("a.l_partkey").alias("part_a"),
-                     F.col("b.l_partkey").alias("part_b"))
+    return (baskets.select(F.size("_ps").alias("_deg"), pairs.alias("_p"))
+            .select("_p.part_a", "_p.part_b", term.cast(DEC).alias("_t"))
+            .groupBy("part_a", "part_b")
             .agg(F.count(F.lit(1)).alias("support"),
-                 F.round(F.sum(term.cast(DEC)).cast("double"), 6)
-                  .alias("aa_score"))
+                 F.round(F.sum("_t").cast("double"), 6).alias("aa_score"))
             .filter(F.col("support") >= min_support)
             .orderBy(F.desc("aa_score"), F.asc("part_a"), F.asc("part_b")))
 
@@ -617,7 +613,12 @@ def profile_table(spark: SparkSession, sf_dir: str,
     never one scan per column. Exact NDV at 100 TB would switch to
     HLL merge (approx_stats shows the sketch path); min/max/nulls
     stay exact single-pass at any scale."""
-    li = read_table(spark, sf_dir, "lineitem")
+    # r10-opt (guide §2.5): the 3 exact-NDV aggregates Expand the fact
+    # stream 3× into the partial agg — heavy per-row work pinned to
+    # the single local split; project to the profiled columns and
+    # spread (no-op on real splits).
+    from ..functions.partitioning import spread
+    li = spread(read_table(spark, sf_dir, "lineitem").select(*cols))
     aggs = []
     for c in cols:
         aggs += [F.count(F.lit(1)).alias(f"{c}__n"),
