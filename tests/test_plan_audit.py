@@ -67,8 +67,13 @@ def test_qty_band_revenue_broadcast_nested_loop(spark):
     from etl_portfolio_tracker_spark.plans import exchanges, physical_plan, scan_columns
     q = HL.qty_band_revenue(spark, SF)
     assert "BroadcastNestedLoopJoin" in physical_plan(q)
-    # the only shuffle is the final 3-group aggregate
-    assert len(exchanges(q)) <= 2  # partial->final agg pair
+    # shuffles: the final 3-group aggregate pair plus (r10) the
+    # keyless spread of the single-split fact ahead of the per-row
+    # BNLJ probe — which must stay round-robin, never a hash shuffle
+    # of the fact by a join key
+    exch = exchanges(q)
+    assert len(exch) <= 3
+    assert not any("hashpartitioning(l_" in e for e in exch)
     li_scan = next(c for c in scan_columns(q) if "l_quantity" in c)
     assert set(li_scan) <= {"l_quantity", "l_extendedprice", "l_discount"}
 
