@@ -33,6 +33,16 @@ def get_spark(app_name: str = "etl_portfolio_tracker_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r10 (guide §2.6): the shared curation build materializes
+        # independent stages from a thread pool; under FIFO the CC
+        # loop's many SMALL sequential jobs (the build's critical
+        # path) queue behind the big concurrent scans submitted
+        # earlier, amplifying per-round latency. FAIR gives each
+        # concurrent job a share so the tiny rounds schedule
+        # immediately; with a single running job (every ordinary
+        # query) FAIR and FIFO behave identically.
+        .config("spark.scheduler.mode", os.environ.get(
+            "SPARK_GRAFT_SCHEDULER", "FAIR"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
