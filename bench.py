@@ -148,12 +148,32 @@ def main() -> None:
     if ok:
         median = ok[len(ok) // 2]
         cutoff = max(1.5, 2 * median)
-        # _curation_build is one-time state, not a query: no retry/min
         for name in [n for n, t in timings.items()
                      if t > cutoff and n in qs]:
             retry = time_one(name, qs[name])
             if retry >= 0:
                 timings[name] = min(timings[name], retry)
+        # r10 (VERDICT r9 items 3+8): _curation_build now gets the
+        # same bounded best-of-2 as outlier queries — it is the
+        # single largest line item and was exempt, so one loaded
+        # sample dominated the driver total (35.8 s vs 18.5 s quiet
+        # in r9). The retry DROPS the session state and re-runs the
+        # whole build from parquet (E._curation_reset unpersists
+        # every shared frame first) — no result reuse between the
+        # two samples. It runs AFTER the query retries so consumer
+        # retries keep their warm-state semantics.
+        if timings.get("_curation_build", -1.0) > cutoff:
+            try:
+                E._curation_reset(spark)
+                t0 = time.time()
+                for frame in E._curation(spark, sf_dir).values():
+                    if hasattr(frame, "count") and not isinstance(frame, str):
+                        frame.count()
+                timings["_curation_build"] = min(
+                    timings["_curation_build"], time.time() - t0)
+            except Exception as ex:  # pragma: no cover
+                print(f"bench error _curation_build retry: {ex!r}"[:300],
+                      file=sys.stderr)
     timings = {n: round(t, 2) for n, t in timings.items()}
 
     cal_after = _calibrate(spark)
@@ -183,13 +203,26 @@ def main() -> None:
     budget = 1800
     ordered = sorted(timings.items(), key=lambda kv: (kv[1] >= 0, -kv[1]))
     line_qs: dict[str, float] = {}
+    # r10 (VERDICT r9 item 8): mechanical quiet/loaded verdict in the
+    # printed line, so a PERF comparison can discount weather without
+    # re-deriving it. Band: both 1-task legs <= 0.15 s, both 32-task
+    # legs <= 0.25 s, every mid-run 32-task sample <= 0.45 s (the
+    # quiet floors measured across r8-r10 are ~0.09-0.14 / 0.19-0.21 /
+    # 0.29-0.42).
+    mid_max = max((s for _, s in cal_mid), default=0.0)
+    cal_quiet = (cal_before["spark_1task_sec"] <= 0.15
+                 and cal_after["spark_1task_sec"] <= 0.15
+                 and cal_before["spark_32task_sec"] <= 0.25
+                 and cal_after["spark_32task_sec"] <= 0.25
+                 and mid_max <= 0.45)
     out = {"metric": "total_query_wall_time", "value": total, "unit": "sec",
            "queries": line_qs, "sf": sf_val, "n_queries": len(timings),
            "other_sec": 0.0, "other_n": 0, "full": "BENCH_FULL.json",
            "cal": [cal_before["spark_1task_sec"],
                    cal_after["spark_1task_sec"],
                    cal_before["spark_32task_sec"],
-                   cal_after["spark_32task_sec"]]}
+                   cal_after["spark_32task_sec"]],
+           "cal_mid_max": mid_max, "cal_quiet": cal_quiet}
     dumps = lambda: json.dumps(out, separators=(",", ":"))  # noqa: E731
     for name, t in ordered:
         line_qs[name] = t
