@@ -40,10 +40,19 @@ def table_num_rows(sf_dir: str, name: str) -> int:
 
 
 _READ_TABLE_CACHE: dict = {}
+_READ_TABLE_LOCK = __import__("threading").Lock()
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of a harness table; filters/projections push down.
+
+    SHARED-INSTANCE CONTRACT (ADVICE r9): all callers of the same
+    (session, sf_dir, table) receive the SAME DataFrame object. A
+    self-join of two read_table results with attribute-based
+    conditions (a['k'] == b['k']) would trip Spark's ambiguous-
+    self-join detection; join same-table reads via select-aliases or
+    string column names (every current call site does), or call
+    _read_table_fresh for a distinct relation.
 
     r9-opt (guide §6 — file listing / relation reuse): the resolved
     DataFrame is memoized per (applicationId, sf_dir, table). Every
@@ -72,11 +81,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hit = _READ_TABLE_CACHE.get(key)
     if hit is not None:
         return hit
-    for stale in [k for k in _READ_TABLE_CACHE if k[0] != app]:
-        _READ_TABLE_CACHE.pop(stale, None)
-    df = _read_table_fresh(spark, sf_dir, name)
-    _READ_TABLE_CACHE[key] = df
-    return df
+    # lock: _curation drives Spark from a thread pool (ADVICE r9) —
+    # without it concurrent misses do duplicate driver-side resolves
+    # and eviction can interleave with an insert
+    with _READ_TABLE_LOCK:
+        hit = _READ_TABLE_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for stale in [k for k in _READ_TABLE_CACHE if k[0] != app]:
+            _READ_TABLE_CACHE.pop(stale, None)
+        df = _read_table_fresh(spark, sf_dir, name)
+        _READ_TABLE_CACHE[key] = df
+        return df
 
 
 def _read_table_fresh(spark: SparkSession, sf_dir: str,

@@ -40,6 +40,15 @@ from .stateful import streaming_portfolio_state
 # same 143 754 rows). On a real cluster size this to state volume /
 # executor count instead; the knob is env-overridable for that.
 STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+# r10: the stream-stream interval join keeps TWO state stores per
+# partition (both join sides), so its per-micro-batch commit fan-out
+# is double every other replay's — a clean interleaved A/B (steal <
+# 0.5 s samples) had 4 beating 8 in every pair (3.0-3.8 s vs
+# 3.3-7.2 s at sf0.1) while the keyed-fold replays prefer 8
+# (fold 7.1 vs 10.3, twr 6.4 vs 9.3). Same cluster sizing rule as
+# STATE_PARTITIONS; env-overridable.
+JOIN_STATE_PARTITIONS = int(os.environ.get(
+    "SPARK_GRAFT_JOIN_STATE_PARTITIONS", "4"))
 
 
 _INTERVAL_UNIT_S = {"second": 1, "seconds": 1, "minute": 60,
@@ -90,7 +99,8 @@ def _events_stream(spark: SparkSession, sf_dir: str):
             .parquet(sf_dir))
 
 
-def _run_to_completion(writer, name: str, timeout_s: int):
+def _run_to_completion(writer, name: str, timeout_s: int,
+                       state_partitions: int | None = None):
     """Start, await FULL termination, fail loudly on timeout — a
     timed-out availableNow query would otherwise silently hand back a
     PARTIAL memory sink (exactly the kind of flaky wrongness a
@@ -102,7 +112,8 @@ def _run_to_completion(writer, name: str, timeout_s: int):
     restored after — batch queries keep their own setting."""
     spark = SparkSession.getActiveSession()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(state_partitions or STATE_PARTITIONS))
     try:
         # start() is async — micro-batch planning reads the conf after
         # it returns, so the restore must wait for termination.
@@ -283,7 +294,8 @@ def streaming_join_replay(spark: SparkSession, sf_dir: str,
                    F.col("p.close").alias("tick_close")))
     _run_to_completion(
         out.writeStream.format("memory").queryName(name)
-           .outputMode("append").trigger(availableNow=True), name, timeout_s)
+           .outputMode("append").trigger(availableNow=True), name, timeout_s,
+        state_partitions=JOIN_STATE_PARTITIONS)
     return spark.table(name)
 
 
