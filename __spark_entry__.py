@@ -1476,7 +1476,10 @@ def _q_pack_sequences(spark, sf_dir):
 
 
 def _q_chunk_dedup(spark, sf_dir):
-    return PK.chunk_dedup(_docs(spark, sf_dir))
+    # r10: UNSPREAD docs — r9 measured the shared _docs spread costing
+    # this op +0.5 s (its first stage is a cheap projection straight
+    # into a chunk-key shuffle, so the extra exchange buys nothing)
+    return PK.chunk_dedup(read_table(spark, sf_dir, "documents"))
 
 
 def _q_rolling_vol(spark, sf_dir):
@@ -1872,7 +1875,9 @@ def _q_cms_heavy_hitters(spark, sf_dir):
 
 
 def _q_bloom_chunk_probe(spark, sf_dir):
-    return SK.bloom_chunk_probe(_docs(spark, sf_dir))
+    # r10: UNSPREAD docs — r9 measured the shared _docs spread costing
+    # this op +0.7 s (same reasoning as chunk_dedup)
+    return SK.bloom_chunk_probe(read_table(spark, sf_dir, "documents"))
 
 
 def _q_winsorized_stats(spark, sf_dir):

@@ -561,28 +561,39 @@ def minhash_verified(docs: DataFrame,
     cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
-    # explicit-N co-partition (same rule as minhash_lsh_candidates):
-    # the shingle stream is ~90 MB of 8-byte hashes at sf0.1, which
-    # AQE coalesces to 2-3 reducers by byte size — but hash-SET
-    # building is CPU-bound per byte, so those 3 tasks serialize the
-    # whole verify prologue (measured as the stage's long tail).
-    n = docs.sparkSession.sparkContext.defaultParallelism
-    sh_r = iter_checkpoint(
+    # r10-opt (guide §2.3/§2.4, the tfidf_cosine_verified pattern):
+    # ONE per-shingle aggregate over the candidate-restricted stream
+    # replaces the old sh_r checkpoint (1.2M-row string frame
+    # materialized once then shuffled AGAIN for the vocabulary
+    # distinct) — the aggregate's keys ARE the restricted vocabulary,
+    # so the injectivity guard rides it for free, and the per-doc
+    # hash sets are rebuilt by exploding the (bounded, candidate-only)
+    # posting lists. Candidate membership attaches map-side from a
+    # broadcast of the distinct endpoints (bounded by the LSH band
+    # bucket caps). Sets are order-insensitive → bit-identical output.
+    per_sh = iter_checkpoint(
         shingles(docs, distinct=False)
-        .join(cand_ids, "doc_id", "left_semi")
-        .repartition(n, "doc_id"),
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("shingle")
+        .agg(F.collect_set("doc_id").alias("_docs")),
         eager=True)
+    # explicit-N co-partition (same rule as minhash_lsh_candidates):
+    # the exploded posting stream is small in bytes, which AQE
+    # coalesces to 1-2 reducers — but hash-SET building is CPU-bound
+    # per byte, so pin the doc partitioning wide.
+    n = docs.sparkSession.sparkContext.defaultParallelism
     arrs = iter_checkpoint(
-        sh_r.groupBy("doc_id")
-            .agg(F.collect_set(F.xxhash64("shingle")).alias("_sh")),
+        per_sh.select(F.xxhash64("shingle").alias("_h"),
+                      F.explode("_docs").alias("doc_id"))
+              .repartition(n, "doc_id")
+              .groupBy("doc_id")
+              .agg(F.collect_set("_h").alias("_sh")),
         # materialized once: sizes AND arrays both consume it
         eager=True)
     # injectivity guard (1 row, broadcast): equal distinct counts over
     # the restricted VOCABULARY ⇒ hash Jaccard == string Jaccard
-    # EXACTLY. Distinct-first keeps the check one narrow shuffle of
-    # the vocab instead of a two-way Expand over the doc stream.
-    vocab = sh_r.select("shingle").distinct()
-    inj = vocab.agg(
+    # EXACTLY — per_sh's keys are exactly the old vocab distinct.
+    inj = per_sh.agg(
         F.count(F.lit(1)).alias("_ns"),
         F.countDistinct(F.xxhash64("shingle")).alias("_nh"))
     inj_ok = F.assert_true(
