@@ -771,7 +771,7 @@ def image_phash_pairs(docs: DataFrame,
     # the hash frame feeds THREE consumers (band keys + both verify
     # sides); checkpoint it so the mapInPandas codec chain runs once —
     # at scale this is the persisted phash index, not a recompute
-    ph = iter_checkpoint(image_phash(text_to_images(docs)), eager=True)
+    ph = iter_checkpoint(image_phash(text_to_images(docs)), eager=False)
     keys = ph.select(
         "media_id",
         F.explode(F.array(*[

@@ -993,7 +993,7 @@ def semantic_dedup(emb: DataFrame, n_cells: int | None = None,
     # subplans (the weighted_jaccard_pairs/kn_lm lesson): without the
     # boundary the N×c crossJoin + argmax window ran up to 3×.
     cells = iter_checkpoint(_semantic_cells_frame(emb, cents),
-                            eager=True)
+                            eager=False)
     earlier = (_semantic_cos_pairs(cells)
                .select(F.col("_vb").alias("vec_id"), F.col("_cos"))
                .groupBy("vec_id")
@@ -1111,7 +1111,7 @@ def semantic_clusters(emb: DataFrame, n_cells: int | None = None,
     # (see semantic_dedup; measured 4.08 s warm → the dominant phase
     # of this operator's 7.9 s canonical line)
     cells = iter_checkpoint(_semantic_cells_frame(emb, cents),
-                            eager=True)
+                            eager=False)
     pairs = (_semantic_cos_pairs(cells)
              .filter(F.col("_cos") >= threshold)
              .select(F.col("_va").alias("doc_a"),

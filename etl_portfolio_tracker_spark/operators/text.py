@@ -1621,11 +1621,11 @@ def quantile_normalize(docs: DataFrame) -> DataFrame:
             .join(quality_score(docs).select("doc_id", "quality"),
                   "doc_id")
             .withColumn("_one", F.lit(1)),
-        eager=True)
+        eager=False)
     rn = iter_checkpoint(
         ranged_cumsum(base, "_one", ["quality", "doc_id"],
                       group_cols=["source"]),
-        eager=True)
+        eager=False)
     rank = (rn.groupBy("source", "quality")
             .agg(F.min("_cum").alias("_rk")))
     ns = base.groupBy("source").agg(F.count(F.lit(1)).alias("_ns"))
